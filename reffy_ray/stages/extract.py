@@ -1,0 +1,667 @@
+"""Extraction stages: span table → per-module extract tables.
+
+Each ``extract_<module>`` function is a stateless ``map_batches``
+callable (``batch_format='pyarrow'``): one Arrow batch of ``documents``
+rows in (doc_id, spans, url), one Arrow batch of the module's extract
+table out. They reproduce the reference's browserlib extractors
+(reference: src/browserlib/extract-*.mjs) over the pre-parsed span
+sequence instead of a live DOM. Per-document work never shuffles —
+in-document grouping (links per page URL, cddl per module, algorithm
+step trees) happens inside the batch, mirroring the doc-local nature
+of the browser-context extractors (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections import OrderedDict
+from typing import Iterator
+
+import pyarrow as pa
+
+from .. import schemas
+
+# ---------------------------------------------------------------------------
+# span iteration helper
+# ---------------------------------------------------------------------------
+
+
+def _iter_docs(batch: pa.Table) -> Iterator[tuple[str, str, list[dict]]]:
+    """Yield (doc_id, base_url, spans) per row; spans sorted by offset."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    urls = (
+        batch.column("url").to_pylist()
+        if "url" in batch.column_names
+        else ["" for _ in doc_ids]
+    )
+    spans_col = batch.column("spans").to_pylist()
+    for doc_id, url, spans in zip(doc_ids, urls, spans_col):
+        spans = sorted(spans or [], key=lambda s: s["offset"])
+        yield doc_id, url or "", spans
+
+
+class _PageTracker:
+    """Tracks the current page URL across `meta page=` spans
+    (multi-page merge analog, src/lib/util.js:555-594)."""
+
+    def __init__(self, base_url: str):
+        self.page = base_url
+
+    def feed(self, span: dict) -> None:
+        if span["kind"] == "meta" and span["text"].startswith("page="):
+            self.page = span["text"][5:]
+
+    def href(self, frag: str) -> str:
+        return f"{self.page}#{frag}" if frag else self.page
+
+
+def _table(schema: pa.Schema, rows: list[dict]) -> pa.Table:
+    if not rows:
+        return schema.empty_table()
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    return pa.table(
+        {name: pa.array(vals, schema.field(name).type) for name, vals in cols.items()}
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 title / M2-M4 meta
+# ---------------------------------------------------------------------------
+
+
+def extract_title(batch: pa.Table) -> pa.Table:
+    """First title span, 'No Title' default (get-title.mjs:4-15)."""
+    rows = []
+    for doc_id, _url, spans in _iter_docs(batch):
+        title = next((s["text"] for s in spans if s["kind"] == "title"), "No Title")
+        rows.append({"doc_id": doc_id, "title": title})
+    return _table(schemas.EXTRACTS_TITLE, rows)
+
+
+def extract_meta(batch: pa.Table) -> pa.Table:
+    """generator / revision / date metadata (get-generator.mjs:14-26,
+    get-revision.mjs:1-12, get-lastmodified-date.mjs:1-14)."""
+    rows = []
+    for doc_id, _url, spans in _iter_docs(batch):
+        vals = {"generator": None, "revision": None, "date": None}
+        for s in spans:
+            if s["kind"] != "meta":
+                continue
+            for key in vals:
+                pre = key + "="
+                if s["text"].startswith(pre) and vals[key] is None:
+                    vals[key] = s["text"][len(pre):]
+        rows.append({"doc_id": doc_id, **vals})
+    return _table(schemas.EXTRACTS_META, rows)
+
+
+# ---------------------------------------------------------------------------
+# M6 headings
+# ---------------------------------------------------------------------------
+
+
+def extract_headings(batch: pa.Table) -> pa.Table:
+    """Heading list (extract-headings.mjs:6-76); href resolved against
+    the page the heading appears on."""
+    rows = []
+    for doc_id, url, spans in _iter_docs(batch):
+        pt = _PageTracker(url)
+        for s in spans:
+            pt.feed(s)
+            if s["kind"] != "heading":
+                continue
+            h = json.loads(s["text"])
+            if not h.get("id"):
+                continue
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "id": h["id"],
+                    "href": pt.href(h["id"]),
+                    "level": h.get("level"),
+                    "title": h.get("title", ""),
+                    "number": h.get("number") or None,
+                }
+            )
+    return _table(schemas.EXTRACTS_HEADINGS, rows)
+
+
+# ---------------------------------------------------------------------------
+# M5 ids
+# ---------------------------------------------------------------------------
+
+_ID_EXCLUDE_PREFIXES = ("respec-", "dfn-panel-")
+
+
+def extract_ids(batch: pa.Table) -> pa.Table:
+    """All anchorable ids as absolute URLs (extract-ids.mjs:6-28);
+    filters respec-/dfn-panel- generated ids; in-doc first-wins dedup."""
+    rows = []
+    for doc_id, url, spans in _iter_docs(batch):
+        pt = _PageTracker(url)
+        seen: set[str] = set()
+        for s in spans:
+            pt.feed(s)
+            if s["kind"] != "anchor":
+                continue
+            anchor = s["text"]
+            if not anchor or anchor.startswith(_ID_EXCLUDE_PREFIXES):
+                continue
+            href = pt.href(anchor)
+            if href in seen:
+                continue
+            seen.add(href)
+            rows.append({"doc_id": doc_id, "href": href})
+    return _table(schemas.EXTRACTS_IDS, rows)
+
+
+# ---------------------------------------------------------------------------
+# M7 links
+# ---------------------------------------------------------------------------
+
+
+def extract_links(batch: pa.Table) -> pa.Table:
+    """Outbound links grouped page-URL → sorted anchor set, split
+    autolinks vs rawlinks (extract-links.mjs:14-45). Doc-local groupby,
+    no shuffle."""
+    rows = []
+    for doc_id, url, spans in _iter_docs(batch):
+        groups: "OrderedDict[tuple[str, bool], set]" = OrderedDict()
+        for s in spans:
+            if s["kind"] != "link":
+                continue
+            l = json.loads(s["text"])
+            if l.get("in_head") or l.get("in_dfn_panel"):
+                continue
+            href = l["href"]
+            page, _, frag = href.partition("#")
+            key = (page, bool(l.get("auto")))
+            groups.setdefault(key, set())
+            if frag:
+                groups[key].add(frag)
+        for (page, auto), anchors in groups.items():
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "page_url": page,
+                    "auto": auto,
+                    "anchors": sorted(anchors),
+                }
+            )
+    return _table(schemas.EXTRACTS_LINKS, rows)
+
+
+# ---------------------------------------------------------------------------
+# M8 refs
+# ---------------------------------------------------------------------------
+
+
+def extract_refs(batch: pa.Table) -> pa.Table:
+    """Normative/informative references (extract-references.mjs:99-148);
+    first-wins per (name, section)."""
+    rows = []
+    for doc_id, _url, spans in _iter_docs(batch):
+        seen: set[tuple[str, bool]] = set()
+        for s in spans:
+            if s["kind"] != "ref-entry":
+                continue
+            r = json.loads(s["text"])
+            normative = r.get("section") == "normative"
+            key = (r["name"], normative)
+            if key in seen:
+                continue
+            seen.add(key)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "name": r["name"],
+                    "url": r.get("url"),
+                    "normative": normative,
+                }
+            )
+    return _table(schemas.EXTRACTS_REFS, rows)
+
+
+# ---------------------------------------------------------------------------
+# M11 dfns
+# ---------------------------------------------------------------------------
+
+
+def extract_dfns(batch: pa.Table) -> pa.Table:
+    """Term definitions per the Bikeshed dfn contract
+    (extract-dfns.mjs:178-299). First-wins in-doc dedup on (id)
+    (isNotAlreadyExported, extract-dfns.mjs:122-134); heading resolved
+    via the in-doc id→heading map (map-ids-to-headings.mjs analog)."""
+    rows = []
+    for doc_id, url, spans in _iter_docs(batch):
+        # pass 1: id → heading struct + doc title
+        pt = _PageTracker(url)
+        headings: dict[str, dict] = {}
+        title = "No Title"
+        saw_title = False
+        for s in spans:
+            pt.feed(s)
+            if s["kind"] == "title" and not saw_title:
+                title = s["text"]
+                saw_title = True
+            elif s["kind"] == "heading":
+                h = json.loads(s["text"])
+                if h.get("id"):
+                    headings[h["id"]] = {
+                        "id": h["id"],
+                        "href": pt.href(h["id"]),
+                        "title": h.get("title", ""),
+                        "number": h.get("number") or None,
+                    }
+        pt = _PageTracker(url)
+        seen_ids: set[str] = set()
+        for s in spans:
+            pt.feed(s)
+            if s["kind"] != "dfn":
+                continue
+            d = json.loads(s["text"])
+            if d["id"] in seen_ids:
+                continue
+            seen_ids.add(d["id"])
+            heading = headings.get(d.get("heading_id") or "")
+            if heading is None:
+                heading = {"id": None, "href": pt.page, "title": title, "number": None}
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "id": d["id"],
+                    "href": pt.href(d["id"]),
+                    "linking_text": d.get("lt", []),
+                    "local_linking_text": d.get("local_lt", []),
+                    "type": d.get("type", "dfn"),
+                    "for": d.get("for", []),
+                    "access": d.get("access", "private"),
+                    "informative": bool(d.get("informative")),
+                    "heading": heading,
+                    "defined_in": d.get("defined_in", "prose"),
+                }
+            )
+    return _table(schemas.EXTRACTS_DFNS, rows)
+
+
+# ---------------------------------------------------------------------------
+# M9 idl
+# ---------------------------------------------------------------------------
+
+
+def extract_idl(batch: pa.Table) -> pa.Table:
+    """Raw WebIDL dump: concat idl-block spans in document order with
+    dedup of identical blocks (extract-webidl.mjs:13-90); whitespace
+    already canonicalized at parse time (trim-spaces.mjs:14-36)."""
+    rows = []
+    for doc_id, _url, spans in _iter_docs(batch):
+        blocks: list[str] = []
+        seen: set[str] = set()
+        for s in spans:
+            if s["kind"] != "idl-block":
+                continue
+            b = s["text"]
+            if b and b not in seen:
+                seen.add(b)
+                blocks.append(b)
+        if blocks:
+            rows.append({"doc_id": doc_id, "idl": "\n\n".join(blocks)})
+    return _table(schemas.EXTRACTS_IDL, rows)
+
+
+# ---------------------------------------------------------------------------
+# M10 css
+# ---------------------------------------------------------------------------
+
+_CSS_LABEL_MAP = {
+    "name": "name",
+    "value": "value",
+    "initial": "initial",
+    "applies to": "appliesTo",
+    "inherited": "inherited",
+    "percentages": "percentages",
+    "computed value": "computedValue",
+    "canonical order": "canonicalOrder",
+    "animation type": "animationType",
+    "animatable": "animatable",
+    "media": "media",
+    "new values": "newValues",
+    "for": "for",
+    "legacy name alias": "legacyAliasOf",
+}
+
+
+def _css_prop_key(label: str) -> str:
+    """dfn label → property key (extract-cssdfn.mjs:375-384)."""
+    l = label.strip().rstrip(":").lower()
+    if l in _CSS_LABEL_MAP:
+        return _CSS_LABEL_MAP[l]
+    parts = l.split()
+    return parts[0] + "".join(p.capitalize() for p in parts[1:])
+
+
+_RE_PROD = re.compile(r"^\s*<?([a-zA-Z][\w-]*)>?\s*=\s*(.+)$", re.S)
+
+
+def extract_css(batch: pa.Table) -> pa.Table:
+    """CSS definitions: propdef/descdef tables → properties, pre.prod
+    production rules → values (extract-cssdfn.mjs:407-458, 871-915).
+    One output row per definition; full record as payload_json."""
+    rows = []
+    for doc_id, url, spans in _iter_docs(batch):
+        pt = _PageTracker(url)
+        tables: "OrderedDict[str, dict]" = OrderedDict()
+        table_hrefs: dict[str, str] = {}
+        for s in spans:
+            pt.feed(s)
+            if s["kind"] == "css-propdef-row":
+                r = json.loads(s["text"])
+                tid = r.get("table_id") or (r.get("dfn_ids") or [""])[0] or f"__t{len(tables)}"
+                t = tables.setdefault(tid, {"__kind": r.get("table_kind", "propdef")})
+                key = _css_prop_key(r["row_label"])
+                t[key] = r["row_value"]
+                if key == "name" and r.get("dfn_ids"):
+                    table_hrefs[tid] = pt.href(r["dfn_ids"][0])
+            elif s["kind"] == "css-prod":
+                m = _RE_PROD.match(s["text"])
+                if m:
+                    name = f"<{m.group(1)}>"
+                    payload = {
+                        "name": name,
+                        "type": "type",
+                        "value": " ".join(m.group(2).split()),
+                    }
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "category": "values",
+                            "name": name,
+                            "payload_json": json.dumps(payload, ensure_ascii=False),
+                        }
+                    )
+        for tid, t in tables.items():
+            kind = t.pop("__kind", "propdef")
+            names = [n.strip() for n in t.get("name", "").split(",") if n.strip()]
+            href = table_hrefs.get(tid)
+            for name in names or ([t["for"]] if kind == "descdef" and "for" in t else []):
+                payload = {k: v for k, v in t.items() if k != "name"}
+                payload["name"] = name
+                if href:
+                    payload["href"] = href
+                category = "atrules" if kind == "descdef" else "properties"
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "category": category,
+                        "name": name,
+                        "payload_json": json.dumps(
+                            dict(sorted(payload.items())), ensure_ascii=False
+                        ),
+                    }
+                )
+    return _table(schemas.EXTRACTS_CSS, rows)
+
+
+# ---------------------------------------------------------------------------
+# M13 events
+# ---------------------------------------------------------------------------
+
+_RE_FIRE_EVENT = re.compile(
+    r"fir(?:e|ing)\s+an?\s+event\s+named\s+\"?([\w.-]+)\"?", re.I
+)
+_RE_ONHANDLER = re.compile(r"attribute\s+EventHandler\s+on(\w+)\s*;")
+_RE_IFACE = re.compile(r"(?:^|\n)\s*(?:\[[^\]]*\]\s*)?(?:partial\s+)?interface\s+(?:mixin\s+)?(\w+)")
+
+
+def extract_events(batch: pa.Table) -> pa.Table:
+    """Event inventory from summary tables, def tables, `on<event>`
+    EventHandler IDL attributes and fire-an-event prose
+    (extract-events.mjs:80-406); in-doc dedup via same-(type,iface)
+    merge (isSameEvent, extract-events.mjs:39-48)."""
+    rows = []
+    for doc_id, url, spans in _iter_docs(batch):
+        pt = _PageTracker(url)
+        events: list[dict] = []
+
+        def find(ev_type: str, iface: str | None):
+            for e in events:
+                if e["type"] == ev_type and (
+                    iface is None or e.get("interface") in (None, iface)
+                ):
+                    return e
+            return None
+
+        idl_ifaces: list[tuple[str, list[str]]] = []  # (iface, [event names])
+        for s in spans:
+            pt.feed(s)
+            if s["kind"] == "event-row":
+                r = json.loads(s["text"])
+                ev = {
+                    "doc_id": doc_id,
+                    "type": r["type"],
+                    "interface": r.get("iface"),
+                    "bubbles": r.get("bubbles"),
+                    "cancelable": r.get("cancelable"),
+                    "targets": r.get("targets"),
+                    "href": pt.href(r["id"]) if r.get("id") else None,
+                    "src_format": r.get("src_format", "summary table"),
+                    "is_extension": False,
+                }
+                existing = find(r["type"], r.get("iface"))
+                if existing is None:
+                    events.append(ev)
+                else:
+                    for k, v in ev.items():
+                        if existing.get(k) is None and v is not None:
+                            existing[k] = v
+            elif s["kind"] == "idl-block":
+                for m in _RE_IFACE.finditer(s["text"]):
+                    iface = m.group(1)
+                    handlers = _RE_ONHANDLER.findall(s["text"])
+                    if handlers:
+                        idl_ifaces.append((iface, handlers))
+            elif s["kind"] == "prose":
+                for m in _RE_FIRE_EVENT.finditer(s["text"]):
+                    ev_type = m.group(1)
+                    txt = s["text"].lower()
+                    bubbles = None
+                    if "bubbles attribute initialized to true" in txt or "which bubbles" in txt:
+                        bubbles = True
+                    elif "does not bubble" in txt or "bubbles attribute initialized to false" in txt:
+                        bubbles = False
+                    if find(ev_type, None) is None:
+                        events.append(
+                            {
+                                "doc_id": doc_id,
+                                "type": ev_type,
+                                "interface": None,
+                                "bubbles": bubbles,
+                                "cancelable": None,
+                                "targets": None,
+                                "href": None,
+                                "src_format": "fire an event phrasing",
+                                "is_extension": False,
+                            }
+                        )
+        # complete targets from on<event> EventHandler IDL attributes
+        for iface, handlers in idl_ifaces:
+            for ev_name in handlers:
+                e = find(ev_name, None)
+                if e is not None:
+                    tgts = set(e.get("targets") or [])
+                    tgts.add(iface)
+                    e["targets"] = sorted(tgts)
+                else:
+                    events.append(
+                        {
+                            "doc_id": doc_id,
+                            "type": ev_name,
+                            "interface": None,
+                            "bubbles": None,
+                            "cancelable": None,
+                            "targets": [iface],
+                            "href": None,
+                            "src_format": "IDL eventHandler",
+                            "is_extension": False,
+                        }
+                    )
+        rows.extend(events)
+    return _table(schemas.EXTRACTS_EVENTS, rows)
+
+
+# ---------------------------------------------------------------------------
+# M12 elements
+# ---------------------------------------------------------------------------
+
+
+def extract_elements(batch: pa.Table) -> pa.Table:
+    """Markup element → IDL interface mapping (extract-elements.mjs)."""
+    rows = []
+    for doc_id, url, spans in _iter_docs(batch):
+        pt = _PageTracker(url)
+        # element dfn ids for hrefs
+        el_dfn_href: dict[str, str] = {}
+        for s in spans:
+            pt.feed(s)
+            if s["kind"] == "dfn":
+                d = json.loads(s["text"])
+                if d.get("type") == "element":
+                    for lt in d.get("lt", []):
+                        el_dfn_href.setdefault(lt, pt.href(d["id"]))
+        pt = _PageTracker(url)
+        seen: set[str] = set()
+        for s in spans:
+            pt.feed(s)
+            if s["kind"] != "element-def":
+                continue
+            e = json.loads(s["text"])
+            if e["name"] in seen:
+                continue
+            seen.add(e["name"])
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "name": e["name"],
+                    "href": el_dfn_href.get(e["name"], pt.page),
+                    "interface": e.get("interface"),
+                }
+            )
+    return _table(schemas.EXTRACTS_ELEMENTS, rows)
+
+
+# ---------------------------------------------------------------------------
+# M14 algorithms
+# ---------------------------------------------------------------------------
+
+
+def extract_algorithms(batch: pa.Table) -> pa.Table:
+    """Normative algorithm trees (extract-algorithms.mjs:526-587):
+    algo-step spans grouped per algo_id, nested by depth; document
+    order preserved (sort at :700-708 is document order here)."""
+    rows = []
+    for doc_id, url, spans in _iter_docs(batch):
+        pt = _PageTracker(url)
+        algos: "OrderedDict[str, dict]" = OrderedDict()
+        for s in spans:
+            pt.feed(s)
+            if s["kind"] != "algo-step":
+                continue
+            st = json.loads(s["text"])
+            aid = st["algo_id"]
+            if st["depth"] == -1:
+                algos[aid] = {
+                    "name": st.get("name") or None,
+                    "href": pt.href(aid) if not aid.startswith("__algo") else None,
+                    "rationale": st.get("rationale", ".algorithm"),
+                    "html": st.get("html", ""),
+                    "steps": [],
+                    "_stack": [],
+                }
+            else:
+                a = algos.get(aid)
+                if a is None:
+                    a = algos.setdefault(
+                        aid,
+                        {
+                            "name": None,
+                            "href": pt.href(aid) if not aid.startswith("__algo") else None,
+                            "rationale": ".algorithm",
+                            "html": "",
+                            "steps": [],
+                            "_stack": [],
+                        },
+                    )
+                step = {"html": st["html"]}
+                depth = st["depth"]
+                stack = a["_stack"]
+                del stack[depth:]
+                parent_steps = a["steps"] if depth == 0 else stack[depth - 1].setdefault(
+                    "steps", []
+                )
+                parent_steps.append(step)
+                stack.append(step)
+        for a in algos.values():
+            a.pop("_stack", None)
+            steps = a.pop("steps")
+            intro_html = a.pop("html")
+            payload = {}
+            if intro_html:
+                payload["html"] = intro_html
+            if steps:
+                payload["steps"] = steps
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "name": a["name"],
+                    "href": a["href"],
+                    "rationale": a["rationale"],
+                    "steps_json": json.dumps(payload, ensure_ascii=False),
+                }
+            )
+    return _table(schemas.EXTRACTS_ALGORITHMS, rows)
+
+
+# ---------------------------------------------------------------------------
+# M15 cddl
+# ---------------------------------------------------------------------------
+
+
+def extract_cddl(batch: pa.Table) -> pa.Table:
+    """CDDL module dumps + synthesized 'all' module
+    (extract-cddl.mjs:30-125)."""
+    rows = []
+    for doc_id, _url, spans in _iter_docs(batch):
+        modules: "OrderedDict[str, list[str]]" = OrderedDict()
+        all_blocks: list[str] = []
+        for s in spans:
+            if s["kind"] != "cddl-block":
+                continue
+            c = json.loads(s["text"])
+            all_blocks.append(c["cddl"])
+            for m in c.get("modules") or []:
+                modules.setdefault(m, []).append(c["cddl"])
+        if all_blocks:
+            rows.append(
+                {"doc_id": doc_id, "module": "all", "cddl": "\n\n".join(all_blocks)}
+            )
+            for m, blocks in modules.items():
+                rows.append({"doc_id": doc_id, "module": m, "cddl": "\n\n".join(blocks)})
+    return _table(schemas.EXTRACTS_CDDL, rows)
+
+
+EXTRACTORS = {
+    "title": extract_title,
+    "meta": extract_meta,
+    "headings": extract_headings,
+    "ids": extract_ids,
+    "links": extract_links,
+    "refs": extract_refs,
+    "dfns": extract_dfns,
+    "idl": extract_idl,
+    "css": extract_css,
+    "events": extract_events,
+    "elements": extract_elements,
+    "algorithms": extract_algorithms,
+    "cddl": extract_cddl,
+}

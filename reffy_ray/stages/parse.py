@@ -1,0 +1,727 @@
+"""HTML → interleaved span-table parser stage.
+
+Replaces the reference's Puppeteer render + browserlib injection
+(reference: src/lib/util.js:311-681). One fetched HTML document (plus
+its subpages, merged in order as in src/lib/util.js:555-594) becomes
+one row of the ``documents`` table: ``(doc_id, spans)`` where spans is
+the ordered interleaved sequence of text + media spans described in
+FIXTURES.md §1.
+
+Run as an actor-pool ``map_batches`` stage (parser tables built once
+per actor in ``__init__``); each ``__call__`` is one Arrow batch of
+``(doc_id, url, html, pages_urls, pages_html)`` rows in, one Arrow
+batch of ``documents`` rows out.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from ..schemas import SPAN_STRUCT
+from .htmldom import Node, parse_html
+
+_RE_SECNO = re.compile(r"^\s*((?:[A-Z]|\d+)(?:\.\d+)*\.?)\s+")
+_RE_NORMATIVE_REFS = re.compile(r"^normative\s+references?$", re.I)
+_RE_INFORMATIVE_REFS = re.compile(r"^(informative|other)\s+references?$", re.I)
+_RE_REFS_HEADING = re.compile(r"^references?$", re.I)
+
+# Sections stripped entirely (clone-and-clean.mjs:7-25 +
+# informative-selector.mjs annotations)
+_SKIP_CLASSES = {"mdn-anno", "wpt-tests-block", "annotation", "dfn-panel"}
+_SKIP_TAGS = {"del", "aside", "script", "style", "nav"}
+_INFORMATIVE_CLASSES = {"informative", "note", "example", "issue", "non-normative", "advisement"}
+
+_SUMMARY_EVENT_HEADERS = ("event type", "type")
+
+
+def dedent_code(text: str) -> str:
+    """De-indent preserving relative indentation (trim-spaces.mjs:14-36)."""
+    text = text.replace("\t", "  ")
+    lines = [ln.rstrip() for ln in text.split("\n")]
+    while lines and not lines[0].strip():
+        lines.pop(0)
+    while lines and not lines[-1].strip():
+        lines.pop()
+    indents = [len(ln) - len(ln.lstrip()) for ln in lines if ln.strip()]
+    cut = min(indents) if indents else 0
+    return "\n".join(ln[cut:] if ln.strip() else "" for ln in lines)
+
+
+class _Walker:
+    """Single-document walk emitting (kind, text, media_ref) events."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url
+        self.page_url = base_url
+        self.events: list[tuple[str, str, str]] = []
+        self.heading_id = ""
+        self.title_seen = False
+        self.generator = None
+        self.ref_section: str | None = None
+        self.idl_index_events: list[tuple[str, str, str]] = []
+        self.saw_idl_index = False
+        self._algo_counter = 0
+
+    # -- emission ----------------------------------------------------------
+    def emit(self, kind: str, text: str, media_ref: str = "", to_idl_index: bool = False):
+        ev = (kind, text, media_ref)
+        if to_idl_index:
+            self.idl_index_events.append(ev)
+        else:
+            self.events.append(ev)
+
+    # -- entry -------------------------------------------------------------
+    def walk_document(self, root: Node):
+        self._walk(root, informative=False, in_head=False, in_idl_index=False)
+
+    def merge_subpage(self, url: str, root: Node):
+        """Subpage appended in order, flagged by a page meta span
+        (analog of <section data-reffy-page>, util.js:555-594)."""
+        self.page_url = url
+        self.emit("meta", f"page={url}")
+        self._walk(root, informative=False, in_head=False, in_idl_index=False)
+
+    # -- recursive walk ----------------------------------------------------
+    def _walk(self, node: Node, informative: bool, in_head: bool, in_idl_index: bool):
+        for child in node.element_children():
+            self._visit(child, informative, in_head, in_idl_index)
+
+    def _visit(self, n: Node, informative: bool, in_head: bool, in_idl_index: bool):
+        tag = n.tag
+        cls = n.classes
+        if tag in _SKIP_TAGS or (cls & _SKIP_CLASSES):
+            if tag == "script":
+                self._sniff_generator_script(n)
+            return
+        if cls & _INFORMATIVE_CLASSES:
+            informative = True
+        if n.get("data-reffy-page"):
+            self.page_url = n.get("data-reffy-page")
+            self.emit("meta", f"page={self.page_url}")
+        if n.id == "idl-index" or (tag == "section" and n.id == "idl-index"):
+            in_idl_index = True
+            self.saw_idl_index = True
+        if tag == "div" and "head" in cls:
+            in_head = True
+
+        # anchors: every [id] element and <a name> (extract-ids.mjs:6-28)
+        if n.id:
+            self.emit("anchor", n.id)
+        if tag == "a" and n.get("name") and not n.id:
+            self.emit("anchor", n.get("name"))
+
+        if tag == "title" and not self.title_seen:
+            self.title_seen = True
+            self.emit("title", n.norm_text())
+            return
+        if tag == "meta":
+            self._visit_meta(n)
+            return
+        if tag == "time" and in_head:
+            self.emit("meta", f"date={n.norm_text()}")
+            return
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self._visit_heading(n, informative, in_head)
+            return
+        if tag == "dfn":
+            self._visit_dfn(n, informative, in_head)
+            # a dfn may still contain links
+            self._walk(n, informative, in_head, in_idl_index)
+            return
+        if tag == "a":
+            self._visit_link(n, in_head)
+            self._walk(n, informative, in_head, in_idl_index)
+            return
+        if tag == "pre":
+            self._visit_pre(n, informative, in_idl_index)
+            return
+        if tag == "table":
+            if self._visit_table(n, informative):
+                return
+            self._walk(n, informative, in_head, in_idl_index)
+            return
+        if tag == "dl":
+            if self._visit_dl(n, informative):
+                return
+            self._walk(n, informative, in_head, in_idl_index)
+            return
+        if tag in ("ol", "div", "section") and "algorithm" in cls:
+            self._visit_algorithm(n, informative, in_head, in_idl_index)
+            return
+        if tag == "p":
+            self._visit_p(n, informative, in_head, in_idl_index)
+            return
+        if tag == "figure":
+            img = n.first("img")
+            cap = n.first("figcaption")
+            self.emit("figure", cap.norm_text() if cap else "", img.get("src", "") if img else "")
+            return
+        if tag == "img":
+            self.emit("image", n.get("alt", "") or "", n.get("src", "") or "")
+            return
+        if tag == "emu-clause":
+            self._visit_emu_clause(n, informative, in_head, in_idl_index)
+            return
+        self._walk(n, informative, in_head, in_idl_index)
+
+    # -- per-construct handlers -------------------------------------------
+    def _sniff_generator_script(self, n: Node):
+        if self.generator:
+            return
+        src = n.get("src", "") or ""
+        body = n.text()
+        if "respec" in src.lower() or "respecConfig" in body:
+            self.generator = "respec"
+            self.emit("meta", "generator=respec")
+
+    def _visit_meta(self, n: Node):
+        name = (n.get("name") or "").lower()
+        content = n.get("content") or ""
+        if name == "generator":
+            gen = content.lower()
+            if "bikeshed" in gen:
+                self.generator = "bikeshed"
+                self.emit("meta", "generator=bikeshed")
+            elif "respec" in gen:
+                self.generator = "respec"
+                self.emit("meta", "generator=respec")
+        elif name in ("document-revision", "revision"):
+            self.emit("meta", f"revision={content}")
+        elif name in ("date", "dcterms.date"):
+            self.emit("meta", f"date={content}")
+
+    def _heading_parts(self, n: Node) -> tuple[str, str]:
+        """(number, title) split via .secno child or leading numbering."""
+        number = ""
+        secno = None
+        for c in n.element_children():
+            if c.has_class("secno", "secnum"):
+                secno = c
+                break
+        text = n.norm_text()
+        if secno is not None:
+            number = secno.norm_text().rstrip(".")
+            stext = secno.norm_text()
+            if stext and stext in text:
+                text = text.replace(stext, "", 1).strip()
+        else:
+            m = _RE_SECNO.match(text)
+            if m:
+                number = m.group(1).rstrip(".")
+                text = text[m.end():].strip()
+        return number, text
+
+    def _visit_heading(self, n: Node, informative: bool, in_head: bool):
+        hid = n.id
+        if not hid:
+            a = n.first("a")
+            if a is not None and a.get("name"):
+                hid = a.get("name")
+        level = int(n.tag[1])
+        number, title = self._heading_parts(n)
+        if hid:
+            self.heading_id = hid
+        self.emit(
+            "heading",
+            json.dumps(
+                {"id": hid, "level": level, "number": number, "title": title},
+                ensure_ascii=False,
+            ),
+        )
+        # ref-section state machine (extract-references.mjs heuristics)
+        if _RE_NORMATIVE_REFS.match(title):
+            self.ref_section = "normative"
+        elif _RE_INFORMATIVE_REFS.match(title):
+            self.ref_section = "informative"
+        elif _RE_REFS_HEADING.match(title):
+            self.ref_section = "normative"
+        else:
+            self.ref_section = None
+        # links inside headings still count
+        for a in n.find_all("a"):
+            self._visit_link(a, in_head)
+
+    def _visit_dfn(self, n: Node, informative: bool, in_head: bool):
+        if not n.id:
+            return
+        dfn_type = n.get("data-dfn-type") or "dfn"
+        lt = n.get("data-lt")
+        linking = [s.strip() for s in lt.split("|")] if lt else [n.norm_text()]
+        local_lt = n.get("data-local-lt")
+        local = [s.strip() for s in local_lt.split("|")] if local_lt else []
+        dfn_for = [s.strip() for s in (n.get("data-dfn-for") or "").split(",") if s.strip()]
+        exported = n.get("data-export") is not None
+        noexport = n.get("data-noexport") is not None
+        if exported:
+            access = "public"
+        elif noexport:
+            access = "private"
+        else:
+            # Bikeshed default: concept dfns private, IDL/markup dfns public
+            access = "private" if dfn_type in ("dfn", "abstract-op") else "public"
+        container = n.closest(
+            lambda a: a.tag in ("pre", "dt", "h1", "h2", "h3", "h4", "h5", "h6", "li", "table")
+        )
+        if container is None:
+            defined_in = "prose"
+        elif container.tag == "pre":
+            defined_in = "pre"
+        elif container.tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            defined_in = "heading"
+        elif container.tag == "dt":
+            defined_in = "dt"
+        elif container.tag == "li":
+            defined_in = "list"
+        elif container.tag == "table":
+            defined_in = "table"
+        else:
+            defined_in = "prose"
+        self.emit(
+            "dfn",
+            json.dumps(
+                {
+                    "id": n.id,
+                    "lt": linking,
+                    "local_lt": local,
+                    "type": dfn_type,
+                    "for": dfn_for,
+                    "access": access,
+                    "informative": informative,
+                    "heading_id": self.heading_id,
+                    "defined_in": defined_in,
+                },
+                ensure_ascii=False,
+            ),
+        )
+
+    def _visit_link(self, n: Node, in_head: bool):
+        href = n.get("href") or ""
+        if not href.startswith("http"):
+            return
+        auto = n.get("data-link-type") is not None or n.get("data-xref-type") is not None
+        self.emit(
+            "link",
+            json.dumps(
+                {"href": href, "auto": auto, "in_head": in_head, "in_dfn_panel": False},
+                ensure_ascii=False,
+            ),
+        )
+
+    def _visit_pre(self, n: Node, informative: bool, in_idl_index: bool):
+        cls = n.classes
+        body = dedent_code(n.text())
+        # dfns/anchors inside code blocks must still be emitted
+        for d in n.find_all("dfn"):
+            if d.id:
+                self.emit("anchor", d.id)
+                self._visit_dfn(d, informative, False)
+        if cls & {"idl", "webidl"} or n.first("code") and n.first("code").has_class("idl"):
+            if not informative:
+                self.emit("idl-block", body, to_idl_index=in_idl_index)
+            return
+        if "prod" in cls:
+            self.emit("css-prod", body)
+            return
+        if "cddl" in cls:
+            modules = [
+                m for m in (n.get("data-cddl-module") or "").split(",") if m.strip()
+            ] or [c[len("cddl-"):] for c in cls if c.startswith("cddl-") and c != "cddl"]
+            self.emit(
+                "cddl-block",
+                json.dumps({"cddl": body, "modules": modules}, ensure_ascii=False),
+            )
+            return
+        # plain code block → prose-ish, ignore
+
+    # -- tables ------------------------------------------------------------
+    def _visit_table(self, n: Node, informative: bool) -> bool:
+        cls = n.classes
+        if cls & {"propdef", "descdef"}:
+            self._emit_propdef(n, "descdef" if "descdef" in cls else "propdef")
+            return True
+        if "element" in cls and "def" in cls:
+            return False
+        header_cells = [
+            c.norm_text().lower() for c in (n.first("thead") or n).find_all("th")
+        ][:6]
+        if header_cells and header_cells[0] in _SUMMARY_EVENT_HEADERS and "interface" in header_cells:
+            self._emit_summary_event_table(n, header_cells)
+            return True
+        if "def" in cls and self._looks_like_event_def(n):
+            self._emit_event_def_table(n)
+            return True
+        return False
+
+    def _emit_propdef(self, n: Node, kind: str):
+        table_id = n.id
+        if not table_id:
+            first_dfn = next((d for d in n.find_all("dfn") if d.id), None)
+            self._algo_counter += 1
+            table_id = first_dfn.id if first_dfn is not None else f"__table{self._algo_counter}"
+        rows = list(n.find_all("tr"))
+        for tr in rows:
+            th = tr.first("th")
+            tds = [c for c in tr.find_all("td")]
+            if th is None or not tds:
+                continue
+            label = th.norm_text().rstrip(": ").strip()
+            value = " ".join(td.norm_text() for td in tds).strip()
+            dfn_ids = [d.id for d in tr.find_all("dfn") if d.id]
+            for d in tr.find_all("dfn"):
+                if d.id:
+                    self.emit("anchor", d.id)
+                    self._visit_dfn(d, False, False)
+            self.emit(
+                "css-propdef-row",
+                json.dumps(
+                    {
+                        "table_id": table_id,
+                        "table_kind": kind,
+                        "row_label": label,
+                        "row_value": value,
+                        "dfn_ids": dfn_ids,
+                    },
+                    ensure_ascii=False,
+                ),
+            )
+
+    def _looks_like_event_def(self, n: Node) -> bool:
+        labels = {tr.first("th").norm_text().rstrip(":").lower()
+                  for tr in n.find_all("tr") if tr.first("th")}
+        return "type" in labels and ("interface" in labels or "bubbles" in labels)
+
+    @staticmethod
+    def _boolish(text: str) -> bool | None:
+        t = text.strip().lower()
+        if t in ("yes", "✓", "true", "✓", "✔"):
+            return True
+        if t in ("no", "✗", "false", "✗", "✘", "none"):
+            return True if False else False
+        return None
+
+    def _emit_summary_event_table(self, n: Node, header_cells: list[str]):
+        col = {name: i for i, name in enumerate(header_cells)}
+        body = n.first("tbody") or n
+        for tr in body.find_all("tr"):
+            cells = [c for c in tr.element_children() if c.tag in ("th", "td")]
+            if not cells or cells[0].tag == "th" and tr.parent and tr.parent.tag == "thead":
+                continue
+            texts = [c.norm_text() for c in cells]
+            if texts and texts[0].lower() in _SUMMARY_EVENT_HEADERS:
+                continue
+            type_cell = cells[0]
+            dfn = type_cell.first("dfn")
+            ev_id = dfn.id if dfn is not None and dfn.id else type_cell.id
+            if dfn is not None and dfn.id:
+                self.emit("anchor", dfn.id)
+            get = lambda key: texts[col[key]] if key in col and col[key] < len(texts) else ""
+            iface = get("interface")
+            self.emit(
+                "event-row",
+                json.dumps(
+                    {
+                        "type": texts[0],
+                        "iface": iface.strip() or None,
+                        "bubbles": self._boolish(get("bubbles")),
+                        "cancelable": self._boolish(get("cancelable")),
+                        "targets": None,
+                        "id": ev_id,
+                        "src_format": "summary table",
+                    },
+                    ensure_ascii=False,
+                ),
+            )
+
+    def _emit_event_def_table(self, n: Node):
+        vals: dict[str, str] = {}
+        for tr in n.find_all("tr"):
+            th = tr.first("th")
+            if th is None:
+                continue
+            label = th.norm_text().rstrip(":").lower()
+            tds = list(tr.find_all("td"))
+            if tds:
+                vals[label] = " ".join(td.norm_text() for td in tds).strip()
+            else:
+                # `<tr><th>Type<td>success` parsed flat
+                cells = [c for c in tr.element_children() if c.tag == "td"]
+                if cells:
+                    vals[label] = cells[0].norm_text()
+        self.emit(
+            "event-row",
+            json.dumps(
+                {
+                    "type": vals.get("type", ""),
+                    "iface": vals.get("interface") or None,
+                    "bubbles": self._boolish(vals.get("bubbles", "")),
+                    "cancelable": self._boolish(vals.get("cancelable", "")),
+                    "targets": [t.strip() for t in vals.get("targets", "").split(",") if t.strip()]
+                    or None,
+                    "id": n.id,
+                    "src_format": "css definition table",
+                },
+                ensure_ascii=False,
+            ),
+        )
+
+    # -- definition lists --------------------------------------------------
+    def _visit_dl(self, n: Node, informative: bool) -> bool:
+        cls = n.classes
+        if "element" in cls:
+            self._emit_element_def(n)
+            return True
+        section = self.ref_section
+        parent_sec = n.closest(
+            lambda a: a.id in ("normative-references", "informative-references", "references")
+        )
+        if parent_sec is not None:
+            if "informative" in parent_sec.id:
+                section = "informative"
+            else:
+                section = section or "normative"
+        if section is None:
+            return False
+        name = None
+        for child in n.element_children():
+            if child.tag == "dt":
+                name = child.norm_text().strip("[] ")
+            elif child.tag == "dd" and name is not None:
+                a = child.first("a")
+                url = a.get("href") if a is not None else None
+                self.emit(
+                    "ref-entry",
+                    json.dumps(
+                        {"section": section, "name": name, "url": url},
+                        ensure_ascii=False,
+                    ),
+                )
+                name = None
+        return True
+
+    def _emit_element_def(self, n: Node):
+        """HTML-spec style `<dl class=element>` (extract-elements.mjs)."""
+        name = ""
+        anc = n.parent
+        while anc is not None and not name:
+            for d in anc.find_all("dfn"):
+                if d.get("data-dfn-type") == "element":
+                    name = d.norm_text()
+                    break
+            anc = anc.parent if not name else None
+        iface = None
+        grab_next = False
+        for child in n.element_children():
+            if child.tag == "dt":
+                grab_next = "dom interface" in child.norm_text().lower()
+            elif child.tag == "dd" and grab_next:
+                code = child.first("code") or child.first("a")
+                iface = (code.norm_text() if code is not None else child.norm_text()) or None
+                grab_next = False
+        if name:
+            self.emit(
+                "element-def",
+                json.dumps({"name": name, "interface": iface}, ensure_ascii=False),
+            )
+
+    # -- algorithms --------------------------------------------------------
+    def _visit_algorithm(self, n: Node, informative: bool, in_head: bool, in_idl_index: bool):
+        self._algo_counter += 1
+        algo_id = n.id or f"__algo{self._algo_counter}"
+        name = n.get("data-algorithm") or ""
+        intro_html = ""
+        if n.tag == "ol":
+            prev = self._prev_element_sibling(n)
+            if prev is not None and prev.tag == "p":
+                intro_html = prev.inner_html().strip()
+                if not name:
+                    d = prev.first("dfn")
+                    if d is not None:
+                        name = d.norm_text()
+            steps_parent = n
+        else:
+            p = n.first("p")
+            if p is not None:
+                intro_html = p.inner_html().strip()
+            steps_parent = n.first("ol") or n
+        self.emit(
+            "algo-step",
+            json.dumps(
+                {
+                    "algo_id": algo_id,
+                    "name": name,
+                    "rationale": ".algorithm",
+                    "depth": -1,
+                    "html": intro_html,
+                },
+                ensure_ascii=False,
+            ),
+        )
+        if steps_parent.tag == "ol":
+            self._emit_steps(steps_parent, algo_id, depth=0)
+        # anchors inside
+        for d in n.find_all("dfn"):
+            if d.id:
+                self.emit("anchor", d.id)
+
+    def _emit_steps(self, ol: Node, algo_id: str, depth: int):
+        for li in (c for c in ol.element_children() if c.tag == "li"):
+            inner_parts = []
+            nested: list[Node] = []
+            for c in li.children:
+                if isinstance(c, Node) and c.tag == "ol":
+                    nested.append(c)
+                else:
+                    inner_parts.append(c if isinstance(c, str) else c.outer_html())
+            html = "".join(inner_parts).strip()
+            self.emit(
+                "algo-step",
+                json.dumps(
+                    {"algo_id": algo_id, "depth": depth, "html": html},
+                    ensure_ascii=False,
+                ),
+            )
+            for sub in nested:
+                self._emit_steps(sub, algo_id, depth + 1)
+
+    @staticmethod
+    def _prev_element_sibling(n: Node) -> Node | None:
+        if n.parent is None:
+            return None
+        prev = None
+        for c in n.parent.element_children():
+            if c is n:
+                return prev
+            prev = c
+        return None
+
+    # -- prose -------------------------------------------------------------
+    def _visit_p(self, n: Node, informative: bool, in_head: bool, in_idl_index: bool):
+        # one-paragraph algorithm? ("To <dfn>x</dfn>, ..." —
+        # extract-algorithms.mjs:285-307)
+        txt = n.norm_text()
+        first_dfn = n.first("dfn")
+        if (
+            txt.startswith("To ")
+            and first_dfn is not None
+            and first_dfn.id
+            and self._next_element_sibling(n) is None
+        ):
+            self.emit(
+                "algo-step",
+                json.dumps(
+                    {
+                        "algo_id": first_dfn.id,
+                        "name": first_dfn.norm_text(),
+                        "rationale": "To <dfn>",
+                        "depth": -1,
+                        "html": n.inner_html().strip(),
+                    },
+                    ensure_ascii=False,
+                ),
+            )
+        if txt:
+            self.emit("prose", txt)
+        # dfns/links inside prose
+        for d in n.find_all("dfn"):
+            self._visit_dfn(d, informative, in_head)
+        for a in n.find_all("a"):
+            self._visit_link(a, in_head)
+
+    def _next_element_sibling(self, n: Node) -> Node | None:
+        if n.parent is None:
+            return None
+        seen = False
+        for c in n.parent.element_children():
+            if seen:
+                return c
+            if c is n:
+                seen = True
+        return None
+
+    def _visit_emu_clause(self, n: Node, informative: bool, in_head: bool, in_idl_index: bool):
+        """EcmaScript-style emu-clause[id] > h1 headings
+        (extract-headings.mjs:10-21)."""
+        h1 = None
+        for c in n.element_children():
+            if c.tag == "h1":
+                h1 = c
+                break
+        if n.id and h1 is not None:
+            number, title = self._heading_parts(h1)
+            level = len(number.split(".")) if number else 1
+            self.heading_id = n.id
+            self.emit(
+                "heading",
+                json.dumps(
+                    {"id": n.id, "level": level, "number": number, "title": title},
+                    ensure_ascii=False,
+                ),
+            )
+        self._walk(n, informative, in_head, in_idl_index)
+
+
+def spans_from_html(
+    html: str, base_url: str, pages: list[tuple[str, str]] | None = None
+) -> list[dict]:
+    """Parse one (possibly multi-page) document into its span sequence."""
+    w = _Walker(base_url)
+    w.walk_document(parse_html(html))
+    for url, page_html in pages or []:
+        w.merge_subpage(url, parse_html(page_html))
+    events = w.events
+    if w.saw_idl_index:
+        # Bikeshed IDL index wins over in-prose IDL blocks
+        # (extract-webidl.mjs:13-35)
+        events = [e for e in events if e[0] != "idl-block"]
+        events.extend(w.idl_index_events)
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(events)
+    ]
+
+
+class SpanParser:
+    """Actor-pool stage: Arrow batch of fetched HTML → documents rows.
+
+    Input columns : doc_id, url, html, page_urls:list<string>,
+                    page_htmls:list<string>
+    Output columns: doc_id, spans (input_hint schema) + url passthrough.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        pus = (
+            batch.column("page_urls").to_pylist()
+            if "page_urls" in batch.column_names
+            else [[] for _ in doc_ids]
+        )
+        phs = (
+            batch.column("page_htmls").to_pylist()
+            if "page_htmls" in batch.column_names
+            else [[] for _ in doc_ids]
+        )
+        spans_col = []
+        errors = []
+        for url, html, purls, phtmls in zip(urls, htmls, pus, phs):
+            pages = list(zip(purls or [], phtmls or []))
+            try:
+                spans_col.append(spans_from_html(html or "", url, pages))
+                errors.append(None)
+            except Exception as e:  # per-doc error capture; crawl continues
+                # (reference records spec.error and moves on,
+                #  specs-crawler.js:166-171)
+                spans_col.append([])
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT)),
+                "url": pa.array(urls, pa.string()),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
