@@ -69,7 +69,9 @@ class SeenSet:
         ]
 
     def shard_of(self, urls: list[str]) -> list[int]:
-        return [int(h % self.num_shards) for h in fnv1a64_batch(urls)]
+        from ..urlnorm import mix64
+
+        return [int(mix64(int(h)) % self.num_shards) for h in fnv1a64_batch(urls)]
 
     def filter_new(self, urls: list[str]) -> list[bool]:
         """One RPC per shard touched by this batch, results re-zipped."""

@@ -93,7 +93,7 @@ class SpanAssembler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
-        out_spans, out_err, out_cache = [], [], []
+        out_spans, out_err, out_cache, out_links = [], [], [], []
         for r in rows:
             spans, err, cache = [], None, None
             if r["status"] == 200:
@@ -118,6 +118,16 @@ class SpanAssembler:
             out_spans.append(spans)
             out_err.append(err)
             out_cache.append(cache)
+            # canonicalized outbound links as a doc-level column, so
+            # frontier expansion never re-decodes the spans payload
+            links, seen_local = [], set()
+            for s in spans:
+                if s["kind"] == "link":
+                    href = canonicalize_url(json.loads(s["text"])["href"])
+                    if href not in seen_local:
+                        seen_local.add(href)
+                        links.append(href)
+            out_links.append(links)
         return pa.table(
             {
                 "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
@@ -128,8 +138,56 @@ class SpanAssembler:
                 "status": pa.array([r["status"] for r in rows], pa.int32()),
                 "error": pa.array(out_err, pa.string()),
                 "crawl_cache": pa.array(out_cache, pa.string()),
+                "out_links": pa.array(out_links, pa.list_(pa.string())),
             }
         )
+
+
+class FetchParse:
+    """Fused fetch+parse stage (one stage instead of two): the sandbox
+    fetch is synthetic/local so fetch+parse are both CPU-bound in the
+    same process. A real-web deployment splits them back into the two
+    pools (IO-heavy Fetcher, CPU-heavy SpanAssembler) — both classes
+    are retained and this fusion just chains them."""
+
+    def __init__(self, mode="fixture", cache_info_ref=None, synth_links=8,
+                 fallback_ref=None, gates=None):
+        self.fetch = Fetcher(mode, cache_info_ref, synth_links)
+        self.parse = SpanAssembler(fallback_ref)
+        # open-budget politeness accounting piggybacks here (one
+        # fire-and-forget RPC per (batch, origin)) instead of costing
+        # its own pipeline pass
+        self.gates = gates
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.gates is not None and "origin" in batch.column_names:
+            counts: dict[str, int] = {}
+            for o in batch.column("origin").to_pylist():
+                counts[o] = counts.get(o, 0) + 1
+            for o, n in counts.items():
+                self.gates.gate_for(o).admit.remote(o, n, float("inf"))
+        return self.parse(self.fetch(batch))
+
+
+# Per-worker-process stage cache. The crawl loop runs one Dataset
+# execution per round; an actor pool would be torn down and cold-started
+# (new OS processes, fresh imports) every round, which dominated round
+# wall time. Stateless *task* workers ARE reused across executions, so
+# the stage state (parser, per-crawl fetch memo, politeness handles)
+# lives in a worker-global keyed by crawl id — same once-per-worker
+# semantics as an actor pool, without the per-round pool rebuild.
+_FETCH_PARSE_CACHE: dict[str, "FetchParse"] = {}
+
+
+def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
+                      cache_info_ref, synth_links: int, fallback_ref,
+                      gates) -> pa.Table:
+    fp = _FETCH_PARSE_CACHE.get(crawl_id)
+    if fp is None:
+        fp = FetchParse(mode, cache_info_ref, synth_links, fallback_ref, gates)
+        _FETCH_PARSE_CACHE.clear()  # drop stale crawls' state
+        _FETCH_PARSE_CACHE[crawl_id] = fp
+    return fp(batch)
 
 
 def _seed_frontier(seeds: pa.Table) -> pa.Table:
@@ -199,29 +257,36 @@ def _make_admit_fn(gates: PolitenessGates, round_ms: float):
     return admit
 
 
-def _expand_links(parsed: rd.Dataset, cfg: CrawlConfig) -> rd.Dataset:
-    """Discovered-link frontier expansion (synth mode, depth+1)."""
+def _expand_links(round_dir: str, cfg: CrawlConfig) -> rd.Dataset:
+    """Discovered-link frontier expansion (synth mode, depth+1).
+
+    Reads ONLY the doc-level columns (out_links, seed_rank, depth) from
+    the round's parquet — the heavy spans column never leaves storage
+    (column pruning at the read; SURVEY.md 'prune at the read')."""
+    parsed = rd.read_parquet(
+        round_dir, columns=["out_links", "seed_rank", "depth"]
+    ).repartition(max(4, cfg.fetch_concurrency))
 
     def fn(batch: pa.Table) -> pa.Table:
         out = {k: [] for k in (
             "doc_id", "url", "canon_url", "origin", "host",
             "seed_rank", "depth", "pages", "state",
         )}
-        for row in batch.to_pylist():
-            if row["depth"] >= cfg.max_depth:
+        for links, rank, depth in zip(
+            batch.column("out_links").to_pylist(),
+            batch.column("seed_rank").to_pylist(),
+            batch.column("depth").to_pylist(),
+        ):
+            if depth >= cfg.max_depth:
                 continue
-            for s in row["spans"] or []:
-                if s["kind"] != "link":
-                    continue
-                href = json.loads(s["text"])["href"]
-                canon = canonicalize_url(href)
+            for canon in links or []:
                 out["doc_id"].append(canon.rstrip("/").rsplit("/", 1)[-1] or canon)
                 out["url"].append(canon)
                 out["canon_url"].append(canon)
                 out["origin"].append(coarse_origin(canon))
                 out["host"].append(host_of(canon))
-                out["seed_rank"].append(row["seed_rank"])
-                out["depth"].append(row["depth"] + 1)
+                out["seed_rank"].append(rank)
+                out["depth"].append(depth + 1)
                 out["pages"].append([])
                 out["state"].append("pending")
         return pa.table(
@@ -275,6 +340,9 @@ def crawl(
             frontier_tbl = pq.read_table(fp) if os.path.exists(fp) else None
         # version mismatch → full restart (specs-crawler.js:90 gate)
 
+    import uuid
+
+    crawl_id = uuid.uuid4().hex
     fallback_ref = ray.put(fallback_spans or {})
     cache_ref = ray.put(cache_info or {})
 
@@ -286,16 +354,33 @@ def crawl(
         frontier = rd.from_arrow(frontier_tbl) if frontier_tbl is not None else None
 
     counters_rows: list[dict] = []
+    phase_times: list[dict] = []
     rounds_done = start_round
     for r in range(start_round, cfg.max_rounds):
+        import time as _time
+
         if frontier is None:
             break
+        _t0 = _time.perf_counter()
         frontier = frontier.materialize()  # small control table per round
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
+        # Ray Data parallelism = block count; a single-block frontier
+        # would serialize the whole round on one fetch actor. Split to
+        # ~batch_size rows per block, capped at 4 blocks per actor.
+        n_blocks = max(1, min(
+            (n_frontier + cfg.batch_size - 1) // cfg.batch_size,
+            cfg.fetch_concurrency * 4,
+        ))
+        frontier = frontier.repartition(n_blocks)  # lazy; fused into the round
+        _t1 = _time.perf_counter()
 
-        if cfg.politeness:
+        import math as _math
+
+        if cfg.politeness and not _math.isinf(cfg.round_ms):
+            # constrained budget: per-origin priority admission needs all
+            # of an origin's URLs together → the politeness shuffle
             gates.begin_round()
             admit = _make_admit_fn(gates, cfg.round_ms)
             gated = frontier.groupby("origin").map_groups(
@@ -303,44 +388,49 @@ def crawl(
             ).materialize()
             admitted = gated.filter(lambda row: row["state"] == "admitted")
             deferred = gated.filter(lambda row: row["state"] == "deferred")
+        elif cfg.politeness:
+            # open budget (useCrawl analog): everything admits, so skip
+            # the shuffle — accounting piggybacks on the fetch stage
+            gates.begin_round()
+            admitted, deferred = frontier, None
         else:
             admitted, deferred = frontier, None
 
-        fetched = admitted.map_batches(
-            Fetcher,
-            fn_constructor_kwargs={
-                "mode": cfg.mode,
-                "cache_info_ref": cache_ref,
-                "synth_links": cfg.synth_links,
-            },
+        open_budget = not cfg.politeness or _math.isinf(cfg.round_ms)
+        import functools
+
+        parsed = admitted.map_batches(
+            functools.partial(
+                _fetch_parse_task,
+                crawl_id=crawl_id,
+                mode=cfg.mode,
+                cache_info_ref=cache_ref,
+                synth_links=cfg.synth_links,
+                fallback_ref=fallback_ref,
+                gates=gates if (cfg.politeness and open_budget) else None,
+            ),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            # autoscaling pool: starts at 1 actor so fetch+parse pools
-            # never deadlock on a small CPU budget, grows to the cap
-            concurrency=(1, cfg.fetch_concurrency),
-            num_cpus=0.5,
-        )
-        parsed = fetched.map_batches(
-            SpanAssembler,
-            fn_constructor_kwargs={"fallback_ref": fallback_ref},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=(1, cfg.parse_concurrency),
-            num_cpus=0.5,
         )
         round_dir = os.path.join(docs_dir, f"round={r}")
-        parsed.write_parquet(round_dir)
+        # zstd: span text compresses ~4×; trades scalable worker CPU for
+        # the non-scaling disk-write floor
+        parsed.write_parquet(round_dir, compression="zstd")
         parsed_ds = rd.read_parquet(round_dir)
+        _t2 = _time.perf_counter()
 
-        n_fetched = parsed_ds.count()
-        n_errors = parsed_ds.filter(lambda row: row["error"] is not None).count()
+        n_fetched = parsed_ds.count()  # parquet footer metadata, no scan
+        # error tally: scans only the (tiny, mostly-null) error column
+        err_tbl = pq.read_table(round_dir, columns=["error"])
+        n_errors = len(err_tbl) - err_tbl.column("error").null_count
+        _t3 = _time.perf_counter()
 
         # next frontier: politeness-deferred rows + newly discovered links
         pieces = []
         if deferred is not None and deferred.count() > 0:
             pieces.append(deferred)
         if cfg.expand_links and cfg.max_depth > 0:
-            cand = _expand_links(parsed_ds, cfg)
+            cand = _expand_links(round_dir, cfg)
             # materialize: the seen-filter mutates shard state, so the
             # gated pipeline must execute exactly once — a lazy re-run
             # would find every URL already 'seen' and drop the frontier
@@ -351,6 +441,16 @@ def crawl(
             pieces[0] if pieces else None
         )
 
+        _t4 = _time.perf_counter()
+        phase_times.append(
+            {
+                "round": r,
+                "frontier": round(_t1 - _t0, 2),
+                "fetch_parse_write": round(_t2 - _t1, 2),
+                "counters": round(_t3 - _t2, 2),
+                "expand_gate": round(_t4 - _t3, 2),
+            }
+        )
         gate_stats = gates.stats()
         seen_stats = seen.stats()
         counters_rows.append(
@@ -372,16 +472,12 @@ def crawl(
             with open(os.path.join(snap_dir, f"shard-{i}.bin"), "wb") as f:
                 f.write(blob)
         os.makedirs(os.path.join(ckpt, "frontier"), exist_ok=True)
-        if frontier is not None:
-            next_tbl = pa.concat_tables(
-                [pa.Table.from_pylist(frontier.take_all())]
-                # frontier is bounded per round by politeness budget; at
-                # 10^10 scale swap take_all for frontier.write_parquet
-            ) if frontier.count() else None
-            if next_tbl is not None:
-                pq.write_table(
-                    next_tbl, os.path.join(ckpt, "frontier", f"round={r + 1}.parquet")
-                )
+        if frontier is not None and frontier.count() > 0:
+            # parallel write straight from the materialized blocks —
+            # the frontier never passes through the driver
+            frontier.write_parquet(
+                os.path.join(ckpt, "frontier", f"round={r + 1}.parquet")
+            )
         counters_tbl = pa.Table.from_pylist(counters_rows)
         pq.write_table(counters_tbl, os.path.join(ckpt, "counters.parquet"))
         with open(manifest_path, "w") as f:
@@ -396,6 +492,7 @@ def crawl(
         "rounds": rounds_done,
         "seen": seen.stats(),
         "gates": gates.stats(),
+        "phase_times": phase_times,
     }
     # release state actors — their snapshots are on disk; a later resume
     # builds fresh actors and restores from the checkpoint

@@ -190,10 +190,33 @@ def synth_url(i: int) -> str:
     return f"{_host_for(i)}/spec-{i:08d}/"
 
 
-def synth_html(url: str, n_links: int = 8) -> str:
+_WORDS = (
+    "interface specification attribute algorithm value property element "
+    "document rendering normative conformance implementation behavior user "
+    "agent resource request response stream token parser context state"
+).split()
+
+
+def _synth_prose(h: int, n_paras: int) -> str:
+    """Deterministic filler prose ≈ real spec body text volume."""
+    out = []
+    x = h or 1
+    for p in range(n_paras):
+        words = []
+        for w in range(60):
+            x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            words.append(_WORDS[(x >> 33) % len(_WORDS)])
+        out.append(f"<p>Paragraph {p}: {' '.join(words)}.</p>")
+    return "\n".join(out)
+
+
+def synth_html(url: str, n_links: int = 8, n_paras: int = 30) -> str:
     """Deterministic spec HTML derived from the URL hash alone; every
     template kind exercises a different extractor path and emits
-    `n_links` outbound links for frontier expansion."""
+    `n_links` outbound links for frontier expansion. ``n_paras``
+    paragraphs of filler prose (~60 words each) put the document in
+    the tens-of-kilobytes range of real specs, so parse cost per URL
+    is realistic and the crawl is compute-dominated at scale."""
     h = fnv1a64(url)
     kind = h % _TEMPLATE_KINDS
     name = f"spec{h % 100000:05d}"
@@ -201,7 +224,21 @@ def synth_html(url: str, n_links: int = 8) -> str:
         f"<li><a href='{synth_url((h + 7 * j) % (1 << 31))}#sec{j}'>ref {j}</a></li>"
         for j in range(n_links)
     )
-    common = f"<title>Spec {name}</title>\n<h2 id='intro'>1. Introduction</h2>\n"
+    dfns = "".join(
+        f"<p>The term <dfn id='{name}-t{d}' data-dfn-type='dfn'>term {d} of {name}</dfn> is defined here.</p>"
+        for d in range(8)
+    )
+    headings = "".join(
+        f"<h3 id='{name}-s{s}'><span class='secno'>1.{s}.</span> Subsection {s}</h3>"
+        + _synth_prose(h + s, max(1, n_paras // 6))
+        for s in range(6)
+    )
+    common = (
+        f"<title>Spec {name}</title>\n<h2 id='intro'>1. Introduction</h2>\n"
+        + _synth_prose(h, n_paras // 3)
+        + headings
+        + dfns
+    )
     if kind == 0:
         body = (
             f"<dfn id='{name}-dfn' data-dfn-type='dfn'>{name} term</dfn>"

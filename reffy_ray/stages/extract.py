@@ -27,8 +27,11 @@ from .. import schemas
 # ---------------------------------------------------------------------------
 
 
-def _iter_docs(batch: pa.Table) -> Iterator[tuple[str, str, list[dict]]]:
-    """Yield (doc_id, base_url, spans) per row; spans sorted by offset."""
+def decode_docs(batch: pa.Table) -> list[tuple[str, str, list[dict]]]:
+    """Decode a documents batch once: [(doc_id, base_url, spans)] with
+    spans sorted by offset. The spans→Python conversion dominates
+    extractor cost, so multi-module passes decode once via
+    ``extract_all`` instead of once per module."""
     doc_ids = batch.column("doc_id").to_pylist()
     urls = (
         batch.column("url").to_pylist()
@@ -36,9 +39,19 @@ def _iter_docs(batch: pa.Table) -> Iterator[tuple[str, str, list[dict]]]:
         else ["" for _ in doc_ids]
     )
     spans_col = batch.column("spans").to_pylist()
-    for doc_id, url, spans in zip(doc_ids, urls, spans_col):
-        spans = sorted(spans or [], key=lambda s: s["offset"])
-        yield doc_id, url or "", spans
+    return [
+        (doc_id, url or "", sorted(spans or [], key=lambda s: s["offset"]))
+        for doc_id, url, spans in zip(doc_ids, urls, spans_col)
+    ]
+
+
+def _iter_docs(batch) -> Iterator[tuple[str, str, list[dict]]]:
+    """Yield (doc_id, base_url, spans) per row; accepts an Arrow batch
+    or an already-decoded list from ``decode_docs``."""
+    if isinstance(batch, list):
+        yield from batch
+        return
+    yield from decode_docs(batch)
 
 
 class _PageTracker:
@@ -648,6 +661,15 @@ def extract_cddl(batch: pa.Table) -> pa.Table:
             for m, blocks in modules.items():
                 rows.append({"doc_id": doc_id, "module": m, "cddl": "\n\n".join(blocks)})
     return _table(schemas.EXTRACTS_CDDL, rows)
+
+
+def extract_all(batch: pa.Table, modules: dict | None = None) -> dict[str, pa.Table]:
+    """Run every (or the given) extractor over one batch with a single
+    spans decode — the multi-module path the crawl/bench pipelines use
+    (13 separate decodes cost ~3× the extraction logic itself)."""
+    docs = decode_docs(batch)
+    mods = modules or EXTRACTORS
+    return {name: fn(docs) for name, fn in mods.items()}
 
 
 EXTRACTORS = {

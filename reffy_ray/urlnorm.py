@@ -120,11 +120,23 @@ def fnv1a64_batch(arr) -> np.ndarray:
     return out
 
 
+def mix64(h: int) -> int:
+    """xor-fold + multiply avalanche. FNV-1a's low bits correlate for
+    short strings sharing a suffix (every canon URL ends '/'), which
+    once skewed 99% of a crawl's URLs onto one seen shard — always mix
+    before taking a modulus."""
+    h &= 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    return h
+
+
 def host_shard(url: str, num_shards: int, salt: int = 0) -> int:
     """Politeness shard: hash of coarse origin (+ optional hot-host salt)."""
-    return (fnv1a64(coarse_origin(url)) + salt) % num_shards
+    return (mix64(fnv1a64(coarse_origin(url))) + salt) % num_shards
 
 
 def url_shard(canon_url: str, num_shards: int) -> int:
     """Seen-set shard: hash of the canonical URL."""
-    return fnv1a64(canon_url) % num_shards
+    return mix64(fnv1a64(canon_url)) % num_shards

@@ -1,0 +1,105 @@
+"""Driver-contract rehearsal: run every queries() entry and compare
+against its oracle_sql() via DuckDB exactly like the driver does
+(row count + schema-insensitive sorted-value comparison)."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import os
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _oracle_df(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as mod
+
+    return mod
+
+
+def test_entry_smoke(contract):
+    res = _to_pandas(contract.entry())
+    assert len(res) >= 0
+    assert list(res.columns)
+
+
+ORACLE_KEYS = [
+    "headings_from_text", "dfns_from_text", "idl_from_text", "links_from_text",
+    "titles_from_text", "token_count", "bpeish_tokens", "quality_score",
+    "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
+    "events_window",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(contract, name):
+    q = contract.queries()[name]
+    sql = contract.oracle_sql()[name]
+    ours = _normalize(_to_pandas(q(SF_DIR)))
+    oracle = _normalize(_oracle_df(sql))
+    assert len(ours) == len(oracle), f"{name}: rows {len(ours)} vs {len(oracle)}"
+    assert list(ours.columns) == list(oracle.columns), (
+        f"{name}: columns {list(ours.columns)} vs {list(oracle.columns)}"
+    )
+    for col in ours.columns:
+        a, b = ours[col], oracle[col]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                a.astype(float), b.astype(float), check_names=False, rtol=1e-9, atol=1e-9
+            )
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), f"{name}.{col}"
+
+
+ROWS_ONLY_KEYS = [
+    "lang_id", "fingerprint", "simhash", "minhash_pairs",
+    "embedding_near_dups", "crawl_fixture", "media_features",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_queries_run(contract, name):
+    res = _to_pandas(contract.queries()[name](SF_DIR))
+    assert res is not None
+    if name in ("crawl_fixture",):
+        assert len(res) == 5
+    if name == "media_features":
+        assert len(res) == 256
+        assert set(res["decode_status"]) == {"fake"}
+    if name in ("lang_id", "fingerprint", "simhash"):
+        assert len(res) == ({"/root/testdata/sf0.001": 500}.get(SF_DIR, len(res)))
