@@ -153,6 +153,115 @@ def q_ann_topk(sf_dir: str):
     return out.select(["query_id", "vec_id"])
 
 
+def q_idlparsed(sf_dir: str):
+    """extract_idl → WebIDL parser actor stage (ST2) → defined names."""
+    import json
+
+    from reffy_ray.functions.webidl import IdlParser
+    from reffy_ray.stages.extract import extract_idl
+
+    idl = _span_docs(sf_dir).map_batches(extract_idl, batch_format="pyarrow")
+    parsed = idl.map_batches(IdlParser, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def names(batch: pa.Table) -> pa.Table:
+        out_doc, out_name = [], []
+        for doc_id, rep in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("idlparsed").to_pylist(),
+        ):
+            for n in json.loads(rep or "{}").get("idlNames", {}):
+                out_doc.append(doc_id)
+                out_name.append(n)
+        return pa.table(
+            {"doc_id": pa.array(out_doc, pa.string()),
+             "idl_name": pa.array(out_name, pa.string())}
+        )
+
+    return parsed.map_batches(names, batch_format="pyarrow")
+
+
+def q_idlnames(sf_dir: str):
+    """idlnames index (A3 groupby, first-in-crawl-order wins)."""
+    import json
+
+    from reffy_ray.functions.webidl import IdlParser
+    from reffy_ray.post.idlnames import idlnames
+    from reffy_ray.stages.extract import extract_idl
+
+    idl = _span_docs(sf_dir).map_batches(extract_idl, batch_format="pyarrow")
+    parsed = idl.map_batches(IdlParser, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        ranks = [int(d) for d in batch.column("doc_id").to_pylist()]
+        return batch.append_column("seed_rank", pa.array(ranks, pa.int64()))
+
+    out = idlnames(parsed.map_batches(add_rank, batch_format="pyarrow"))
+    return out.select(["name", "defined_in"])
+
+
+def q_backrefs(sf_dir: str):
+    """backrefs wide join (J3): links × dfns over the derived corpus."""
+    from reffy_ray.post.backrefs import backrefs
+    from reffy_ray.stages.extract import extract_dfns, extract_links
+
+    docs = _span_docs(sf_dir).materialize()
+    links = docs.map_batches(extract_links, batch_format="pyarrow")
+    dfns = docs.map_batches(extract_dfns, batch_format="pyarrow").select_columns(
+        ["doc_id", "id", "href", "type", "access"]
+    )
+    out = backrefs(links, dfns)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_refs = pc.list_value_length(batch.column("referenced_by"))
+        return pa.table(
+            {
+                "defining_doc": batch.column("defining_doc"),
+                "href": batch.column("href"),
+                "n_refs": pc.cast(n_refs, pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_annotate_links(sf_dir: str):
+    """annotate-links broadcast join (J2) over the fixture corpus
+    (rows-only: depends on the fixture spec list, not the sf tables)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reffy_ray.post.annotate_links import annotate_links
+    from reffy_ray.sources.corpus import fixture_html, fixture_seeds
+    from reffy_ray.stages.extract import extract_links
+    from reffy_ray.stages.parse import spans_from_html
+    from reffy_ray.schemas import SPAN_STRUCT
+
+    seeds = fixture_seeds()
+    rows = []
+    for s in seeds.to_pylist():
+        html = fixture_html(s["nightly_url"]) or ""
+        rows.append(
+            {
+                "doc_id": s["shortname"],
+                "spans": spans_from_html(html, s["nightly_url"]),
+                "url": s["nightly_url"],
+            }
+        )
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows]),
+                "spans": pa.array([r["spans"] for r in rows], pa.list_(SPAN_STRUCT)),
+                "url": pa.array([r["url"] for r in rows]),
+            }
+        )
+    )
+    links = docs.map_batches(extract_links, batch_format="pyarrow")
+    return annotate_links(links, seeds).to_pandas()
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-style grouped aggregate (generic relational capability)."""
     from ray.data.aggregate import Count, Sum
@@ -304,6 +413,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
+        "idlparsed": q_idlparsed,
+        "idlnames": q_idlnames,
+        "backrefs": q_backrefs,
+        "annotate_links": q_annotate_links,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "events_window": q_events_window,
@@ -346,6 +459,35 @@ def oracle_sql() -> dict[str, str]:
                      || '/' AS page_url,
                    FALSE AS auto
             FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://corpus.example.org/doc-'
+                     || CAST(doc_id - doc_id % 10 AS VARCHAR) || '/' AS page_url,
+                   FALSE AS auto
+            FROM documents WHERE doc_id % 5 = 4
+        """,
+        "idlparsed": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'I' || CAST(doc_id AS VARCHAR) AS idl_name
+            FROM documents WHERE doc_id % 11 = 0
+        """,
+        "idlnames": """
+            SELECT 'I' || CAST(doc_id AS VARCHAR) AS name,
+                   CAST(doc_id AS VARCHAR) AS defined_in
+            FROM documents WHERE doc_id % 11 = 0
+        """,
+        "backrefs": """
+            SELECT CAST(t AS VARCHAR) AS defining_doc,
+                   'https://corpus.example.org/doc-' || CAST(t AS VARCHAR)
+                     || '/#term-' || CAST(t AS VARCHAR) AS href,
+                   count(DISTINCT doc_id) AS n_refs
+            FROM (
+              SELECT doc_id, doc_id - doc_id % 10 AS t
+              FROM documents WHERE doc_id % 5 = 4
+            )
+            WHERE t % 3 = 0 AND doc_id <> t
+              AND t IN (SELECT doc_id FROM documents)
+            GROUP BY t
         """,
         "titles_from_text": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

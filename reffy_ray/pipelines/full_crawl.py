@@ -1,0 +1,215 @@
+"""The full pipeline: crawl → extract → post-process → write.
+
+Equivalent of `reffy [options]` (reference: src/lib/specs-crawler.js
+crawlSpecs → crawlList → saveSpecResults → post modules; lifecycle
+SURVEY.md §3.1). Also hosts the user-extension surface (§2.10):
+custom extractor modules and post-processors register like Reffy's
+`--module` / custom post-processors (reference: src/lib/util.js:104-180
+expandBrowserModules; src/lib/post-processor.js:17-48).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.scalars import camel_case_module_name
+from ..functions.webidl import IdlParser
+from ..post.annotate_links import annotate_links
+from ..post.backrefs import backrefs
+from ..post.csscomplete import complete_css
+from ..post.cssmerge import merge_css
+from ..post.events import consolidate_events
+from ..post.idlnames import idlnames
+from ..post.series import reduce_extracts_per_series
+from ..post.sinks import build_index, write_extracts
+from ..stages.extract import EXTRACTORS, extract_all
+from .crawl import CRAWLER_VERSION, CrawlConfig, crawl
+
+
+@dataclass
+class ExtractorModule:
+    """A browser-module analog (reffy.json registry entry:
+    src/browserlib/reffy.json:1-85). ``fn`` maps a documents batch (or
+    pre-decoded docs list) to the module's extract table."""
+
+    name: str
+    fn: Callable
+    extracts_per_series: bool = False  # reffy.json `extractsPerSeries`
+
+
+@dataclass
+class PostProcessor:
+    """Custom post-processor plugin (post-processor.js:17-48):
+    ``level`` ∈ {'doc', 'crawl'}; doc-level runs as a map stage over
+    one module's Dataset, crawl-level receives the dict of extract
+    Datasets and returns a table/Dataset."""
+
+    name: str
+    depends_on: list[str]
+    level: str
+    run: Callable
+
+
+def default_modules() -> list[ExtractorModule]:
+    return [
+        ExtractorModule(name, fn, extracts_per_series=name in ("idl", "css"))
+        for name, fn in EXTRACTORS.items()
+    ]
+
+
+def register_module(modules: list[ExtractorModule], path_or_name: str, fn,
+                    **flags) -> list[ExtractorModule]:
+    """`--module [folder:]path.mjs` analog (reffy.js:188-225): module
+    name derived by camel-casing the file name (util.js:106-121)."""
+    name = camel_case_module_name(path_or_name)
+    return modules + [ExtractorModule(name, fn, **flags)]
+
+
+@dataclass
+class FullCrawlResult:
+    out_dir: str
+    counts: dict = field(default_factory=dict)
+    index: dict = field(default_factory=dict)
+    crawl_stats: dict = field(default_factory=dict)
+
+
+def full_crawl(
+    seeds: pa.Table,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    modules: list[ExtractorModule] | None = None,
+    post_processors: list[PostProcessor] | None = None,
+    run_post: bool = True,
+) -> FullCrawlResult:
+    """Crawl the seeds, extract every module, run post-processing,
+    write everything under ``out_dir`` (documents/, extracts/<module>/,
+    post/<name>/, index.json)."""
+    cfg = cfg or CrawlConfig()
+    if cfg.checkpoint_dir is None:
+        cfg.checkpoint_dir = os.path.join(out_dir, "crawl")
+    modules = modules or default_modules()
+
+    res = crawl(seeds, cfg)
+    docs = rd.read_parquet(
+        res.documents_path, columns=["doc_id", "spans", "url"]
+    ).materialize()
+
+    extracts: dict[str, rd.Dataset] = {}
+    for m in modules:
+        extracts[m.name] = docs.map_batches(m.fn, batch_format="pyarrow")
+
+    counts = write_extracts(extracts, os.path.join(out_dir, "extracts"))
+
+    post_out: dict[str, object] = {}
+    if run_post:
+        post_dir = os.path.join(out_dir, "post")
+        os.makedirs(post_dir, exist_ok=True)
+
+        if "links" in extracts:
+            annotated = annotate_links(extracts["links"], seeds)
+            annotated.write_parquet(os.path.join(post_dir, "annotated_links"))
+            post_out["annotated_links"] = annotated
+
+        if "idl" in extracts:
+            parsed = extracts["idl"].map_batches(
+                IdlParser, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+            ).materialize()
+            parsed.write_parquet(os.path.join(post_dir, "idlparsed"))
+            post_out["idlparsed"] = parsed
+
+            rank_by_doc = dict(
+                zip(seeds.column("shortname").to_pylist(),
+                    seeds.column("seed_rank").to_pylist())
+            )
+
+            def add_rank(batch: pa.Table) -> pa.Table:
+                ranks = [rank_by_doc.get(d, 0)
+                         for d in batch.column("doc_id").to_pylist()]
+                return batch.append_column("seed_rank", pa.array(ranks, pa.int64()))
+
+            names_tbl = idlnames(parsed.map_batches(add_rank, batch_format="pyarrow"))
+            import pyarrow.parquet as pq
+
+            pq.write_table(names_tbl, os.path.join(post_dir, "idlnames.parquet"))
+            post_out["idlnames"] = names_tbl
+
+        if "links" in extracts and "dfns" in extracts:
+            br = backrefs(
+                extracts["links"],
+                extracts["dfns"].select_columns(
+                    ["doc_id", "id", "href", "type", "access"]
+                ),
+            )
+            br.write_parquet(os.path.join(post_dir, "backrefs"))
+            post_out["backrefs"] = br
+
+        if "css" in extracts:
+            completed = complete_css(extracts["css"])
+            merged = merge_css(completed, seeds)
+            import pyarrow.parquet as pq
+
+            pq.write_table(merged, os.path.join(post_dir, "css.parquet"))
+            post_out["css_merged"] = merged
+
+        if "events" in extracts:
+            consolidated = consolidate_events(
+                extracts["events"], post_out.get("idlparsed")
+            )
+            import pyarrow.parquet as pq
+
+            pq.write_table(consolidated, os.path.join(post_dir, "events.parquet"))
+            post_out["events_consolidated"] = consolidated
+
+        # extractsPerSeries reduction (A2) for idl/css
+        for m in modules:
+            if not m.extracts_per_series or m.name not in extracts:
+                continue
+            with_extract = set(
+                r["doc_id"]
+                for r in extracts[m.name].select_columns(["doc_id"]).take_all()
+            )
+            reduced = reduce_extracts_per_series(
+                extracts[m.name], seeds, with_extract
+            )
+            reduced.write_parquet(os.path.join(post_dir, f"{m.name}_per_series"))
+            post_out[f"{m.name}_per_series"] = reduced
+
+        for pp in post_processors or []:
+            out = pp.run(extracts, post_out)
+            post_out[pp.name] = out
+
+    index = build_index(rd.read_parquet(res.documents_path), CRAWLER_VERSION)
+    with open(os.path.join(out_dir, "index.json"), "w") as f:
+        json.dump(index, f, indent=2)
+
+    return FullCrawlResult(
+        out_dir=out_dir, counts=counts, index=index, crawl_stats=res.stats
+    )
+
+
+def markdown_report(result: FullCrawlResult, documents: rd.Dataset) -> str:
+    """Human-readable crawl summary (S9 analog,
+    src/lib/markdown-report.js): per-spec status + module counts."""
+    lines = ["# Crawl report", ""]
+    stats = result.index.get("stats", {})
+    lines.append(
+        f"Crawled {stats.get('crawled', 0)} documents, "
+        f"{stats.get('errors', 0)} errors."
+    )
+    lines.append("")
+    lines.append("## Extract counts")
+    for mod, n in sorted(result.counts.items()):
+        lines.append(f"- **{mod}**: {n} rows")
+    lines.append("")
+    lines.append("## Documents")
+    rows = documents.select_columns(["doc_id", "url", "error"]).take_all()
+    for r in sorted(rows, key=lambda x: x["doc_id"]):
+        status = f"error: {r['error']}" if r["error"] else "ok"
+        lines.append(f"- `{r['doc_id']}` <{r['url']}> — {status}")
+    return "\n".join(lines) + "\n"

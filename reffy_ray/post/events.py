@@ -1,0 +1,89 @@
+"""Crawl-level post-processing: events consolidation.
+
+Reference: src/postprocessing/events.js — mixin target expansion
+(J4, events.js:93-109), extension-event folding (extendEvent,
+events.js:202-225), "babbling" same-href merge (events.js:235-253),
+final multi-key sort (events.js:81-88).
+
+Ray mapping (A5, SURVEY.md §2.5): mixin map is small → broadcast;
+folding groups by event href/type via groupby; final ``sort``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def build_mixin_map(idlparsed_ds: rd.Dataset) -> dict[str, list[str]]:
+    """mixin name → list of including interfaces (events.js:15-37)."""
+    mixins: dict[str, list[str]] = {}
+    for batch in idlparsed_ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for report_json in batch.column("idlparsed").to_pylist():
+            if not report_json:
+                continue
+            report = json.loads(report_json)
+            for name, exts in (report.get("idlExtendedNames") or {}).items():
+                for ext in exts:
+                    if ext.get("type") == "includes":
+                        mixins.setdefault(ext["includes"], []).append(name)
+    return mixins
+
+
+def consolidate_events(
+    events: rd.Dataset, idlparsed_ds: rd.Dataset | None = None
+) -> pa.Table:
+    """→ consolidated, sorted events table."""
+    mixins = build_mixin_map(idlparsed_ds) if idlparsed_ds is not None else {}
+    mixins_ref = ray.put(mixins)
+
+    class ExpandMixins:
+        def __init__(self):
+            self.mixins = ray.get(mixins_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            def expand(targets):
+                if targets is None or (isinstance(targets, float) and pd.isna(targets)):
+                    return targets
+                out, has_mixin = [], False
+                for t in targets:
+                    if t in self.mixins:
+                        has_mixin = True
+                        out.extend(self.mixins[t])
+                    else:
+                        out.append(t)
+                return out if (out and has_mixin) else targets
+
+            batch = batch.copy()
+            batch["targets"] = batch["targets"].map(expand)
+            return batch
+
+    expanded = events.map_batches(ExpandMixins, batch_format="pandas", concurrency=2, num_cpus=0.5)
+
+    # fold extension events into originals sharing (type, href-or-interface)
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        originals = group[~group["is_extension"].fillna(False)]
+        extensions = group[group["is_extension"].fillna(False)]
+        if originals.empty:
+            return group  # nothing to fold into: keep extensions
+        base = originals.iloc[0].copy()
+        for _, ext in extensions.iterrows():
+            tgt = set(base["targets"] or []) | set(ext["targets"] or [])
+            base["targets"] = sorted(tgt) if tgt else None
+            for col in ("bubbles", "cancelable", "interface"):
+                if pd.isna(base[col]) and not pd.isna(ext[col]):
+                    base[col] = ext[col]
+        merged = pd.DataFrame([base])
+        rest = originals.iloc[1:]
+        return pd.concat([merged, rest], ignore_index=True)
+
+    folded = expanded.groupby(["type", "doc_id"]).map_groups(
+        fold, batch_format="pandas"
+    )
+
+    out = folded.sort(["type", "interface", "href"]).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)

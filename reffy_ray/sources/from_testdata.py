@@ -16,6 +16,9 @@ Derivation rules (keep in sync with the oracle SQL!):
   dfn      iff doc_id % 3 == 0: id 'term-<doc_id>', type 'dfn'
   link     iff doc_id % 7 == 0: href
              'https://specs.example.org/spec-<doc_id % 50>/#frag<doc_id % 11>'
+  xref     iff doc_id % 5 == 4: link to
+             'https://corpus.example.org/doc-<t>/#term-<t>' where
+             t = doc_id - doc_id % 10 (a backref when t % 3 == 0 ∧ t ≠ doc_id)
   idl      iff doc_id % 11 == 0: 'interface I<doc_id> { };'
   base url = 'https://corpus.example.org/doc-<doc_id>/'
 """
@@ -49,6 +52,11 @@ def doc_html(doc_id: int, text: str) -> str:
     if doc_id % 7 == 0:
         parts.append(
             f"<a href='https://specs.example.org/spec-{doc_id % 50}/#frag{doc_id % 11}'>x</a>"
+        )
+    if doc_id % 5 == 4:
+        t = doc_id - doc_id % 10
+        parts.append(
+            f"<a href='https://corpus.example.org/doc-{t}/#term-{t}'>xref</a>"
         )
     if doc_id % 11 == 0:
         parts.append(f"<pre class='idl'>interface I{doc_id} {{ }};</pre>")

@@ -1,0 +1,85 @@
+"""End-to-end full pipeline test (crawl → extract → post → write),
+the `reffy [options]` lifecycle analog (SURVEY.md §3.1)."""
+
+import json
+import os
+
+import pytest
+
+from reffy_ray.pipelines.crawl import CrawlConfig
+from reffy_ray.pipelines.full_crawl import (
+    ExtractorModule,
+    default_modules,
+    full_crawl,
+    markdown_report,
+    register_module,
+)
+from reffy_ray.sources.corpus import fixture_seeds
+
+
+@pytest.fixture(scope="module")
+def result(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("full_crawl"))
+    cfg = CrawlConfig(mode="fixture", num_seen_shards=4, num_gates=2)
+    return full_crawl(fixture_seeds(), out, cfg), out
+
+
+def test_extract_dirs_written(result):
+    res, out = result
+    assert os.path.isdir(os.path.join(out, "extracts", "idl"))
+    assert os.path.isdir(os.path.join(out, "extracts", "dfns"))
+    # empty modules skipped (S6, specs-crawler.js:313-317)
+    assert res.counts["cddl"] == 0
+    assert not os.path.isdir(os.path.join(out, "extracts", "cddl"))
+
+
+def test_index_json(result):
+    res, out = result
+    with open(os.path.join(out, "index.json")) as f:
+        idx = json.load(f)
+    assert idx["stats"]["crawled"] == 5
+    assert idx["stats"]["errors"] == 0
+    assert idx["crawler"].startswith("reffy-ray-")
+
+
+def test_post_outputs(result):
+    res, out = result
+    post = os.path.join(out, "post")
+    assert os.path.isdir(os.path.join(post, "annotated_links"))
+    assert os.path.isdir(os.path.join(post, "idlparsed"))
+    assert os.path.exists(os.path.join(post, "idlnames.parquet"))
+    assert os.path.exists(os.path.join(post, "css.parquet"))
+    assert os.path.exists(os.path.join(post, "events.parquet"))
+    import pyarrow.parquet as pq
+
+    names = pq.read_table(os.path.join(post, "idlnames.parquet")).to_pylist()
+    by_name = {r["name"]: r for r in names}
+    assert by_name["Foo"]["defined_in"] == "audio-output"
+    assert by_name["Example"]["defined_in"] == "example-events"
+
+
+def test_series_reduction_output(result):
+    res, out = result
+    assert os.path.isdir(os.path.join(out, "post", "idl_per_series"))
+
+
+def test_markdown_report(result, ray_session):
+    import ray.data as rd
+
+    res, out = result
+    docs = rd.read_parquet(os.path.join(out, "crawl", "documents"))
+    md = markdown_report(res, docs)
+    assert "# Crawl report" in md
+    assert "Crawled 5 documents, 0 errors." in md
+    assert "`WOFF2`" in md
+
+
+def test_custom_module_registration():
+    import pyarrow as pa
+
+    def my_extractor(batch):
+        return pa.table({"doc_id": pa.array([], pa.string())})
+
+    mods = register_module(default_modules(), "extract-my-thing.mjs", my_extractor)
+    assert mods[-1].name == "extractMyThing"  # util.js:106-121 camelCase
+    assert mods[-1].fn is my_extractor

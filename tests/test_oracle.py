@@ -62,7 +62,7 @@ ORACLE_KEYS = [
     "headings_from_text", "dfns_from_text", "idl_from_text", "links_from_text",
     "titles_from_text", "token_count", "bpeish_tokens", "quality_score",
     "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
-    "events_window",
+    "events_window", "idlparsed", "idlnames", "backrefs",
 ]
 
 
@@ -88,7 +88,7 @@ def test_query_matches_oracle(contract, name):
 
 ROWS_ONLY_KEYS = [
     "lang_id", "fingerprint", "simhash", "minhash_pairs",
-    "embedding_near_dups", "crawl_fixture", "media_features",
+    "embedding_near_dups", "crawl_fixture", "media_features", "annotate_links",
 ]
 
 
