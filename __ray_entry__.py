@@ -262,6 +262,13 @@ def q_annotate_links(sf_dir: str):
     return annotate_links(links, seeds).to_pandas()
 
 
+def q_media_manifest(sf_dir: str):
+    """Interleaved media spans → manifest (multimodal column plumbing)."""
+    from reffy_ray.ops.multimodal import media_manifest
+
+    return _span_docs(sf_dir).map_batches(media_manifest, batch_format="pyarrow")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-style grouped aggregate (generic relational capability)."""
     from ray.data.aggregate import Count, Sum
@@ -417,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idlnames": q_idlnames,
         "backrefs": q_backrefs,
         "annotate_links": q_annotate_links,
+        "media_manifest": q_media_manifest,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "events_window": q_events_window,
@@ -534,6 +542,14 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id < 4
             ) WHERE rn <= 10
+        """,
+        "media_manifest": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://img.example.org/doc-' || CAST(doc_id AS VARCHAR)
+                     || '.png' AS media_ref,
+                   'figure' AS kind,
+                   'Figure ' || CAST(doc_id AS VARCHAR) AS caption
+            FROM documents WHERE doc_id % 13 = 0
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

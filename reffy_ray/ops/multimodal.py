@@ -60,6 +60,32 @@ def synth_media_batch(n: int, seed: int = 0) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def media_manifest(batch) -> pa.Table:
+    """Interleaved media spans → media manifest rows: one row per
+    figure/image span of a documents batch (doc_id, media_ref, kind,
+    caption). The media payload itself is never fetched — mirrors the
+    reference's image-request abort (src/lib/util.js:333); the
+    manifest is the hand-off point to a real media-fetch stage."""
+    from ..stages.extract import _iter_docs
+
+    rows = {"doc_id": [], "media_ref": [], "kind": [], "caption": []}
+    for doc_id, _url, spans in _iter_docs(batch):
+        for s in spans:
+            if s["kind"] in ("figure", "image") and s.get("media_ref"):
+                rows["doc_id"].append(doc_id)
+                rows["media_ref"].append(s["media_ref"])
+                rows["kind"].append(s["kind"])
+                rows["caption"].append(s["text"])
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.string()),
+            "media_ref": pa.array(rows["media_ref"], pa.string()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "caption": pa.array(rows["caption"], pa.string()),
+        }
+    )
+
+
 class MediaDecoder:
     """Actor-pool stage: decode + feature-extract media payloads.
 

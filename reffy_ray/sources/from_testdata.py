@@ -20,6 +20,9 @@ Derivation rules (keep in sync with the oracle SQL!):
              'https://corpus.example.org/doc-<t>/#term-<t>' where
              t = doc_id - doc_id % 10 (a backref when t % 3 == 0 ∧ t ≠ doc_id)
   idl      iff doc_id % 11 == 0: 'interface I<doc_id> { };'
+  figure   iff doc_id % 13 == 0: media_ref
+             'https://img.example.org/doc-<doc_id>.png',
+             caption 'Figure <doc_id>'
   base url = 'https://corpus.example.org/doc-<doc_id>/'
 """
 
@@ -60,6 +63,11 @@ def doc_html(doc_id: int, text: str) -> str:
         )
     if doc_id % 11 == 0:
         parts.append(f"<pre class='idl'>interface I{doc_id} {{ }};</pre>")
+    if doc_id % 13 == 0:
+        parts.append(
+            f"<figure><img src='https://img.example.org/doc-{doc_id}.png'>"
+            f"<figcaption>Figure {doc_id}</figcaption></figure>"
+        )
     return "".join(parts)
 
 

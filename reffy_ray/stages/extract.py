@@ -474,6 +474,31 @@ def extract_events(batch: pa.Table) -> pa.Table:
                     handlers = _RE_ONHANDLER.findall(s["text"])
                     if handlers:
                         idl_ifaces.append((iface, handlers))
+            elif s["kind"] == "dfn":
+                d = json.loads(s["text"])
+                if d.get("type") == "event":
+                    ev_type = (d.get("lt") or [""])[0]
+                    existing = find(ev_type, None)
+                    targets = d.get("for") or None
+                    if existing is None:
+                        events.append(
+                            {
+                                "doc_id": doc_id,
+                                "type": ev_type,
+                                "interface": None,
+                                "bubbles": None,
+                                "cancelable": None,
+                                "targets": targets,
+                                "href": pt.href(d["id"]),
+                                "src_format": "dfn",
+                                "is_extension": False,
+                            }
+                        )
+                    else:
+                        if existing.get("href") is None:
+                            existing["href"] = pt.href(d["id"])
+                        if existing.get("targets") is None and targets:
+                            existing["targets"] = targets
             elif s["kind"] == "prose":
                 for m in _RE_FIRE_EVENT.finditer(s["text"]):
                     ev_type = m.group(1)
@@ -605,7 +630,13 @@ def extract_algorithms(batch: pa.Table) -> pa.Table:
                             "_stack": [],
                         },
                     )
-                step = {"html": st["html"]}
+                step = {}
+                if st.get("case") is not None:
+                    step["case"] = st["case"]
+                if st.get("operation"):
+                    step["operation"] = st["operation"]
+                if st.get("html") or not step:
+                    step["html"] = st.get("html", "")
                 depth = st["depth"]
                 stack = a["_stack"]
                 del stack[depth:]

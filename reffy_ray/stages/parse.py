@@ -473,6 +473,9 @@ class _Walker:
         if "element" in cls:
             self._emit_element_def(n)
             return True
+        if "switch" in cls:
+            self._emit_switch_algorithm(n)
+            return True
         section = self.ref_section
         parent_sec = n.closest(
             lambda a: a.id in ("normative-references", "informative-references", "references")
@@ -585,6 +588,50 @@ class _Walker:
             )
             for sub in nested:
                 self._emit_steps(sub, algo_id, depth + 1)
+
+    def _emit_switch_algorithm(self, n: Node):
+        """dl.switch (extract-algorithms.mjs switch handling): the
+        preceding 'To <dfn>…' paragraph names the algorithm; dt/dd pairs
+        become switch cases."""
+        self._algo_counter += 1
+        prev = self._prev_element_sibling(n)
+        name, algo_id, intro_html = "", f"__algo{self._algo_counter}", ""
+        if prev is not None and prev.tag == "p":
+            intro_html = prev.inner_html().strip()
+            d = prev.first("dfn")
+            if d is not None:
+                name = d.norm_text()
+                if d.id:
+                    algo_id = d.id
+        self.emit(
+            "algo-step",
+            json.dumps(
+                {"algo_id": algo_id, "name": name, "rationale": ".switch",
+                 "depth": -1, "html": intro_html},
+                ensure_ascii=False,
+            ),
+        )
+        self.emit(
+            "algo-step",
+            json.dumps(
+                {"algo_id": algo_id, "depth": 0, "operation": "switch", "html": ""},
+                ensure_ascii=False,
+            ),
+        )
+        case_name = None
+        for child in n.element_children():
+            if child.tag == "dt":
+                case_name = child.norm_text()
+            elif child.tag == "dd" and case_name is not None:
+                self.emit(
+                    "algo-step",
+                    json.dumps(
+                        {"algo_id": algo_id, "depth": 1, "case": case_name,
+                         "html": child.inner_html().strip()},
+                        ensure_ascii=False,
+                    ),
+                )
+                case_name = None
 
     @staticmethod
     def _prev_element_sibling(n: Node) -> Node | None:

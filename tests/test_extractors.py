@@ -274,3 +274,85 @@ def test_empty_doc():
             assert out.num_rows == 1
         else:
             assert out.num_rows == 0
+
+
+# -- switch algorithms (test/extract-algorithms.js:78-110) -------------------
+
+
+def test_switch_algorithm():
+    html = """
+      <p>To <dfn id="be">be or not to be</dfn>, given <var>will</var>:</p>
+      <dl class="switch">
+        <dt>to be</dt>
+        <dd>Do something.</dd>
+        <dt>not to be</dt>
+        <dd>Do nothing.</dd>
+      </dl>"""
+    spans = spans_from_html(html, "https://x.example/")
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["sw"]),
+            "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+            "url": pa.array(["https://x.example/"]),
+        }
+    )
+    rows = ex.extract_algorithms(batch).to_pylist()
+    assert len(rows) == 1
+    a = rows[0]
+    assert a["name"] == "be or not to be"
+    assert a["href"] == "https://x.example/#be"
+    assert a["rationale"] == ".switch"
+    steps = json.loads(a["steps_json"])
+    assert steps["steps"] == [
+        {
+            "operation": "switch",
+            "steps": [
+                {"case": "to be", "html": "Do something."},
+                {"case": "not to be", "html": "Do nothing."},
+            ],
+        }
+    ]
+
+
+# -- event dfns (test/extract-events.js:80-126) ------------------------------
+
+
+def test_event_dfn():
+    html = "<p><dfn id=success data-dfn-type=event data-dfn-for=Example>success</dfn> is an event, not a state.</p>"
+    spans = spans_from_html(html, "https://x.example/")
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["ev"]),
+            "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+            "url": pa.array(["https://x.example/"]),
+        }
+    )
+    rows = ex.extract_events(batch).to_pylist()
+    assert len(rows) == 1
+    e = rows[0]
+    assert e["type"] == "success"
+    assert e["targets"] == ["Example"]
+    assert e["href"] == "https://x.example/#success"
+    assert e["src_format"] == "dfn"
+
+
+def test_event_dfn_completes_table_event():
+    html = """
+      <table>
+        <thead><tr><th>Event type</th><th>Interface</th><th>Bubbles</th><th>Cancelable</th></tr></thead>
+        <tbody><tr><th>success</th><td>SuccessEvent</td><td>Yes</td><td>Yes</td></tr></tbody>
+      </table>
+      <p><dfn id=success data-dfn-type=event data-dfn-for=Example>success</dfn></p>"""
+    spans = spans_from_html(html, "https://x.example/")
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["ev2"]),
+            "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+            "url": pa.array(["https://x.example/"]),
+        }
+    )
+    rows = ex.extract_events(batch).to_pylist()
+    assert len(rows) == 1
+    e = rows[0]
+    assert e["interface"] == "SuccessEvent"
+    assert e["targets"] == ["Example"]  # completed from the dfn

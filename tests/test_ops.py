@@ -1,0 +1,169 @@
+"""Training-data op tests: dedup family, similarity search, text ops."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from reffy_ray.ops.dedup import (
+    MinHasher,
+    SimHasher,
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+)
+from reffy_ray.ops.similarity import brute_force_topk, ivf_topk, train_ivf_centroids
+from reffy_ray.ops.text import LangId, quality_score, token_count
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find some food for the long cold winter"
+)
+
+
+def _docs_ds(texts):
+    return rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def test_exact_dedup_min_id_wins(ray_session):
+    ds = _docs_ds(["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 1, 3]
+
+
+# -- minhash -----------------------------------------------------------------
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=128)
+    a = mh.signature(BASE)
+    b = mh.signature(BASE + " extra tail words here")
+    c = mh.signature("completely different text about other topics entirely now")
+    sim_ab = float((a == b).mean())
+    sim_ac = float((a == c).mean())
+    assert sim_ab > 0.5
+    assert sim_ac < 0.2
+
+
+def test_minhash_lsh_finds_planted_pair(ray_session):
+    texts = [BASE, BASE + " minor change", "unrelated document entirely " * 5]
+    out = minhash_lsh_pairs(_docs_ds(texts), jaccard_threshold=0.5).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+# -- simhash -----------------------------------------------------------------
+
+
+def test_simhash_near_dups_close():
+    sh = SimHasher()
+    a = sh.simhash(BASE)
+    b = sh.simhash(BASE + " tail")
+    c = sh.simhash("completely different text on another subject matter")
+    assert bin(a ^ b).count("1") < bin(a ^ c).count("1")
+
+
+# -- n-gram jaccard ----------------------------------------------------------
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, "no overlap at all whatsoever here") == 0.0
+    mid = ngram_jaccard(BASE, BASE + " small tail addition")
+    assert 0.5 < mid < 1.0
+
+
+# -- embedding near-dup ------------------------------------------------------
+
+
+def test_embedding_near_dups_planted(ray_session):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": list(range(50)), "embedding": list(vecs)})
+    )
+    out = embedding_near_dups(ds, threshold=0.99).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (3, 7) in pairs
+
+
+# -- ANN ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(400, 32)).astype(np.float32)
+    return (
+        rd.from_arrow(pa.table({"vec_id": list(range(400)), "embedding": list(vecs)})),
+        vecs,
+    )
+
+
+def test_brute_force_topk_exact(emb_ds):
+    ds, vecs = emb_ds
+    q = vecs[:2].astype(np.float64)
+    out = brute_force_topk(ds, q, k=5).to_pylist()
+    # verify against numpy ground truth
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = normed @ qn.T
+    for qi in range(2):
+        expect = list(np.argsort(-sims[:, qi])[:5])
+        got = [r["vec_id"] for r in out if r["query_id"] == qi]
+        assert got == expect
+
+
+def test_ivf_topk_recall(emb_ds):
+    ds, vecs = emb_ds
+    q = vecs[:2].astype(np.float64)
+    cents = train_ivf_centroids(ds, n_centroids=8)
+    exact = brute_force_topk(ds, q, k=10).to_pylist()
+    approx = ivf_topk(ds, q, cents, k=10, nprobe=4).to_pylist()
+    for qi in range(2):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        assert len(e & a) >= 6  # ≥60% recall at nprobe=4/8
+
+
+# -- text ops ----------------------------------------------------------------
+
+
+def test_token_count_vectorized():
+    batch = pa.table({"doc_id": [1, 2, 3], "text": ["a b  c", "", "  x  "]})
+    out = token_count(batch).to_pylist()
+    assert [r["n_tokens"] for r in out] == [3, 0, 1]
+
+
+def test_quality_score_ppm_integers():
+    batch = pa.table({"doc_id": [1], "text": ["ab, cd!"]})
+    row = quality_score(batch).to_pylist()[0]
+    assert row["n_chars"] == 7
+    assert row["n_tokens"] == 2
+    assert isinstance(row["alpha_ppm"], int)
+    assert row["alpha_ppm"] == int(4 * 1_000_000 / 7)
+    assert row["punct_ppm"] == int(2 * 1_000_000 / 7)
+
+
+def test_lang_id():
+    lid = LangId()
+    import pandas as pd
+
+    out = lid(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "the cat and the dog sat in a corner of the house",
+            "der Hund und die Katze ist nicht mit dem Mann",
+            "",
+        ],
+    }))
+    assert out["lang_pred"].tolist() == ["en", "de", "und"]

@@ -62,7 +62,7 @@ ORACLE_KEYS = [
     "headings_from_text", "dfns_from_text", "idl_from_text", "links_from_text",
     "titles_from_text", "token_count", "bpeish_tokens", "quality_score",
     "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
-    "events_window", "idlparsed", "idlnames", "backrefs",
+    "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
 ]
 
 
