@@ -554,19 +554,10 @@ def extract_events(batch: pa.Table) -> pa.Table:
 
 
 def extract_elements(batch: pa.Table) -> pa.Table:
-    """Markup element → IDL interface mapping (extract-elements.mjs)."""
+    """Markup element → IDL interface mapping (extract-elements.mjs);
+    href = the heading dfn's anchor carried in the span payload."""
     rows = []
     for doc_id, url, spans in _iter_docs(batch):
-        pt = _PageTracker(url)
-        # element dfn ids for hrefs
-        el_dfn_href: dict[str, str] = {}
-        for s in spans:
-            pt.feed(s)
-            if s["kind"] == "dfn":
-                d = json.loads(s["text"])
-                if d.get("type") == "element":
-                    for lt in d.get("lt", []):
-                        el_dfn_href.setdefault(lt, pt.href(d["id"]))
         pt = _PageTracker(url)
         seen: set[str] = set()
         for s in spans:
@@ -581,7 +572,7 @@ def extract_elements(batch: pa.Table) -> pa.Table:
                 {
                     "doc_id": doc_id,
                     "name": e["name"],
-                    "href": el_dfn_href.get(e["name"], pt.page),
+                    "href": pt.href(e["id"]) if e.get("id") else pt.page,
                     "interface": e.get("interface"),
                 }
             )

@@ -64,6 +64,7 @@ class _Walker:
         self.idl_index_events: list[tuple[str, str, str]] = []
         self.saw_idl_index = False
         self._algo_counter = 0
+        self.last_heading_dfns: list[tuple[str, str]] = []
 
     # -- emission ----------------------------------------------------------
     def emit(self, kind: str, text: str, media_ref: str = "", to_idl_index: bool = False):
@@ -150,6 +151,9 @@ class _Walker:
             return
         if tag in ("ol", "div", "section") and "algorithm" in cls:
             self._visit_algorithm(n, informative, in_head, in_idl_index)
+            return
+        if tag == "ul" and self.ref_section is not None and "toc" not in cls:
+            self._visit_ref_ul(n)
             return
         if tag == "p":
             self._visit_p(n, informative, in_head, in_idl_index)
@@ -243,6 +247,15 @@ class _Walker:
         # links inside headings still count
         for a in n.find_all("a"):
             self._visit_link(a, in_head)
+        # dfns inside headings (annotated headings, extract-dfns.mjs:301-310);
+        # also remembered for the HTML `<dl class=element>` dialect, whose
+        # element names come from the heading's dfns (extract-elements.mjs)
+        self.last_heading_dfns = []
+        for d in n.find_all("dfn"):
+            if d.id:
+                self.emit("anchor", d.id)
+                self._visit_dfn(d, informative, in_head)
+            self.last_heading_dfns.append((d.id, d.norm_text()))
 
     def _visit_dfn(self, n: Node, informative: bool, in_head: bool):
         if not n.id:
@@ -494,39 +507,76 @@ class _Walker:
             elif child.tag == "dd" and name is not None:
                 a = child.first("a")
                 url = a.get("href") if a is not None else None
+                # flat reference lists mark informative entries inline
+                # ("(Non-normative)" prefix — extract-references.mjs
+                # non-normative text filter)
+                entry_section = section
+                if child.norm_text().lower().startswith("(non-normative)"):
+                    entry_section = "informative"
                 self.emit(
                     "ref-entry",
                     json.dumps(
-                        {"section": section, "name": name, "url": url},
+                        {"section": entry_section, "name": name, "url": url},
                         ensure_ascii=False,
                     ),
                 )
+                # reference entries still contribute to the links extract
+                for link in child.find_all("a"):
+                    self._visit_link(link, False)
                 name = None
         return True
 
+    def _visit_ref_ul(self, n: Node) -> None:
+        """References expressed as <ul> lists (extract-references.mjs
+        ul walking): per <li>, name = first link's text, url = href."""
+        for li in n.find_all("li"):
+            a = li.first("a")
+            if a is None:
+                continue
+            self.emit(
+                "ref-entry",
+                json.dumps(
+                    {
+                        "section": self.ref_section,
+                        "name": a.norm_text().strip("[] "),
+                        "url": a.get("href"),
+                    },
+                    ensure_ascii=False,
+                ),
+            )
+            for link in li.find_all("a"):
+                self._visit_link(link, False)
+
     def _emit_element_def(self, n: Node):
-        """HTML-spec style `<dl class=element>` (extract-elements.mjs)."""
-        name = ""
-        anc = n.parent
-        while anc is not None and not name:
-            for d in anc.find_all("dfn"):
-                if d.get("data-dfn-type") == "element":
-                    name = d.norm_text()
-                    break
-            anc = anc.parent if not name else None
+        """HTML-spec style `<dl class=element>` (extract-elements.mjs):
+        element name(s) come from the preceding heading's dfn(s) —
+        grouped headings yield one element per dfn; the interface comes
+        from the "DOM interface:" dd (own dfn > referenced code/a)."""
+        names = list(getattr(self, "last_heading_dfns", []))
         iface = None
         grab_next = False
         for child in n.element_children():
             if child.tag == "dt":
                 grab_next = "dom interface" in child.norm_text().lower()
             elif child.tag == "dd" and grab_next:
-                code = child.first("code") or child.first("a")
-                iface = (code.norm_text() if code is not None else child.norm_text()) or None
+                own = child.first("dfn")
+                if own is not None:
+                    iface = own.norm_text() or None
+                else:
+                    code = child.first("code") or child.first("a")
+                    iface = (
+                        code.norm_text() if code is not None else child.norm_text()
+                    ) or None
                 grab_next = False
-        if name:
+        for el_id, el_name in names:
+            if not el_name:
+                continue
             self.emit(
                 "element-def",
-                json.dumps({"name": name, "interface": iface}, ensure_ascii=False),
+                json.dumps(
+                    {"name": el_name, "id": el_id, "interface": iface},
+                    ensure_ascii=False,
+                ),
             )
 
     # -- algorithms --------------------------------------------------------

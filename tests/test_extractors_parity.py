@@ -1,0 +1,270 @@
+"""Extra extractor parity tests ported from the reference's inline
+fixtures (test/extract-references.js, test/extract-elements.js,
+test/extract-cddl.js, test/extract-dfns.js variants)."""
+
+import json
+
+import pyarrow as pa
+
+from reffy_ray.schemas import SPAN_STRUCT
+from reffy_ray.stages import extract as ex
+from reffy_ray.stages.parse import spans_from_html
+
+URL = "https://x.example/"
+
+
+def batch_of(html: str, doc_id: str = "d") -> pa.Table:
+    spans = spans_from_html(html, URL)
+    return pa.table(
+        {
+            "doc_id": pa.array([doc_id]),
+            "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+            "url": pa.array([URL]),
+        }
+    )
+
+
+def refs_of(html: str):
+    rows = ex.extract_refs(batch_of(html)).to_pylist()
+    return (
+        [(r["name"], r["url"]) for r in rows if r["normative"]],
+        [(r["name"], r["url"]) for r in rows if not r["normative"]],
+    )
+
+
+# -- extract-references.js fixtures ------------------------------------------
+
+
+def test_refs_normative_section():
+    n, i = refs_of(
+        """
+<section>
+  <h3>F.1 Normative references</h3>
+  <dl>
+    <dt id="bib-dom">[dom]</dt>
+    <dd><a href="https://dom.spec.whatwg.org/"><cite>DOM Standard</cite></a>. Anne van Kesteren.</dd>
+  </dl>
+</section>"""
+    )
+    assert n == [("dom", "https://dom.spec.whatwg.org/")]
+    assert i == []
+
+
+def test_refs_informative_nested_section():
+    n, i = refs_of(
+        """
+<section>
+  <h2>F. References</h2>
+  <section>
+    <h3>F.2 Informative references</h3>
+    <dl>
+      <dt id="bib-webrtc">[webrtc]</dt>
+      <dd><a href="https://www.w3.org/TR/webrtc/"><cite>WebRTC</cite></a>.</dd>
+    </dl>
+  </section>
+</section>"""
+    )
+    assert n == []
+    assert i == [("webrtc", "https://www.w3.org/TR/webrtc/")]
+
+
+def test_refs_flat_list_with_non_normative_marker():
+    n, i = refs_of(
+        """
+<h2>F. References</h2>
+<p>All references are normative unless marked "Non-normative".</p>
+<dl>
+  <dt id="refsABNF">[ABNF]</dt>
+  <dd><cite><a href="https://www.rfc-editor.org/rfc/rfc5234">ABNF</a></cite>, D. Crocker.</dd>
+  <dt id="refsAPNG">[APNG]</dt>
+  <dd>(Non-normative) <cite><a href="https://wiki.mozilla.org/APNG_Specification">APNG</a></cite>.</dd>
+</dl>"""
+    )
+    assert n == [("ABNF", "https://www.rfc-editor.org/rfc/rfc5234")]
+    assert i == [("APNG", "https://wiki.mozilla.org/APNG_Specification")]
+
+
+def test_refs_split_sections_without_section_elements():
+    n, i = refs_of(
+        """
+<h2>References</h2>
+<h3>Normative References</h3>
+<dl>
+   <dt id="biblio-css-align-3">[CSS-ALIGN-3]</dt>
+   <dd><a href="https://drafts.csswg.org/css-align/"><cite>CSS Box Alignment</cite></a>.</dd>
+</dl>
+<h3>Informative References</h3>
+<dl>
+  <dt>[CSS-MULTICOL-1]</dt>
+  <dd><a href="https://drafts.csswg.org/css-multicol/"><cite>CSS Multicol</cite></a>.</dd>
+</dl>"""
+    )
+    assert n == [("CSS-ALIGN-3", "https://drafts.csswg.org/css-align/")]
+    assert i == [("CSS-MULTICOL-1", "https://drafts.csswg.org/css-multicol/")]
+
+
+def test_refs_not_confused_by_further_lists():
+    n, i = refs_of(
+        """
+<h2>Normative references</h2>
+<p>No references.</p>
+<h2>A few terms</h2>
+<dl>
+   <dt>A term</dt>
+   <dd>but not a ref</dd>
+</dl>"""
+    )
+    assert n == [] and i == []
+
+
+def test_refs_in_ul_lists():
+    n, i = refs_of(
+        """
+<h2>11 References</h2>
+<h3>11.1 Normative References</h3>
+<ul>
+  <li><p><a href="https://aomediacodec.github.io/av1-spec/av1-spec.pdf">AV1</a> <strong>AV1 Bitstream</strong>, January 2019.</p></li>
+</ul>
+<h3>11.2 Informative References</h3>
+<ul>
+  <li><p><a href="https://tools.ietf.org/html/rfc3711">RFC3711</a> <strong>SRTP</strong>, March 2004.</p></li>
+</ul>"""
+    )
+    assert n == [("AV1", "https://aomediacodec.github.io/av1-spec/av1-spec.pdf")]
+    assert i == [("RFC3711", "https://tools.ietf.org/html/rfc3711")]
+
+
+# -- extract-elements.js fixtures --------------------------------------------
+
+
+def test_element_with_own_interface():
+    html = """
+<h4 id="the-p-element"><span class="secno">4.4.1</span> The <dfn id="the-p"><code>p</code></dfn> element</h4>
+<dl class="element">
+<dt><a href="dom.html#concept-element-dom">DOM interface</a>:</dt>
+<dd><pre><code class="idl">[Exposed=Window]
+interface <dfn id="htmlparagraphelement" data-dfn-type="interface">HTMLParagraphElement</dfn> : HTMLElement {
+};</code></pre></dd>
+</dl>"""
+    rows = ex.extract_elements(batch_of(html)).to_pylist()
+    assert rows == [
+        {"doc_id": "d", "name": "p", "href": f"{URL}#the-p",
+         "interface": "HTMLParagraphElement"}
+    ]
+
+
+def test_element_using_other_interface():
+    html = """
+<h4 id="the-thead-element"><span class="secno">4.9.6</span> The <dfn id="thead"><code>thead</code></dfn> element</h4>
+<dl class="element">
+<dt>Categories:</dt><dd>None.</dd>
+<dt><a href="dom.html#concept-element-dom">DOM interface</a>:</dt>
+<dd>Uses <code><a href="#htmltablesectionelement">HTMLTableSectionElement</a></code>, as defined for <code>tbody</code> elements.</dd>
+</dl>"""
+    rows = ex.extract_elements(batch_of(html)).to_pylist()
+    assert rows == [
+        {"doc_id": "d", "name": "thead", "href": f"{URL}#thead",
+         "interface": "HTMLTableSectionElement"}
+    ]
+
+
+def test_grouped_elements():
+    html = """
+<h4 id="the-sub-and-sup-elements"><span class="secno">4.5.19</span> The <dfn id="the-sub-element" data-dfn-type="element"><code>sub</code></dfn> and <dfn id="the-sup-element" data-dfn-type="element"><code>sup</code></dfn> elements</h4>
+<dl class="element"><dt><a href="dom.html#concept-element-dom">DOM interface</a>:</dt><dd>Use <code><a href="dom.html#htmlelement">HTMLElement</a></code>.</dd>
+</dl>"""
+    rows = ex.extract_elements(batch_of(html)).to_pylist()
+    assert [(r["name"], r["interface"], r["href"]) for r in rows] == [
+        ("sub", "HTMLElement", f"{URL}#the-sub-element"),
+        ("sup", "HTMLElement", f"{URL}#the-sup-element"),
+    ]
+
+
+# -- extract-cddl.js fixtures ------------------------------------------------
+
+
+def cddl_of(html: str):
+    return ex.extract_cddl(batch_of(html)).to_pylist()
+
+
+def test_cddl_basic():
+    rows = cddl_of('<pre class="cddl">cddl = tstr</pre>')
+    assert rows == [{"doc_id": "d", "module": "all", "cddl": "cddl = tstr"}]
+
+
+def test_cddl_none():
+    assert cddl_of("<p>Me no define CDDL</p>") == []
+
+
+def test_cddl_merges_blocks():
+    rows = cddl_of(
+        '<pre class="cddl">cddl = * rule</pre>\n<pre class="cddl">rule = tstr</pre>'
+    )
+    assert rows[0]["cddl"] == "cddl = * rule\n\nrule = tstr"
+
+
+def test_cddl_strips_trailing_spaces():
+    rows = cddl_of('<pre class="cddl">\n            cddl = * rule    </pre>')
+    assert rows[0]["cddl"] == "cddl = * rule"
+
+
+def test_cddl_preserves_internal_indentation():
+    rows = cddl_of(
+        """<pre class="cddl">
+            rule = (
+              typedef /
+              groupdef
+            )
+            typedef = tstr
+              groupdef = tstr
+          </pre>"""
+    )
+    assert rows[0]["cddl"] == (
+        "rule = (\n  typedef /\n  groupdef\n)\ntypedef = tstr\n  groupdef = tstr"
+    )
+
+
+def test_cddl_module_names():
+    rows = cddl_of('<pre class="cddl" data-cddl-module="mod">cddl = tstr</pre>')
+    assert [(r["module"], r["cddl"]) for r in rows] == [
+        ("all", "cddl = tstr"),
+        ("mod", "cddl = tstr"),
+    ]
+
+
+# -- dfn variants (extract-dfns.js semantics) --------------------------------
+
+
+def test_dfn_data_lt_and_local_lt():
+    html = (
+        "<p><dfn id='x' data-lt='one|two' data-local-lt='Local.one' "
+        "data-dfn-type='attribute' data-dfn-for='Foo'>ignored</dfn></p>"
+    )
+    d = ex.extract_dfns(batch_of(html)).to_pylist()[0]
+    assert d["linking_text"] == ["one", "two"]
+    assert d["local_linking_text"] == ["Local.one"]
+    assert d["for"] == ["Foo"]
+    assert d["access"] == "public"  # IDL types default exported
+
+
+def test_dfn_informative_in_note_section():
+    html = "<div class='note'><p><dfn id='n' data-dfn-type='dfn'>term</dfn></p></div>"
+    d = ex.extract_dfns(batch_of(html)).to_pylist()[0]
+    assert d["informative"] is True
+
+
+def test_dfn_in_pre_defined_in():
+    html = "<pre class='idl'>interface <dfn id='i' data-dfn-type='interface'>I</dfn> {};</pre>"
+    d = ex.extract_dfns(batch_of(html)).to_pylist()[0]
+    assert d["defined_in"] == "pre"
+
+
+def test_dfn_first_wins_dedup():
+    html = (
+        "<p><dfn id='dup' data-dfn-type='dfn' data-export=''>first</dfn></p>"
+        "<p><dfn id='dup' data-dfn-type='dfn'>second</dfn></p>"
+    )
+    rows = ex.extract_dfns(batch_of(html)).to_pylist()
+    assert len(rows) == 1
+    assert rows[0]["linking_text"] == ["first"]
+    assert rows[0]["access"] == "public"
