@@ -362,13 +362,44 @@ def extract_css(batch: pa.Table) -> pa.Table:
     production rules → values (extract-cssdfn.mjs:407-458, 871-915).
     One output row per definition; full record as payload_json."""
     rows = []
+    # typed CSS dfns (extractTypedDfns, extract-cssdfn.mjs:715-865):
+    # dfn type → output category
+    css_dfn_categories = {
+        "at-rule": "atrules",
+        "selector": "selectors",
+        "type": "values",
+        "function": "values",
+        "value": "values",
+    }
     for doc_id, url, spans in _iter_docs(batch):
         pt = _PageTracker(url)
         tables: "OrderedDict[str, dict]" = OrderedDict()
         table_hrefs: dict[str, str] = {}
         for s in spans:
             pt.feed(s)
-            if s["kind"] == "css-propdef-row":
+            if s["kind"] == "dfn":
+                d = json.loads(s["text"])
+                cat = css_dfn_categories.get(d.get("type", ""))
+                if cat:
+                    for lt in d.get("lt", []):
+                        payload = {
+                            "name": lt,
+                            "href": pt.href(d["id"]),
+                            "type": d["type"],
+                        }
+                        if d.get("for"):
+                            payload["for"] = d["for"]
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "category": cat,
+                                "name": lt,
+                                "payload_json": json.dumps(
+                                    dict(sorted(payload.items())), ensure_ascii=False
+                                ),
+                            }
+                        )
+            elif s["kind"] == "css-propdef-row":
                 r = json.loads(s["text"])
                 tid = r.get("table_id") or (r.get("dfn_ids") or [""])[0] or f"__t{len(tables)}"
                 t = tables.setdefault(tid, {"__kind": r.get("table_kind", "propdef")})

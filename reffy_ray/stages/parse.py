@@ -171,6 +171,19 @@ class _Walker:
             return
         self._walk(n, informative, in_head, in_idl_index)
 
+    def _emit_descendant_anchors(self, n: Node, skip: set[str] | None = None):
+        """Anchors for [id]/a[name] descendants of substructures that
+        are handled wholesale (ref lists, def tables) — the ids extract
+        must still see them (extract-ids.mjs covers every [id])."""
+        skip = skip or set()
+        for d in n.iter():
+            if d is n:
+                continue
+            if d.id and d.id not in skip:
+                self.emit("anchor", d.id)
+            elif d.tag == "a" and d.get("name") and not d.id:
+                self.emit("anchor", d.get("name"))
+
     # -- per-construct handlers -------------------------------------------
     def _sniff_generator_script(self, n: Node):
         if self.generator:
@@ -400,6 +413,9 @@ class _Walker:
                     ensure_ascii=False,
                 ),
             )
+        self._emit_descendant_anchors(
+            n, skip={d.id for d in n.find_all("dfn") if d.id}
+        )
 
     def _looks_like_event_def(self, n: Node) -> bool:
         labels = {tr.first("th").norm_text().rstrip(":").lower()
@@ -447,6 +463,9 @@ class _Walker:
                     ensure_ascii=False,
                 ),
             )
+        self._emit_descendant_anchors(
+            n, skip={d.id for d in n.find_all("dfn") if d.id}
+        )
 
     def _emit_event_def_table(self, n: Node):
         vals: dict[str, str] = {}
@@ -524,6 +543,7 @@ class _Walker:
                 for link in child.find_all("a"):
                     self._visit_link(link, False)
                 name = None
+        self._emit_descendant_anchors(n)
         return True
 
     def _visit_ref_ul(self, n: Node) -> None:
@@ -546,6 +566,7 @@ class _Walker:
             )
             for link in li.find_all("a"):
                 self._visit_link(link, False)
+        self._emit_descendant_anchors(n)
 
     def _emit_element_def(self, n: Node):
         """HTML-spec style `<dl class=element>` (extract-elements.mjs):

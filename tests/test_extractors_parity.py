@@ -268,3 +268,47 @@ def test_dfn_first_wins_dedup():
     assert len(rows) == 1
     assert rows[0]["linking_text"] == ["first"]
     assert rows[0]["access"] == "public"
+
+
+# -- typed CSS dfns (extractTypedDfns, extract-cssdfn.mjs:715-865) -----------
+
+
+def test_css_typed_dfns():
+    html = (
+        "<p><dfn id='at-media' data-dfn-type='at-rule' data-export=''>@media</dfn>"
+        " <dfn id='sel-hover' data-dfn-type='selector' data-export=''>:hover</dfn>"
+        " <dfn id='typ-len' data-dfn-type='type' data-export=''>&lt;my-length&gt;</dfn></p>"
+    )
+    rows = ex.extract_css(batch_of(html)).to_pylist()
+    by_cat = {}
+    for r in rows:
+        by_cat.setdefault(r["category"], []).append(json.loads(r["payload_json"]))
+    assert by_cat["atrules"][0]["name"] == "@media"
+    assert by_cat["atrules"][0]["href"] == f"{URL}#at-media"
+    assert by_cat["selectors"][0]["name"] == ":hover"
+    assert by_cat["values"][0]["name"] == "<my-length>"
+
+
+# -- ids completeness inside wholesale-handled constructs --------------------
+
+
+def test_ids_inside_ref_list():
+    html = """
+<h2>Normative references</h2>
+<dl>
+  <dt id="bib-dom">[dom]</dt>
+  <dd><a href="https://dom.spec.whatwg.org/">DOM</a></dd>
+</dl>"""
+    hrefs = [r["href"] for r in ex.extract_ids(batch_of(html)).to_pylist()]
+    assert f"{URL}#bib-dom" in hrefs
+
+
+def test_ids_inside_propdef_table():
+    html = """
+<table class="propdef"><tbody>
+  <tr id="rowid"><th>Name:</th><td><dfn data-dfn-type='property' data-export='' id='propdef-x'>x</dfn></td></tr>
+  <tr><th>Value:</th><td>none</td></tr>
+</tbody></table>"""
+    hrefs = [r["href"] for r in ex.extract_ids(batch_of(html)).to_pylist()]
+    assert f"{URL}#propdef-x" in hrefs
+    assert f"{URL}#rowid" in hrefs
