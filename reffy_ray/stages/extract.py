@@ -372,6 +372,20 @@ def extract_css(batch: pa.Table) -> pa.Table:
         "value": "values",
     }
     for doc_id, url, spans in _iter_docs(batch):
+        doc_rows: "OrderedDict[tuple[str, str], dict]" = OrderedDict()
+
+        def add_row(category: str, name: str, payload: dict):
+            """In-doc duplicate policy (extract-cssdfn.mjs:558-607):
+            same (category, name) merges — first definition's values
+            win, later ones fill missing keys."""
+            key = (category, name)
+            if key in doc_rows:
+                existing = doc_rows[key]
+                for k, v in payload.items():
+                    existing.setdefault(k, v)
+            else:
+                doc_rows[key] = dict(payload)
+
         pt = _PageTracker(url)
         tables: "OrderedDict[str, dict]" = OrderedDict()
         table_hrefs: dict[str, str] = {}
@@ -389,16 +403,7 @@ def extract_css(batch: pa.Table) -> pa.Table:
                         }
                         if d.get("for"):
                             payload["for"] = d["for"]
-                        rows.append(
-                            {
-                                "doc_id": doc_id,
-                                "category": cat,
-                                "name": lt,
-                                "payload_json": json.dumps(
-                                    dict(sorted(payload.items())), ensure_ascii=False
-                                ),
-                            }
-                        )
+                        add_row(cat, lt, payload)
             elif s["kind"] == "css-propdef-row":
                 r = json.loads(s["text"])
                 tid = r.get("table_id") or (r.get("dfn_ids") or [""])[0] or f"__t{len(tables)}"
@@ -416,14 +421,7 @@ def extract_css(batch: pa.Table) -> pa.Table:
                         "type": "type",
                         "value": " ".join(m.group(2).split()),
                     }
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "category": "values",
-                            "name": name,
-                            "payload_json": json.dumps(payload, ensure_ascii=False),
-                        }
-                    )
+                    add_row("values", name, payload)
         for tid, t in tables.items():
             kind = t.pop("__kind", "propdef")
             names = [n.strip() for n in t.get("name", "").split(",") if n.strip()]
@@ -434,16 +432,18 @@ def extract_css(batch: pa.Table) -> pa.Table:
                 if href:
                     payload["href"] = href
                 category = "atrules" if kind == "descdef" else "properties"
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "category": category,
-                        "name": name,
-                        "payload_json": json.dumps(
-                            dict(sorted(payload.items())), ensure_ascii=False
-                        ),
-                    }
-                )
+                add_row(category, name, payload)
+        for (category, name), payload in doc_rows.items():
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "category": category,
+                    "name": name,
+                    "payload_json": json.dumps(
+                        dict(sorted(payload.items())), ensure_ascii=False
+                    ),
+                }
+            )
     return _table(schemas.EXTRACTS_CSS, rows)
 
 
@@ -481,6 +481,12 @@ def extract_events(batch: pa.Table) -> pa.Table:
             pt.feed(s)
             if s["kind"] == "event-row":
                 r = json.loads(s["text"])
+                ext_href = r.get("ext_href")
+                from ..urlnorm import host_of as _host_of
+
+                is_ext = bool(
+                    ext_href and _host_of(ext_href) != _host_of(pt.page)
+                )
                 ev = {
                     "doc_id": doc_id,
                     "type": r["type"],
@@ -488,9 +494,13 @@ def extract_events(batch: pa.Table) -> pa.Table:
                     "bubbles": r.get("bubbles"),
                     "cancelable": r.get("cancelable"),
                     "targets": r.get("targets"),
-                    "href": pt.href(r["id"]) if r.get("id") else None,
+                    "href": (
+                        ext_href
+                        if is_ext
+                        else (pt.href(r["id"]) if r.get("id") else None)
+                    ),
                     "src_format": r.get("src_format", "summary table"),
-                    "is_extension": False,
+                    "is_extension": is_ext,
                 }
                 existing = find(r["type"], r.get("iface"))
                 if existing is None:

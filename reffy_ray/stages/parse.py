@@ -36,6 +36,27 @@ _INFORMATIVE_CLASSES = {"informative", "note", "example", "issue", "non-normativ
 
 _SUMMARY_EVENT_HEADERS = ("event type", "type")
 
+# Normative-operation lexicon for unmarked <ol> algorithm discovery
+# (extract-algorithms.mjs:123-278 stepOperations, abridged to the same
+# verb list)
+STEP_OPERATIONS = frozenset(
+    """abort acknowledge activate add adopt advance append apply ask assert
+    assign attach attempt batch block branch call check cancel cause change
+    choose clamp clean clear close collect complete compute consume continue
+    convert copy create deactivate decrease decrement decrypt define delete
+    dequeue destroy determine discard dismiss dispatch display down-mix do
+    dump emit empty end enqueue ensure error establish execute extend extract
+    fail fetch finalize find finish fire gather generate give handle hand-off
+    increase increment initialize insert interpret invoke issue jump let load
+    make mark match move multiply navigate paint parse perform place pop
+    populate prepare prepend process prompt push query queue recalculate
+    rectify reference register reinitialize reject release remove replace
+    reset resolve restore render remap report return run score scroll send
+    serialize set shuffle skip sort split spin start stop store strip suspend
+    switch take terminate throw toggle transmit try unregister unset update
+    upgrade use validate verify wait write""".split()
+)
+
 
 def dedent_code(text: str) -> str:
     """De-indent preserving relative indentation (trim-spaces.mjs:14-36)."""
@@ -155,6 +176,11 @@ class _Walker:
         if tag == "ul" and self.ref_section is not None and "toc" not in cls:
             self._visit_ref_ul(n)
             return
+        if tag == "ol":
+            op = self._ol_operation(n)
+            if op is not None:
+                self._visit_heuristic_algorithm(n, op)
+                return
         if tag == "p":
             self._visit_p(n, informative, in_head, in_idl_index)
             return
@@ -446,6 +472,13 @@ class _Walker:
             ev_id = dfn.id if dfn is not None and dfn.id else type_cell.id
             if dfn is not None and dfn.id:
                 self.emit("anchor", dfn.id)
+            # a type cell linking to another spec marks an extension
+            # event (isExtension, extract-events.mjs:486-488)
+            ext_href = None
+            if dfn is None:
+                a = type_cell.first("a")
+                if a is not None and (a.get("href") or "").startswith("http"):
+                    ext_href = a.get("href")
             get = lambda key: texts[col[key]] if key in col and col[key] < len(texts) else ""
             iface = get("interface")
             self.emit(
@@ -458,6 +491,7 @@ class _Walker:
                         "cancelable": self._boolish(get("cancelable")),
                         "targets": None,
                         "id": ev_id,
+                        "ext_href": ext_href,
                         "src_format": "summary table",
                     },
                     ensure_ascii=False,
@@ -659,6 +693,50 @@ class _Walker:
             )
             for sub in nested:
                 self._emit_steps(sub, algo_id, depth + 1)
+
+    @staticmethod
+    def _ol_operation(n: Node) -> str | None:
+        """First-step operation verb if this unmarked <ol> looks like a
+        normative algorithm (extract-algorithms.mjs:123-307 lexicon)."""
+        lis = [c for c in n.element_children() if c.tag == "li"]
+        if not lis:
+            return None
+        first_words = []
+        for li in lis:
+            txt = li.norm_text()
+            if not txt:
+                return None
+            first_words.append(txt.split()[0].rstrip(",.:;").lower())
+        if all(w in STEP_OPERATIONS for w in first_words):
+            return first_words[0]
+        return None
+
+    def _visit_heuristic_algorithm(self, n: Node, operation: str):
+        """Unmarked <ol> qualified by the operation lexicon; rationale
+        is the qualifying verb (extract-algorithms.mjs fixtures)."""
+        self._algo_counter += 1
+        algo_id = n.id or f"__algo{self._algo_counter}"
+        name, intro_html = "", ""
+        prev = self._prev_element_sibling(n)
+        if prev is not None and prev.tag == "p":
+            intro_html = prev.inner_html().strip()
+            d = prev.first("dfn")
+            if d is not None:
+                name = d.norm_text()
+                if d.id:
+                    algo_id = d.id
+        self.emit(
+            "algo-step",
+            json.dumps(
+                {"algo_id": algo_id, "name": name, "rationale": operation,
+                 "depth": -1, "html": intro_html},
+                ensure_ascii=False,
+            ),
+        )
+        self._emit_steps(n, algo_id, depth=0)
+        for d in n.find_all("dfn"):
+            if d.id:
+                self.emit("anchor", d.id)
 
     def _emit_switch_algorithm(self, n: Node):
         """dl.switch (extract-algorithms.mjs switch handling): the

@@ -312,3 +312,64 @@ def test_ids_inside_propdef_table():
     hrefs = [r["href"] for r in ex.extract_ids(batch_of(html)).to_pylist()]
     assert f"{URL}#propdef-x" in hrefs
     assert f"{URL}#rowid" in hrefs
+
+
+# -- heuristic unmarked-ol algorithms (lexicon, extract-algorithms.mjs) ------
+
+
+def test_heuristic_ol_algorithm():
+    html = """
+<p>To <dfn id="compute-it">compute it</dfn>:</p>
+<ol>
+  <li>Let x be 1.</li>
+  <li>Return x.</li>
+</ol>"""
+    rows = ex.extract_algorithms(batch_of(html)).to_pylist()
+    assert len(rows) == 1
+    a = rows[0]
+    assert a["name"] == "compute it"
+    assert a["rationale"] == "let"
+    steps = json.loads(a["steps_json"])
+    assert [s["html"] for s in steps["steps"]] == ["Let x be 1.", "Return x."]
+
+
+def test_non_algorithm_ol_ignored():
+    html = "<ol><li>Apples</li><li>Oranges</li></ol>"
+    assert ex.extract_algorithms(batch_of(html)).to_pylist() == []
+
+
+# -- extension events (isExtension, extract-events.mjs:486-488) --------------
+
+
+def test_extension_event_flagged():
+    html = """
+<table>
+  <thead><tr><th>Event type</th><th>Interface</th></tr></thead>
+  <tbody><tr><th><a href="https://other.spec.example/#go">go</a></th><td>Event</td></tr></tbody>
+</table>"""
+    rows = ex.extract_events(batch_of(html)).to_pylist()
+    assert len(rows) == 1
+    assert rows[0]["is_extension"] is True
+    assert rows[0]["href"] == "https://other.spec.example/#go"
+
+
+# -- css in-doc duplicate merge (extract-cssdfn.mjs:558-607) -----------------
+
+
+def test_css_duplicate_tables_merge():
+    html = """
+<table class="propdef"><tbody>
+  <tr><th>Name:</th><td><dfn data-dfn-type='property' data-export='' id='propdef-x'>x</dfn></td></tr>
+  <tr><th>Value:</th><td>a | b</td></tr>
+</tbody></table>
+<table class="propdef"><tbody>
+  <tr><th>Name:</th><td>x</td></tr>
+  <tr><th>Value:</th><td>c</td></tr>
+  <tr><th>Initial:</th><td>a</td></tr>
+</tbody></table>"""
+    rows = ex.extract_css(batch_of(html)).to_pylist()
+    props = [r for r in rows if r["category"] == "properties"]
+    assert len(props) == 1  # merged, not duplicated
+    p = json.loads(props[0]["payload_json"])
+    assert p["value"] == "a | b"   # first definition wins
+    assert p["initial"] == "a"     # later definition fills missing keys
