@@ -72,8 +72,15 @@ class CrawlResult:
     documents_path: str
     counters: pa.Table
     stats: dict = field(default_factory=dict)
+    # materialized per-round datasets (object-store blocks) — lets a
+    # downstream extract stage stream the crawl output without
+    # re-reading/decompressing the parquet checkpoint
+    round_datasets: list = field(default_factory=list)
 
     def documents(self) -> rd.Dataset:
+        if self.round_datasets:
+            ds = self.round_datasets[0]
+            return ds.union(*self.round_datasets[1:]) if len(self.round_datasets) > 1 else ds
         return rd.read_parquet(self.documents_path)
 
     def ordered_documents(self) -> rd.Dataset:
@@ -184,6 +191,13 @@ def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
                       gates) -> pa.Table:
     fp = _FETCH_PARSE_CACHE.get(crawl_id)
     if fp is None:
+        # hot parse workers run without the cyclic GC: the parser breaks
+        # its only cycles (Node.parent) explicitly, and concurrent GC
+        # heap scans were measured inflating per-URL CPU ~1.5× at high
+        # worker counts (memory-bandwidth contention)
+        import gc
+
+        gc.disable()
         fp = FetchParse(mode, cache_info_ref, synth_links, fallback_ref, gates)
         _FETCH_PARSE_CACHE.clear()  # drop stale crawls' state
         _FETCH_PARSE_CACHE[crawl_id] = fp
@@ -257,15 +271,14 @@ def _make_admit_fn(gates: PolitenessGates, round_ms: float):
     return admit
 
 
-def _expand_links(round_dir: str, cfg: CrawlConfig) -> rd.Dataset:
+def _expand_links(parsed_ds: rd.Dataset, cfg: CrawlConfig) -> rd.Dataset:
     """Discovered-link frontier expansion (synth mode, depth+1).
 
-    Reads ONLY the doc-level columns (out_links, seed_rank, depth) from
-    the round's parquet — the heavy spans column never leaves storage
-    (column pruning at the read; SURVEY.md 'prune at the read')."""
-    parsed = rd.read_parquet(
-        round_dir, columns=["out_links", "seed_rank", "depth"]
-    ).repartition(max(4, cfg.fetch_concurrency))
+    Projects ONLY the doc-level columns (out_links, seed_rank, depth)
+    from the materialized round output — the heavy spans column is
+    never touched (a cold resume would read the same columns from the
+    round parquet: column pruning either way)."""
+    parsed = parsed_ds.select_columns(["out_links", "seed_rank", "depth"])
 
     def fn(batch: pa.Table) -> pa.Table:
         out = {k: [] for k in (
@@ -311,8 +324,14 @@ def crawl(
     cfg: CrawlConfig | None = None,
     fallback_spans: dict[str, list[dict]] | None = None,
     cache_info: dict[str, str] | None = None,
+    seen: SeenSet | None = None,
+    gates: PolitenessGates | None = None,
 ) -> CrawlResult:
-    """Run the crawl. Ray must already be initialised by the caller."""
+    """Run the crawl. Ray must already be initialised by the caller.
+
+    ``seen``/``gates`` may be passed in to reuse pre-created state
+    actors (e.g. warmed up by a prior run); callers that pass them own
+    their lifecycle — otherwise they are created and killed here."""
     cfg = cfg or CrawlConfig()
     ckpt = cfg.checkpoint_dir or "/tmp/reffy_ray_crawl"
     docs_dir = os.path.join(ckpt, "documents")
@@ -320,8 +339,11 @@ def crawl(
 
     manifest_path = os.path.join(ckpt, "manifest.json")
     start_round = 0
-    seen = SeenSet(cfg.num_seen_shards, cfg.seen_capacity_per_shard, cfg.exact_seen)
-    gates = PolitenessGates(cfg.num_gates, cfg.real_sleep)
+    own_state = seen is None
+    if seen is None:
+        seen = SeenSet(cfg.num_seen_shards, cfg.seen_capacity_per_shard, cfg.exact_seen)
+    if gates is None:
+        gates = PolitenessGates(cfg.num_gates, cfg.real_sleep)
     frontier_tbl: pa.Table | None = None
 
     if cfg.resume and os.path.exists(manifest_path):
@@ -355,6 +377,7 @@ def crawl(
 
     counters_rows: list[dict] = []
     phase_times: list[dict] = []
+    round_datasets: list[rd.Dataset] = []
     rounds_done = start_round
     for r in range(start_round, cfg.max_rounds):
         import time as _time
@@ -371,7 +394,7 @@ def crawl(
         # ~batch_size rows per block, capped at 4 blocks per actor.
         n_blocks = max(1, min(
             (n_frontier + cfg.batch_size - 1) // cfg.batch_size,
-            cfg.fetch_concurrency * 4,
+            cfg.fetch_concurrency * 8,  # fine blocks → tight load balance
         ))
         frontier = frontier.repartition(n_blocks)  # lazy; fused into the round
         _t1 = _time.perf_counter()
@@ -413,10 +436,16 @@ def crawl(
             batch_size=cfg.batch_size,
         )
         round_dir = os.path.join(docs_dir, f"round={r}")
+        # materialize once (single fetch+parse execution), then write the
+        # checkpoint from the in-memory blocks; the materialized dataset
+        # is also handed to downstream extract stages so they stream the
+        # object-store blocks instead of re-reading the parquet.
         # zstd: span text compresses ~4×; trades scalable worker CPU for
         # the non-scaling disk-write floor
+        parsed = parsed.materialize()
         parsed.write_parquet(round_dir, compression="zstd")
-        parsed_ds = rd.read_parquet(round_dir)
+        round_datasets.append(parsed)
+        parsed_ds = parsed
         _t2 = _time.perf_counter()
 
         n_fetched = parsed_ds.count()  # parquet footer metadata, no scan
@@ -429,8 +458,10 @@ def crawl(
         pieces = []
         if deferred is not None and deferred.count() > 0:
             pieces.append(deferred)
-        if cfg.expand_links and cfg.max_depth > 0:
-            cand = _expand_links(round_dir, cfg)
+        # expansion can only produce depth r+1 candidates; past max_depth
+        # the pass is vacuous — skip the execution entirely
+        if cfg.expand_links and cfg.max_depth > 0 and r < cfg.max_depth:
+            cand = _expand_links(parsed_ds, cfg)
             # materialize: the seen-filter mutates shard state, so the
             # gated pipeline must execute exactly once — a lazy re-run
             # would find every URL already 'seen' and drop the frontier
@@ -494,8 +525,12 @@ def crawl(
         "gates": gates.stats(),
         "phase_times": phase_times,
     }
-    # release state actors — their snapshots are on disk; a later resume
-    # builds fresh actors and restores from the checkpoint
-    for a in seen.shards + gates.gates:
-        ray.kill(a)
-    return CrawlResult(documents_path=docs_dir, counters=counters, stats=stats)
+    # release owned state actors — their snapshots are on disk; a later
+    # resume builds fresh actors and restores from the checkpoint
+    if own_state:
+        for a in seen.shards + gates.gates:
+            ray.kill(a)
+    return CrawlResult(
+        documents_path=docs_dir, counters=counters, stats=stats,
+        round_datasets=round_datasets,
+    )

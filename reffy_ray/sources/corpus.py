@@ -273,9 +273,9 @@ def synth_html(url: str, n_links: int = 8, n_paras: int = 30) -> str:
     return f"{common}{body}\n<ul class='toc'>{links}</ul>"
 
 
-def scaled_seeds(n: int) -> pa.Table:
+def scaled_seeds(n: int, offset: int = 0) -> pa.Table:
     rows = []
-    for i in range(n):
+    for i in range(offset, offset + n):
         url = synth_url(i)
         rows.append(
             {

@@ -194,3 +194,17 @@ def parse_html(html: str) -> Node:
     p.feed(html)
     p.close()
     return p.root
+
+
+def clear_parents(root: Node) -> None:
+    """Break parent-pointer cycles after a tree is no longer walked, so
+    plain refcounting frees it. Lets hot workers run with the cyclic GC
+    disabled — GC heap scans are a memory-bandwidth amplifier when many
+    parser processes run concurrently on one node."""
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        n.parent = None
+        for c in n.children:
+            if isinstance(c, Node):
+                stack.append(c)

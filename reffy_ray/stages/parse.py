@@ -863,10 +863,16 @@ def spans_from_html(
     html: str, base_url: str, pages: list[tuple[str, str]] | None = None
 ) -> list[dict]:
     """Parse one (possibly multi-page) document into its span sequence."""
+    from .htmldom import clear_parents
+
     w = _Walker(base_url)
-    w.walk_document(parse_html(html))
+    root = parse_html(html)
+    w.walk_document(root)
+    clear_parents(root)
     for url, page_html in pages or []:
-        w.merge_subpage(url, parse_html(page_html))
+        proot = parse_html(page_html)
+        w.merge_subpage(url, proot)
+        clear_parents(proot)
     events = w.events
     if w.saw_idl_index:
         # Bikeshed IDL index wins over in-prose IDL blocks
