@@ -74,11 +74,13 @@ class CrawlResult:
     stats: dict = field(default_factory=dict)
     # materialized per-round datasets (object-store blocks) — lets a
     # downstream extract stage stream the crawl output without
-    # re-reading/decompressing the parquet checkpoint
+    # re-reading/decompressing the parquet checkpoint. Only usable when
+    # it covers EVERY round (a resumed crawl holds just the new rounds).
     round_datasets: list = field(default_factory=list)
+    rounds_in_memory: bool = False
 
     def documents(self) -> rd.Dataset:
-        if self.round_datasets:
+        if self.round_datasets and self.rounds_in_memory:
             ds = self.round_datasets[0]
             return ds.union(*self.round_datasets[1:]) if len(self.round_datasets) > 1 else ds
         return rd.read_parquet(self.documents_path)
@@ -533,4 +535,5 @@ def crawl(
     return CrawlResult(
         documents_path=docs_dir, counters=counters, stats=stats,
         round_datasets=round_datasets,
+        rounds_in_memory=(start_round == 0),
     )

@@ -154,6 +154,21 @@ ERROR_URLS = {"https://www.w3.org/TR/idontexist/": 404}
 NOT_MODIFIED_URLS = {"https://www.w3.org/TR/ididnotchange/": "Fri, 11 Feb 2022 00:00:42 GMT"}
 
 
+def complete_with_alternative_urls(
+    seed: dict, equivalents: dict[str, list[str]] | None = None
+) -> list[str]:
+    """`versions` set for a seed: canonical + release + nightly URLs,
+    plus known equivalents, insertion-ordered and deduped
+    (completeWithAlternativeUrls, src/lib/util.js:695-712)."""
+    versions: dict[str, None] = {}
+    for u in (seed.get("url"), seed.get("release_url"), seed.get("nightly_url")):
+        if u:
+            versions.setdefault(u)
+    for u in (equivalents or {}).get(seed.get("url", ""), []):
+        versions.setdefault(u)
+    return list(versions)
+
+
 def fixture_seeds() -> pa.Table:
     rows = []
     for rank, s in enumerate(_FIXTURE_SPECS):

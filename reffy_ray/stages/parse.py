@@ -364,6 +364,31 @@ class _Walker:
 
     def _visit_pre(self, n: Node, informative: bool, in_idl_index: bool):
         cls = n.classes
+        # RFC-style headings: pre > span.h2-.h6 > a.selflink[id]
+        # (extract-headings.mjs:23-38)
+        for span in n.element_children():
+            if span.tag != "span" or not span.classes & {"h2", "h3", "h4", "h5", "h6"}:
+                continue
+            a = next(
+                (c for c in span.element_children()
+                 if c.tag == "a" and c.has_class("selflink") and c.id),
+                None,
+            )
+            if a is None:
+                continue
+            number = a.norm_text()
+            title = span.norm_text().replace(number, "", 1).lstrip(". ").strip()
+            level = len(number.split(".")) if number else None
+            number = re.sub(r"(?i)\s*appendix\s+", "", number)
+            self.heading_id = a.id
+            self.emit("anchor", a.id)
+            self.emit(
+                "heading",
+                json.dumps(
+                    {"id": a.id, "level": level, "number": number, "title": title},
+                    ensure_ascii=False,
+                ),
+            )
         body = dedent_code(n.text())
         # dfns/anchors inside code blocks must still be emitted
         for d in n.find_all("dfn"):

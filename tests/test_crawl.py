@@ -185,3 +185,33 @@ def test_synth_crawl_with_link_expansion(ray_session, tmp_path):
     assert len(docs) > 10  # discovered URLs crawled
     # every doc parsed to spans
     assert all(len(d["spans"]) > 0 for d in docs if d["error"] is None)
+
+
+def test_resume_mid_crawl(ray_session, tmp_path):
+    """Crash-and-resume lineage: run only round 0 of a depth-1 crawl,
+    then resume — round 1 completes from the checkpointed frontier and
+    restored seen set, with no round-0 refetch."""
+    from reffy_ray.sources.corpus import scaled_seeds
+
+    ckpt = str(tmp_path / "ck")
+    base = dict(mode="synth", checkpoint_dir=ckpt, max_depth=1,
+                expand_links=True, round_ms=float("inf"), synth_links=3,
+                num_seen_shards=4)
+    res1 = crawl(scaled_seeds(8), CrawlConfig(**base, max_rounds=1))
+    assert res1.stats["rounds"] == 1
+    n_round0 = res1.documents().count()
+    assert n_round0 == 8
+
+    res2 = crawl(scaled_seeds(8), CrawlConfig(**base, max_rounds=6, resume=True))
+    docs = res2.documents().take_all()
+    # round-0 docs preserved + round-1 discovered docs crawled
+    assert len(docs) > n_round0
+    depths = {d["depth"] for d in docs}
+    assert depths == {0, 1}
+    # counters continue (round 1 appended), no double-fetch of round 0
+    rounds = [c["partition"] for c in res2.counters.to_pylist()]
+    assert rounds[-1] == 1
+    from collections import Counter as _C
+
+    url_counts = _C(d["url"] for d in docs)
+    assert all(v == 1 for v in url_counts.values())

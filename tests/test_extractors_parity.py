@@ -373,3 +373,40 @@ def test_css_duplicate_tables_merge():
     p = json.loads(props[0]["payload_json"])
     assert p["value"] == "a | b"   # first definition wins
     assert p["initial"] == "a"     # later definition fills missing keys
+
+
+# -- RFC-style headings (extract-headings.mjs:23-38) -------------------------
+
+
+def test_rfc_headings():
+    html = """<pre><span class="h3"><a class="selflink" id="section-2.1" href="#section-2.1">2.1</a>.  Terminology Used</span>
+some body text
+</pre>"""
+    rows = ex.extract_headings(batch_of(html)).to_pylist()
+    assert len(rows) == 1
+    h = rows[0]
+    assert h["id"] == "section-2.1"
+    assert h["number"] == "2.1"
+    assert h["level"] == 2
+    assert h["title"] == "Terminology Used"
+    assert h["href"] == f"{URL}#section-2.1"
+
+
+# -- versions set (completeWithAlternativeUrls, util.js:695-712) -------------
+
+
+def test_complete_with_alternative_urls():
+    from reffy_ray.sources.corpus import complete_with_alternative_urls
+
+    seed = {
+        "url": "https://www.w3.org/TR/WOFF2/",
+        "release_url": "https://www.w3.org/TR/WOFF2/",
+        "nightly_url": "https://w3c.github.io/woff/woff2/",
+    }
+    assert complete_with_alternative_urls(seed) == [
+        "https://www.w3.org/TR/WOFF2/",
+        "https://w3c.github.io/woff/woff2/",
+    ]
+    assert complete_with_alternative_urls(
+        seed, {"https://www.w3.org/TR/WOFF2/": ["https://old.example/woff2"]}
+    )[-1] == "https://old.example/woff2"
