@@ -23,6 +23,21 @@ from ..urlnorm import fnv1a64_batch
 # Reserving CPU here starves the fetch/parse pools on small clusters
 # (the shards scale with the cluster via num_shards, not CPU slices).
 @ray.remote(num_cpus=0)
+class TallyActor:
+    """Tiny shared counter (robots exclusions, etc.); fire-and-forget
+    increments from map_batches tasks, read once at checkpoint time."""
+
+    def __init__(self):
+        self.counts: dict[str, int] = {}
+
+    def add(self, key: str, n: int) -> None:
+        self.counts[key] = self.counts.get(key, 0) + n
+
+    def get(self) -> dict:
+        return dict(self.counts)
+
+
+@ray.remote(num_cpus=0)
 class SeenShard:
     """One shard of the URL-seen set."""
 

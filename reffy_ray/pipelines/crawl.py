@@ -38,7 +38,7 @@ from .. import __version__
 from ..crawl.fetch import Fetcher
 from ..crawl.politeness import PolitenessGates
 from ..crawl.robots import allowed_batch
-from ..crawl.seen import SeenSet
+from ..crawl.seen import SeenSet, TallyActor
 from ..schemas import SPAN_STRUCT
 from ..stages.parse import spans_from_html
 from ..urlnorm import canonicalize_url, coarse_origin, host_of
@@ -225,13 +225,20 @@ def _seed_frontier(seeds: pa.Table) -> pa.Table:
     )
 
 
-def _gate_candidates(ds: rd.Dataset, seen: SeenSet, robots_overrides=None) -> rd.Dataset:
-    """robots gate + seen-set anti-filter for NEW candidate rows."""
+def _gate_candidates(
+    ds: rd.Dataset, seen: SeenSet, robots_overrides=None, tally=None
+) -> rd.Dataset:
+    """robots gate + seen-set anti-filter for NEW candidate rows.
+    Robots exclusions are tallied fire-and-forget when a tally actor is
+    provided (north_rule per-partition lineage metrics)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         canon = batch.column("canon_url").to_pylist()
         ok_robots = allowed_batch(urls, robots_overrides)
+        n_excluded = len(urls) - sum(ok_robots)
+        if n_excluded and tally is not None:
+            tally.add.remote("robots_excluded", n_excluded)
         # only consult the seen shards for robots-allowed rows
         idx = [i for i, ok in enumerate(ok_robots) if ok]
         new_mask = seen.filter_new([canon[i] for i in idx])
@@ -346,6 +353,7 @@ def crawl(
         seen = SeenSet(cfg.num_seen_shards, cfg.seen_capacity_per_shard, cfg.exact_seen)
     if gates is None:
         gates = PolitenessGates(cfg.num_gates, cfg.real_sleep)
+    tally = TallyActor.remote()
     frontier_tbl: pa.Table | None = None
 
     if cfg.resume and os.path.exists(manifest_path):
@@ -373,7 +381,9 @@ def crawl(
     if start_round == 0:
         seed_frontier = rd.from_arrow(_seed_frontier(seeds))
         # materialize: seen-filter is stateful, must run exactly once
-        frontier: rd.Dataset | None = _gate_candidates(seed_frontier, seen).materialize()
+        frontier: rd.Dataset | None = _gate_candidates(
+            seed_frontier, seen, tally=tally
+        ).materialize()
     else:
         frontier = rd.from_arrow(frontier_tbl) if frontier_tbl is not None else None
 
@@ -467,7 +477,7 @@ def crawl(
             # materialize: the seen-filter mutates shard state, so the
             # gated pipeline must execute exactly once — a lazy re-run
             # would find every URL already 'seen' and drop the frontier
-            gated_new = _gate_candidates(cand, seen).materialize()
+            gated_new = _gate_candidates(cand, seen, tally=tally).materialize()
             if gated_new.count() > 0:
                 pieces.append(gated_new)
         frontier = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else (
@@ -525,6 +535,7 @@ def crawl(
         "rounds": rounds_done,
         "seen": seen.stats(),
         "gates": gates.stats(),
+        "tally": ray.get(tally.get.remote()),
         "phase_times": phase_times,
     }
     # release owned state actors — their snapshots are on disk; a later
@@ -532,6 +543,7 @@ def crawl(
     if own_state:
         for a in seen.shards + gates.gates:
             ray.kill(a)
+    ray.kill(tally)
     return CrawlResult(
         documents_path=docs_dir, counters=counters, stats=stats,
         round_datasets=round_datasets,

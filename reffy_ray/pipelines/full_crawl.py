@@ -96,9 +96,10 @@ def full_crawl(
     modules = modules or default_modules()
 
     res = crawl(seeds, cfg)
-    docs = rd.read_parquet(
-        res.documents_path, columns=["doc_id", "spans", "url"]
-    ).materialize()
+    # stream the crawl output: in-memory round blocks when fresh, the
+    # checkpoint parquet otherwise — never force a second materialization
+    # of the full corpus (at 100 TB the extract passes must stream)
+    docs = res.documents()
 
     extracts: dict[str, rd.Dataset] = {}
     for m in modules:

@@ -215,3 +215,27 @@ def test_resume_mid_crawl(ray_session, tmp_path):
 
     url_counts = _C(d["url"] for d in docs)
     assert all(v == 1 for v in url_counts.values())
+
+
+def test_robots_excluded_and_tallied(ray_session, tmp_path):
+    """robots gate: /private/ paths are never fetched and the exclusion
+    is tallied (north_star robots gating + lineage counters)."""
+    seeds = pa.Table.from_pylist([
+        {
+            "url": u, "shortname": f"s{i}", "series_shortname": f"s{i}",
+            "series_composition": "full", "series_version": "1.0",
+            "nightly_url": u, "release_url": None, "pages": [],
+            "standing": "good", "seed_rank": i,
+        }
+        for i, u in enumerate([
+            "https://spec1.example.org/ok-spec/",
+            "https://spec1.example.org/private/secret-spec/",
+            "https://spec1.example.org/wip/draft-spec/",
+        ])
+    ])
+    cfg = CrawlConfig(mode="synth", checkpoint_dir=str(tmp_path / "ck"),
+                      num_seen_shards=4)
+    res = crawl(seeds, cfg)
+    docs = res.documents().take_all()
+    assert [d["url"] for d in docs] == ["https://spec1.example.org/ok-spec/"]
+    assert res.stats["tally"].get("robots_excluded") == 2
