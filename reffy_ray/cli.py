@@ -68,7 +68,8 @@ def cmd_crawl(args) -> int:
     if args.use_crawl:
         return cmd_post_process(args)
 
-    res = full_crawl(seeds, args.output, cfg, modules=modules)
+    res = full_crawl(seeds, args.output, cfg, modules=modules,
+                     fallback_spans=fallback)
     if not args.quiet:
         out = res.index if not args.terse else res.index.get("stats")
         print(json.dumps(out, indent=None if args.terse else 2))

@@ -225,6 +225,26 @@ def _seed_frontier(seeds: pa.Table) -> pa.Table:
     )
 
 
+# canonical frontier column types: pieces of the frontier come from
+# different producers (seed table, groupby-admission output — which
+# widens ints to 64-bit via its pandas round-trip — and expansion
+# candidates); a union of mismatched block schemas breaks downstream
+# shuffles, so every producer funnels through this cast
+_FRONTIER_TYPES = {
+    "doc_id": pa.string(), "url": pa.string(), "canon_url": pa.string(),
+    "origin": pa.string(), "host": pa.string(), "seed_rank": pa.int64(),
+    "depth": pa.int32(), "pages": pa.list_(pa.string()), "state": pa.string(),
+}
+
+
+def _normalize_frontier(batch: pa.Table) -> pa.Table:
+    cols = {}
+    for name, typ in _FRONTIER_TYPES.items():
+        col = batch.column(name)
+        cols[name] = col.cast(typ) if col.type != typ else col
+    return pa.table(cols)
+
+
 def _gate_candidates(
     ds: rd.Dataset, seen: SeenSet, robots_overrides=None, tally=None
 ) -> rd.Dataset:
@@ -245,7 +265,7 @@ def _gate_candidates(
         keep = [False] * len(urls)
         for i, is_new in zip(idx, new_mask):
             keep[i] = is_new
-        return batch.filter(pa.array(keep))
+        return _normalize_frontier(batch.filter(pa.array(keep)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -344,6 +364,19 @@ def crawl(
     cfg = cfg or CrawlConfig()
     ckpt = cfg.checkpoint_dir or "/tmp/reffy_ray_crawl"
     docs_dir = os.path.join(ckpt, "documents")
+    if not cfg.resume and os.path.isdir(ckpt):
+        # fresh crawl over an existing checkpoint would APPEND parquet
+        # into the old round dirs and double every document — wipe first
+        # (resetCache analog, reference README.md:136-139)
+        import shutil as _shutil
+
+        for sub in ("documents", "frontier", "seen", "counters.parquet",
+                    "manifest.json"):
+            path = os.path.join(ckpt, sub)
+            if os.path.isdir(path):
+                _shutil.rmtree(path, ignore_errors=True)
+            elif os.path.exists(path):
+                os.remove(path)
     os.makedirs(docs_dir, exist_ok=True)
 
     manifest_path = os.path.join(ckpt, "manifest.json")
@@ -401,6 +434,21 @@ def crawl(
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
+        # (not Dataset.min: its accumulator type-errors on int32 columns)
+        def _batch_min_depth(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            v = _pc.min(b.column("depth")).as_py() if b.num_rows else None
+            return pa.table({"d": pa.array([v], pa.int64())})
+
+        _mins = [
+            r["d"]
+            for r in frontier.map_batches(
+                _batch_min_depth, batch_format="pyarrow"
+            ).take_all()
+            if r["d"] is not None
+        ]
+        frontier_min_depth = min(_mins) if _mins else 0
         # Ray Data parallelism = block count; a single-block frontier
         # would serialize the whole round on one fetch actor. Split to
         # ~batch_size rows per block, capped at 4 blocks per actor.
@@ -422,7 +470,9 @@ def crawl(
                 admit, batch_format="pyarrow"
             ).materialize()
             admitted = gated.filter(lambda row: row["state"] == "admitted")
-            deferred = gated.filter(lambda row: row["state"] == "deferred")
+            deferred = gated.filter(
+                lambda row: row["state"] == "deferred"
+            ).map_batches(_normalize_frontier, batch_format="pyarrow")
         elif cfg.politeness:
             # open budget (useCrawl analog): everything admits, so skip
             # the shuffle — accounting piggybacks on the fetch stage
@@ -470,9 +520,15 @@ def crawl(
         pieces = []
         if deferred is not None and deferred.count() > 0:
             pieces.append(deferred)
-        # expansion can only produce depth r+1 candidates; past max_depth
-        # the pass is vacuous — skip the execution entirely
-        if cfg.expand_links and cfg.max_depth > 0 and r < cfg.max_depth:
+        # skip the expansion pass only when every row fetched this round
+        # was already at max_depth (politeness-deferred shallower rows can
+        # arrive in late rounds, so the round number alone is not enough)
+        min_depth_fetched = frontier_min_depth
+        if (
+            cfg.expand_links
+            and cfg.max_depth > 0
+            and min_depth_fetched < cfg.max_depth
+        ):
             cand = _expand_links(parsed_ds, cfg)
             # materialize: the seen-filter mutates shard state, so the
             # gated pipeline must execute exactly once — a lazy re-run

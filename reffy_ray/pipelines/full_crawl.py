@@ -27,7 +27,7 @@ from ..post.cssmerge import merge_css
 from ..post.events import consolidate_events
 from ..post.idlnames import idlnames
 from ..post.series import reduce_extracts_per_series
-from ..post.sinks import build_index, write_extracts
+from ..post.sinks import build_index, extract_and_write, write_extracts
 from ..stages.extract import EXTRACTORS, extract_all
 from .crawl import CRAWLER_VERSION, CrawlConfig, crawl
 
@@ -86,6 +86,8 @@ def full_crawl(
     modules: list[ExtractorModule] | None = None,
     post_processors: list[PostProcessor] | None = None,
     run_post: bool = True,
+    fallback_spans: dict | None = None,
+    cache_info: dict | None = None,
 ) -> FullCrawlResult:
     """Crawl the seeds, extract every module, run post-processing,
     write everything under ``out_dir`` (documents/, extracts/<module>/,
@@ -95,17 +97,24 @@ def full_crawl(
         cfg.checkpoint_dir = os.path.join(out_dir, "crawl")
     modules = modules or default_modules()
 
-    res = crawl(seeds, cfg)
+    res = crawl(seeds, cfg, fallback_spans=fallback_spans, cache_info=cache_info)
     # stream the crawl output: in-memory round blocks when fresh, the
     # checkpoint parquet otherwise — never force a second materialization
     # of the full corpus (at 100 TB the extract passes must stream)
     docs = res.documents()
 
-    extracts: dict[str, rd.Dataset] = {}
-    for m in modules:
-        extracts[m.name] = docs.map_batches(m.fn, batch_format="pyarrow")
-
-    counts = write_extracts(extracts, os.path.join(out_dir, "extracts"))
+    # single streamed pass: all modules extracted per batch (one spans
+    # decode) and written straight to the partitioned extract layout;
+    # post stages then read the (much smaller) extract parquet back
+    extracts_dir = os.path.join(out_dir, "extracts")
+    counts = extract_and_write(
+        docs, {m.name: m.fn for m in modules}, extracts_dir
+    )
+    extracts: dict[str, rd.Dataset] = {
+        name: rd.read_parquet(os.path.join(extracts_dir, name))
+        for name, n in counts.items()
+        if n > 0
+    }
 
     post_out: dict[str, object] = {}
     if run_post:

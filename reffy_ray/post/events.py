@@ -64,26 +64,33 @@ def consolidate_events(
 
     expanded = events.map_batches(ExpandMixins, batch_format="pandas", concurrency=2, num_cpus=0.5)
 
-    # fold extension events into originals sharing (type, href-or-interface)
+    # fold extension events into the original they extend: extensions
+    # carry the ORIGINAL's href (their type cell links to the defining
+    # spec), so grouping by event type and matching on href folds them
+    # across specs (extendEvent, events.js:202-225)
     def fold(group: pd.DataFrame) -> pd.DataFrame:
-        originals = group[~group["is_extension"].fillna(False)]
+        originals = group[~group["is_extension"].fillna(False)].copy()
         extensions = group[group["is_extension"].fillna(False)]
         if originals.empty:
             return group  # nothing to fold into: keep extensions
-        base = originals.iloc[0].copy()
+        leftover = []
         for _, ext in extensions.iterrows():
-            tgt = set(base["targets"] or []) | set(ext["targets"] or [])
-            base["targets"] = sorted(tgt) if tgt else None
+            match = originals.index[originals["href"] == ext["href"]]
+            if len(match) == 0:
+                leftover.append(ext)  # could not extend → keep (events.js:56-60)
+                continue
+            i = match[0]
+            tgt = set(originals.at[i, "targets"] or []) | set(ext["targets"] or [])
+            originals.at[i, "targets"] = sorted(tgt) if tgt else None
             for col in ("bubbles", "cancelable", "interface"):
-                if pd.isna(base[col]) and not pd.isna(ext[col]):
-                    base[col] = ext[col]
-        merged = pd.DataFrame([base])
-        rest = originals.iloc[1:]
-        return pd.concat([merged, rest], ignore_index=True)
+                if pd.isna(originals.at[i, col]) and not pd.isna(ext[col]):
+                    originals.at[i, col] = ext[col]
+        out = originals
+        if leftover:
+            out = pd.concat([originals, pd.DataFrame(leftover)], ignore_index=True)
+        return out.reset_index(drop=True)
 
-    folded = expanded.groupby(["type", "doc_id"]).map_groups(
-        fold, batch_format="pandas"
-    )
+    folded = expanded.groupby("type").map_groups(fold, batch_format="pandas")
 
     out = folded.sort(["type", "interface", "href"]).to_pandas()
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -54,13 +54,42 @@ def is_latest_level_that_passes(spec: dict, specs: list[dict], predicate) -> boo
     return False
 
 
+def _version_key(v) -> tuple:
+    try:
+        return tuple(int(x) for x in str(v or "0").split("."))
+    except ValueError:
+        return (0,)
+
+
 def _seed_dicts(seeds: pa.Table) -> list[dict]:
+    """Seed rows as dicts. When the table carries no explicit series
+    chain (series_current/previous/next columns), derive it: the levels
+    of a series ordered by series_version, current = the highest full
+    level — without this every spec defaulted to being its own series'
+    current and the reduction never reduced anything."""
     cols = seeds.to_pydict()
-    out = []
-    for i in range(seeds.num_rows):
-        d = {k: cols[k][i] for k in cols}
-        d.setdefault("series_current", d.get("shortname"))
-        out.append(d)
+    out = [
+        {k: cols[k][i] for k in cols} for i in range(seeds.num_rows)
+    ]
+    if "series_current" not in cols:
+        by_series: dict[str, list[dict]] = {}
+        for d in out:
+            key = d.get("series_shortname") or d["shortname"]
+            by_series.setdefault(key, []).append(d)
+        for members in by_series.values():
+            members.sort(key=lambda d: _version_key(d.get("series_version")))
+            fulls = [m for m in members if m.get("series_composition") == "full"]
+            current = (fulls[-1] if fulls else members[-1])["shortname"]
+            for j, m in enumerate(members):
+                m.setdefault("series_current", current)
+                m.setdefault(
+                    "series_previous",
+                    members[j - 1]["shortname"] if j > 0 else None,
+                )
+                m.setdefault(
+                    "series_next",
+                    members[j + 1]["shortname"] if j + 1 < len(members) else None,
+                )
     return out
 
 

@@ -20,6 +20,65 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def extract_and_write(
+    docs: rd.Dataset,
+    module_fns: dict[str, "callable"],
+    out_dir: str,
+    compression: str = "zstd",
+) -> dict[str, int]:
+    """ONE streamed pass over the documents: every module extracted per
+    batch with a single spans decode (stages/extract.extract_all), each
+    module's rows written directly to <out>/<module>/part-*.parquet from
+    the task. This is the resumable partitioned layout AND avoids the
+    per-module re-execution + re-decode of running 13 separate module
+    Datasets (each all-module pass costs ~1/3 of 13 separate ones).
+
+    Caveat: a retried task could leave a duplicate part file; Ray task
+    retries are off by default for this stage's deterministic input, and
+    part names are content-addressed by the batch's first doc_id so a
+    straight re-run overwrites rather than duplicates."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.extract import extract_all
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in module_fns:
+        os.makedirs(os.path.join(out_dir, name), exist_ok=True)
+
+    def task(batch: pa.Table) -> pa.Table:
+        tables = extract_all(batch, module_fns)
+        first = (
+            batch.column("doc_id")[0].as_py() if batch.num_rows else "empty"
+        )
+        token = str(first).replace("/", "_")[:60]
+        counts = {}
+        for name, tbl in tables.items():
+            counts[name] = [len(tbl)]
+            if len(tbl):
+                _pq.write_table(
+                    tbl,
+                    os.path.join(out_dir, name, f"part-{token}.parquet"),
+                    compression=compression,
+                )
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in counts.items()})
+
+    totals = docs.map_batches(task, batch_format="pyarrow").sum(list(module_fns))
+    if totals is None:
+        counts = {name: 0 for name in module_fns}
+    elif isinstance(totals, dict):
+        counts = {name: int(totals.get(f"sum({name})", 0) or 0) for name in module_fns}
+    else:  # single module → scalar
+        counts = {next(iter(module_fns)): int(totals or 0)}
+    # drop empty module dirs (isEmpty skip, specs-crawler.js:313-317)
+    for name, n in counts.items():
+        mod_dir = os.path.join(out_dir, name)
+        if n == 0 and os.path.isdir(mod_dir) and not os.listdir(mod_dir):
+            os.rmdir(mod_dir)
+    with open(os.path.join(out_dir, "modules.json"), "w") as f:
+        json.dump(counts, f, indent=2, sort_keys=True)
+    return counts
+
+
 def write_extracts(
     extracts: dict[str, rd.Dataset], out_dir: str, compression: str = "zstd"
 ) -> dict[str, int]:

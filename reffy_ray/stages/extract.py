@@ -455,7 +455,11 @@ _RE_FIRE_EVENT = re.compile(
     r"fir(?:e|ing)\s+an?\s+event\s+named\s+\"?([\w.-]+)\"?", re.I
 )
 _RE_ONHANDLER = re.compile(r"attribute\s+EventHandler\s+on(\w+)\s*;")
-_RE_IFACE = re.compile(r"(?:^|\n)\s*(?:\[[^\]]*\]\s*)?(?:partial\s+)?interface\s+(?:mixin\s+)?(\w+)")
+# one match per interface WITH its body, so handlers attach to the
+# declaring interface only (IDL bodies have no nested braces)
+_RE_IFACE_BODY = re.compile(
+    r"(?:\[[^\]]*\]\s*)?(?:partial\s+)?interface\s+(?:mixin\s+)?(\w+)[^{]*\{([^}]*)\}"
+)
 
 
 def extract_events(batch: pa.Table) -> pa.Table:
@@ -510,9 +514,9 @@ def extract_events(batch: pa.Table) -> pa.Table:
                         if existing.get(k) is None and v is not None:
                             existing[k] = v
             elif s["kind"] == "idl-block":
-                for m in _RE_IFACE.finditer(s["text"]):
-                    iface = m.group(1)
-                    handlers = _RE_ONHANDLER.findall(s["text"])
+                for m in _RE_IFACE_BODY.finditer(s["text"]):
+                    iface, body = m.group(1), m.group(2)
+                    handlers = _RE_ONHANDLER.findall(body)
                     if handlers:
                         idl_ifaces.append((iface, handlers))
             elif s["kind"] == "dfn":

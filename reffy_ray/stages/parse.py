@@ -845,6 +845,9 @@ class _Walker:
             )
         if txt:
             self.emit("prose", txt)
+        # anchors for every [id]/a[name] inside the paragraph (the ids
+        # extract covers every anchorable id, extract-ids.mjs:6-28)
+        self._emit_descendant_anchors(n)
         # dfns/links inside prose
         for d in n.find_all("dfn"):
             self._visit_dfn(d, informative, in_head)

@@ -101,10 +101,18 @@ class CuckooFilter:
 
     # -- checkpoint --------------------------------------------------------
     def to_bytes(self) -> bytes:
-        header = np.array([self.nbuckets, self.count, self.seed], dtype=np.int64).tobytes()
+        # exact-mode flag is serialized explicitly: an EMPTY exact set
+        # must round-trip as exact mode, not silently become
+        # approximate-only on restore
+        exact_flag = 1 if self.exact is not None else 0
+        header = np.array(
+            [self.nbuckets, self.count, self.seed, exact_flag], dtype=np.int64
+        ).tobytes()
         body = self.table.tobytes()
         exact_blob = (
-            "\x00".join(sorted(self.exact)).encode("utf-8") if self.exact is not None else b""
+            "\x00".join(sorted(self.exact)).encode("utf-8")
+            if self.exact is not None
+            else b""
         )
         return (
             len(header).to_bytes(4, "little")
@@ -128,9 +136,14 @@ class CuckooFilter:
         self.count = int(header[1])
         self.seed = int(header[2])
         self.table = table.reshape(self.nbuckets, _SLOTS)
+        exact_flag = int(header[3]) if len(header) > 3 else None
         rest = blob[off:]
-        if rest:
-            self.exact = set(rest.decode("utf-8").split("\x00"))
-        else:
+        if exact_flag == 1:
+            self.exact = (
+                set(rest.decode("utf-8").split("\x00")) if rest else set()
+            )
+        elif exact_flag == 0:
             self.exact = None
+        else:  # legacy blob without the flag
+            self.exact = set(rest.decode("utf-8").split("\x00")) if rest else None
         return self
