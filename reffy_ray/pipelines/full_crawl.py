@@ -149,6 +149,18 @@ def full_crawl(
             pq.write_table(names_tbl, os.path.join(post_dir, "idlnames.parquet"))
             post_out["idlnames"] = names_tbl
 
+        if "idl" in extracts and "dfns" in extracts and "idlparsed" in post_out:
+            from ..post.idlparsed_link import link_idlparsed_to_dfns
+
+            linked = link_idlparsed_to_dfns(
+                post_out["idlparsed"],
+                extracts["dfns"].select_columns(
+                    ["doc_id", "id", "href", "linking_text", "type", "for", "access"]
+                ),
+            )
+            linked.write_parquet(os.path.join(post_dir, "idl_dfn_links"))
+            post_out["idl_dfn_links"] = linked
+
         if "links" in extracts and "dfns" in extracts:
             br = backrefs(
                 extracts["links"],

@@ -34,11 +34,29 @@ def build_mixin_map(idlparsed_ds: rd.Dataset) -> dict[str, list[str]]:
     return mixins
 
 
+def build_inheritance_map(idlparsed_ds: rd.Dataset) -> dict[str, str | None]:
+    """interface → parent interface, from the idlparsed reports
+    (the consolidated IDL view events.js:15-26 collects)."""
+    inh: dict[str, str | None] = {}
+    for batch in idlparsed_ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for report_json in batch.column("idlparsed").to_pylist():
+            if not report_json:
+                continue
+            report = json.loads(report_json)
+            for name, desc in (report.get("idlNames") or {}).items():
+                if desc.get("type") == "interface":
+                    inh.setdefault(name, desc.get("inheritance"))
+    return inh
+
+
 def consolidate_events(
     events: rd.Dataset, idlparsed_ds: rd.Dataset | None = None
 ) -> pa.Table:
     """→ consolidated, sorted events table."""
     mixins = build_mixin_map(idlparsed_ds) if idlparsed_ds is not None else {}
+    inheritance = (
+        build_inheritance_map(idlparsed_ds) if idlparsed_ds is not None else {}
+    )
     mixins_ref = ray.put(mixins)
 
     class ExpandMixins:
@@ -93,4 +111,48 @@ def consolidate_events(
     folded = expanded.groupby("type").map_groups(fold, batch_format="pandas")
 
     out = folded.sort(["type", "interface", "href"]).to_pandas()
+
+    # bubbling per target over the interface trees (J5,
+    # events.js:112-144): non-root tree targets default bubbles=false;
+    # per-target detail (incl. bubblingPath when bubbling) recorded in
+    # a targets_detail JSON column, target list pruned of interfaces
+    # covered by an ancestor/deeper-bubbling entry (events.js:157-199)
+    from ..functions.interface_trees import get_interface_tree_info, inherits_from
+
+    details = []
+    for i, row in out.iterrows():
+        targets = row.get("targets")
+        if targets is None or (isinstance(targets, float) and pd.isna(targets)):
+            details.append(None)
+            continue
+        bubbles = row.get("bubbles")
+        updated, tree_targets = [], []
+        for iface in targets:
+            info = get_interface_tree_info(iface, inheritance)
+            if info is None or info["depth"] == 0:
+                updated.append({"target": iface})
+            else:
+                tree_targets.append((iface, info["bubblingPath"]))
+        if (bubbles is None or pd.isna(bubbles)) and tree_targets:
+            bubbles = False
+            out.at[i, "bubbles"] = False
+        for iface, path in tree_targets:
+            entry = {"target": iface, "bubbles": bool(bubbles)}
+            if bubbles:
+                entry["bubblingPath"] = path
+            updated.append(entry)
+        # cleanTargetInterfaces: drop targets covered by an ancestor with
+        # the same bubbling behaviour
+        kept = [
+            e for e in updated
+            if not any(
+                o is not e
+                and o.get("bubbles") == e.get("bubbles")
+                and inherits_from(e["target"], o["target"], inheritance)
+                for o in updated
+            )
+        ]
+        details.append(json.dumps(kept, ensure_ascii=False))
+        out.at[i, "targets"] = sorted(e["target"] for e in kept)
+    out["targets_detail"] = details
     return pa.Table.from_pandas(out, preserve_index=False)

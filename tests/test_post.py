@@ -286,3 +286,82 @@ def test_merge_crawl_results(ray_session):
     out = merge_crawl_results(ref, new).to_pandas()
     assert out["url"].tolist() == ["https://a/", "https://b/", "https://c/"]
     assert out["title"].tolist() == ["oldA", "newB", "newC"]
+
+
+# -- J6: idl → dfn linking (idlparsed.js:16-112) -----------------------------
+
+
+def test_idlparsed_dfn_linking(ray_session):
+    import json as _json
+
+    from reffy_ray.post.idlparsed_link import link_idlparsed_to_dfns
+
+    idlparsed = rd.from_arrow(pa.Table.from_pylist([
+        {
+            "doc_id": "spec",
+            "idlparsed": _json.dumps({
+                "idlNames": {
+                    "Foo": {
+                        "type": "interface", "name": "Foo",
+                        "fragment": "interface Foo { attribute DOMString bar; };",
+                    }
+                }
+            }),
+        }
+    ]))
+    dfns = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": "spec", "id": "dom-foo", "href": "https://s/#dom-foo",
+         "linking_text": ["Foo"], "type": "interface", "for": [],
+         "access": "public"},
+        {"doc_id": "spec", "id": "dom-foo-bar", "href": "https://s/#dom-foo-bar",
+         "linking_text": ["bar"], "type": "attribute", "for": ["Foo"],
+         "access": "public"},
+        # a dfn for another interface's attribute must NOT match
+        {"doc_id": "spec", "id": "other-bar", "href": "https://s/#other-bar",
+         "linking_text": ["bar"], "type": "attribute", "for": ["Other"],
+         "access": "public"},
+    ]))
+    out = link_idlparsed_to_dfns(idlparsed, dfns).to_pandas()
+    by_key = {(r["idl_name"], r["member"]): r["dfn_href"]
+              for _, r in out.iterrows()}
+    assert by_key[("Foo", None)] == "https://s/#dom-foo"
+    assert by_key[("Foo", "bar")] == "https://s/#dom-foo-bar"
+
+
+# -- J5: interface-tree bubbling (events.js:112-144, util.js:989-1046) -------
+
+
+def test_interface_tree_info():
+    from reffy_ray.functions.interface_trees import get_interface_tree_info
+
+    info = get_interface_tree_info("IDBRequest", {})
+    assert info["tree"] == "IndexedDB"
+    assert info["depth"] == 2
+    assert info["bubblingPath"] == ["IDBTransaction", "IDBDatabase"]
+    # inheritance chain walking
+    info2 = get_interface_tree_info("MyRequest", {"MyRequest": "IDBRequest"})
+    assert info2["interface"] == "IDBRequest"
+    assert get_interface_tree_info("Unrelated", {}) is None
+
+
+def test_events_tree_bubbling(ray_session):
+    import json as _json
+
+    events = rd.from_arrow(pa.table({
+        "doc_id": ["idb"],
+        "type": ["success"],
+        "interface": ["Event"],
+        "bubbles": [None],
+        "cancelable": [None],
+        "targets": [["IDBRequest"]],
+        "href": ["https://idb/#success"],
+        "src_format": ["summary table"],
+        "is_extension": [False],
+    }))
+    out = consolidate_events(events).to_pylist()
+    assert len(out) == 1
+    # non-root tree target with unknown bubbles → bubbles=false
+    # (events.js:134-136)
+    assert out[0]["bubbles"] is False
+    detail = _json.loads(out[0]["targets_detail"])
+    assert detail == [{"target": "IDBRequest", "bubbles": False}]
