@@ -271,46 +271,51 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    import statistics
     import time as _time
 
     lo, hi = SCALE_LO, SCALE_HI
-    # The shared host's speed fluctuates ±25% on a scale of minutes, so
-    # single trials (and best-of, which is one-sidedly lucky) are
-    # unreliable. Protocol: three (lo, hi) pairs run back-to-back —
-    # each pair sees similar interference — and the reported efficiency
-    # is the median of the per-pair efficiencies.
-    pairs = []
-    for _ in range(3):
-        r_lo, r_hi = run(lo), run(hi)
-        pairs.append((r_lo, r_hi))
+    # The shared host's speed drifts ±25-40% on a minutes scale —
+    # larger than the effect being measured — so trials follow the
+    # classic ABBA pattern (lo, hi, hi, lo), twice: averaging the two
+    # A throughputs and the two B throughputs of a block cancels
+    # linear drift to first order.
+    def block() -> tuple[list, list]:
+        a1 = run(lo)
+        b1, b2 = run(hi), run(hi)
+        a2 = run(lo)
         _time.sleep(3)  # let the previous session's plasma store drain
-    effs = [
-        (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi / lo)
-        for r_lo, r_hi in pairs
-    ]
-    steady_effs = [
-        (r_hi["steady"]["urls_per_sec"] / r_lo["steady"]["urls_per_sec"]) / (hi / lo)
-        for r_lo, r_hi in pairs
-        if r_lo.get("steady") and r_hi.get("steady")
-    ]
-    med_idx = effs.index(statistics.median(effs))
-    r_lo, r_hi = pairs[med_idx]
+        return [a1, a2], [b1, b2]
+
+    blocks = [block(), block()]
+
+    def eff_of(blk, key) -> float:
+        lo_runs, hi_runs = blk
+        get = (
+            (lambda r: r["urls_per_sec"])
+            if key == "full"
+            else (lambda r: r["steady"]["urls_per_sec"])
+        )
+        mean_lo = sum(get(r) for r in lo_runs) / len(lo_runs)
+        mean_hi = sum(get(r) for r in hi_runs) / len(hi_runs)
+        return (mean_hi / mean_lo) / (hi / lo)
+
+    full_effs = [eff_of(b, "full") for b in blocks]
+    steady_effs = [eff_of(b, "steady") for b in blocks]
+    mean = lambda xs: sum(xs) / len(xs)
+    last_lo, last_hi = blocks[-1][0][-1], blocks[-1][1][-1]
     return {
         "metric": f"crawl+extract URLs/sec scaling, {lo} vs {hi} CPUs (N vs 4N protocol)",
-        f"urls_per_sec_{lo}": r_lo["urls_per_sec"],
-        f"urls_per_sec_{hi}": r_hi["urls_per_sec"],
-        f"sec_{lo}": r_lo["queries"]["crawl"],
-        f"sec_{hi}": r_hi["queries"]["crawl"],
-        "pair_efficiencies": [round(e, 3) for e in effs],
-        "scaling_efficiency_full_job": round(statistics.median(effs), 3),
+        f"urls_per_sec_{lo}": last_lo["urls_per_sec"],
+        f"urls_per_sec_{hi}": last_hi["urls_per_sec"],
+        f"sec_{lo}": last_lo["queries"]["crawl"],
+        f"sec_{hi}": last_hi["queries"]["crawl"],
+        "block_efficiencies_full_job": [round(e, 3) for e in full_effs],
+        "scaling_efficiency_full_job": round(mean(full_effs), 3),
         # steady-state = the large fetch round + its extract share: the
         # regime a 10^10-URL crawl spends ~all its time in (the 2-round
         # sandbox corpus overweights the fixed prologue by construction)
-        "steady_pair_efficiencies": [round(e, 3) for e in steady_effs],
-        "scaling_efficiency": (
-            round(statistics.median(steady_effs), 3) if steady_effs else None
-        ),
+        "block_efficiencies_steady": [round(e, 3) for e in steady_effs],
+        "scaling_efficiency": round(mean(steady_effs), 3),
         "sf": SF_DIR,
     }
 
