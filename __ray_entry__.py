@@ -93,6 +93,14 @@ def q_bpeish_tokens(sf_dir: str):
     )
 
 
+def q_word_counts(sf_dir: str):
+    from reffy_ray.ops.text import word_counts
+
+    return word_counts(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def q_quality(sf_dir: str):
     from reffy_ray.ops.text import quality_score
 
@@ -413,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "bpeish_tokens": q_bpeish_tokens,
         "quality_score": q_quality,
+        "word_counts": q_word_counts,
         "exact_dedup": q_exact_dedup,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -526,6 +535,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(len(regexp_extract_all(text, '[.,;:!?]')) * 1000000.0
                         / greatest(length(text), 1)) AS BIGINT) AS punct_ppm
             FROM documents
+        """,
+        "word_counts": r"""
+            SELECT word, count(*) AS n
+            FROM (
+              SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+              FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5

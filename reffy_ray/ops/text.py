@@ -112,6 +112,34 @@ class LangId:
         )
 
 
+def word_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial word counts — the pre-aggregation/combiner
+    pattern: one (word, n) row per distinct word per batch leaves the
+    task, so the global groupby shuffles partials, not tokens
+    (SURVEY.md 'push aggregation partial')."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        counts.update(w for w in re.split(r"\W+", (text or "").lower()) if w)
+    words = sorted(counts)
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "n": pa.array([counts[w] for w in words], pa.int64()),
+        }
+    )
+
+
+def word_counts(ds) -> "object":
+    """Global word counts: partial counts per batch → small groupby-sum
+    over the partials."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(word_count_partials, batch_format="pyarrow")
+    return partials.groupby("word").aggregate(Sum("n", alias_name="n"))
+
+
 class Fingerprint:
     """64-bit rolling-hash document fingerprint (deterministic)."""
 

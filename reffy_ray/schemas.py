@@ -173,6 +173,7 @@ EXTRACTS_DFNS = pa.schema(
         ("informative", pa.bool_()),
         ("heading", HEADING_STRUCT),
         ("defined_in", pa.string()),
+        ("html_prose", pa.string()),
     ]
 )
 

@@ -293,6 +293,7 @@ def extract_dfns(batch: pa.Table) -> pa.Table:
                     "informative": bool(d.get("informative")),
                     "heading": heading,
                     "defined_in": d.get("defined_in", "prose"),
+                    "html_prose": d.get("html_prose"),
                 }
             )
     return _table(schemas.EXTRACTS_DFNS, rows)

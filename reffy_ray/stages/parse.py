@@ -317,6 +317,9 @@ class _Walker:
         container = n.closest(
             lambda a: a.tag in ("pre", "dt", "h1", "h2", "h3", "h4", "h5", "h6", "li", "table")
         )
+        # defining-paragraph context (extract-dfns htmlProse analog)
+        prose_p = n.closest(lambda a: a.tag == "p")
+        html_prose = prose_p.norm_text() if prose_p is not None else None
         if container is None:
             defined_in = "prose"
         elif container.tag == "pre":
@@ -344,6 +347,7 @@ class _Walker:
                     "informative": informative,
                     "heading_id": self.heading_id,
                     "defined_in": defined_in,
+                    "html_prose": html_prose,
                 },
                 ensure_ascii=False,
             ),

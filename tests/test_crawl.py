@@ -239,3 +239,21 @@ def test_robots_excluded_and_tallied(ray_session, tmp_path):
     docs = res.documents().take_all()
     assert [d["url"] for d in docs] == ["https://spec1.example.org/ok-spec/"]
     assert res.stats["tally"].get("robots_excluded") == 2
+
+
+def test_politeness_real_sleep(ray_session):
+    """ST4 real pacing: with real_sleep=True a gate actually sleeps
+    interval ms per admitted token (throttled-queue.js:110-128)."""
+    import time as _time
+
+    import ray as _ray
+
+    from reffy_ray.crawl.politeness import OriginGate
+
+    gate = OriginGate.remote(real_sleep=True)
+    t0 = _time.perf_counter()
+    k = _ray.get(gate.admit.remote("https://example.org", 2, 10_000.0))
+    dt = _time.perf_counter() - t0
+    assert k == 2
+    assert dt >= 0.15  # 2 × 100 ms default interval
+    _ray.kill(gate)
