@@ -368,6 +368,14 @@ def q_events_window(sf_dir: str):
     return partial.groupby(["event_type", "day"]).map_groups(merge, batch_format="pandas")
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows per user over the events log (30-min gap)."""
+    from reffy_ray.ops.text import sessionize_events
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize_events(ds, gap_minutes=30)
+
+
 def q_crawl_fixture(sf_dir: str):
     """Flagship crawl pipeline over the fixture corpus (rows-only
     check: crawl semantics are not SQL-expressible)."""
@@ -437,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "events_window": q_events_window,
+        "sessionize": q_sessionize,
         "crawl_fixture": q_crawl_fixture,
         "media_features": q_media_features,
     }
@@ -580,6 +589,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "sessionize": """
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+            FROM (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_idx
+              FROM (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts
+                            ) > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+              )
+            )
+            GROUP BY user_id, session_idx
         """,
         "events_window": """
             SELECT event_type, date_trunc('day', ts) AS day,

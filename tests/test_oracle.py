@@ -63,7 +63,7 @@ ORACLE_KEYS = [
     "titles_from_text", "token_count", "bpeish_tokens", "quality_score",
     "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
-    "word_counts",
+    "word_counts", "sessionize",
 ]
 
 
