@@ -304,3 +304,13 @@ class IdlParser:
                 "error": pa.array(errors, pa.string()),
             }
         )
+
+
+_IDL_PARSER = IdlParser()
+
+
+def parse_idl_batch(batch):
+    """Task-based wrapper (IdlParser holds no construction state, so a
+    plain task pool beats an actor pool: no pool churn between
+    consecutive dataset executions, elastic scaling)."""
+    return _IDL_PARSER(batch)

@@ -19,7 +19,12 @@ import ray.data as rd
 
 
 class _CosineScorer:
-    """Actor: holds normalized query matrix from the object store."""
+    """Holds the normalized query matrix from the object store.
+
+    Run as plain *tasks* via ``scorer_fn`` (per-worker-process cache):
+    the broadcast matrix is one zero-copy ``ray.get`` per worker, and a
+    task pool avoids the pool-churn stall of consecutive actor-pool
+    queries while scaling elastically."""
 
     def __init__(self, queries_ref, k: int):
         q = np.asarray(ray.get(queries_ref), dtype=np.float64)
@@ -39,8 +44,30 @@ class _CosineScorer:
             idx = np.argpartition(-col, k - 1)[:k]
             out_q.extend([qi] * k)
             out_id.extend(ids[idx])
-            out_sim.extend(np.round(col[idx], 6))
+            # full precision through selection/ranking; rounding happens
+            # only at final emission (oracle orders by full-precision
+            # cosine — pre-round ties would reorder the top-k)
+            out_sim.extend(col[idx])
         return pd.DataFrame({"query_id": out_q, "vec_id": out_id, "cosine": out_sim})
+
+
+_SCORERS: dict[tuple, _CosineScorer] = {}
+
+
+def scorer_fn(queries_ref, k: int, cls=None):
+    """Task closure over (queries_ref, k) with a per-worker cache —
+    the object-store matrix is fetched once per worker process."""
+    cls = cls or _CosineScorer
+
+    def score(batch):
+        key = (cls.__name__, queries_ref.hex(), k)
+        s = _SCORERS.get(key)
+        if s is None:
+            s = cls(queries_ref, k)
+            _SCORERS[key] = s
+        return s(batch)
+
+    return score
 
 
 def brute_force_topk(
@@ -51,10 +78,7 @@ def brute_force_topk(
     driver-side heap merge of ≤ k·num_batches candidate rows."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.map_batches(
-        _CosineScorer,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
-        batch_format="pandas",
-        concurrency=(1, 4),
+        scorer_fn(qref, k), batch_format="pandas"
     )
     best: dict[int, list] = {}
     for batch in partials.iter_batches(batch_size=8192, batch_format="pandas"):
@@ -143,10 +167,7 @@ def ivf_topk(
 
     qref = ray.put(qn)
     partials = ds.map_batches(
-        Filtered,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
-        batch_format="pandas",
-        concurrency=(1, 4),
+        scorer_fn(qref, k, cls=Filtered), batch_format="pandas"
     )
     import heapq as hq
 

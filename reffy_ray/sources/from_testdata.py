@@ -23,6 +23,26 @@ Derivation rules (keep in sync with the oracle SQL!):
   figure   iff doc_id % 13 == 0: media_ref
              'https://img.example.org/doc-<doc_id>.png',
              caption 'Figure <doc_id>'
+  meta     generator 'bikeshed' iff doc_id % 4 == 0, 'respec' iff % 4 == 2;
+           revision 'rev-<doc_id>' iff doc_id % 6 == 1;
+           date '2026-03-15' iff doc_id % 5 == 2
+  refs     iff doc_id % 6 == 0: normative ref '[REF<doc_id % 9>]' →
+             'https://refs.example.org/ref-<doc_id % 9>/'
+           iff doc_id % 6 == 3: informative ref '[XREF<doc_id % 9>]' →
+             'https://refs.example.org/iref-<doc_id % 9>/'
+           (the <dd> link also lands in the links extract)
+  css      iff doc_id % 8 == 0: propdef table, property 'p<doc_id % 20>',
+             dfn id 'propdef-p<doc_id>' (type 'property' → also a dfn row)
+           iff doc_id % 16 == 0: pre.prod '<len<doc_id % 6>> = px | em'
+  event    iff doc_id % 9 == 0: def-table type 'ev<doc_id % 7>',
+             interface 'Event', bubbles yes, id 'eventdef-<doc_id>'
+  algo     iff doc_id % 12 == 0: ol.algorithm id 'algo-<doc_id>',
+             name 'compute <doc_id>', intro 'To run algorithm <doc_id>:',
+             steps ['Let x be <doc_id>.', 'Return x.']
+  cddl     iff doc_id % 14 == 0: module 'modA', 'msg<doc_id> = tstr'
+  element  iff doc_id % 15 == 0: heading dfn id 'eldef-<doc_id>'
+             (type 'dfn' → also a dfn row), element 'x-el<doc_id>',
+             interface 'HTMLElement'
   base url = 'https://corpus.example.org/doc-<doc_id>/'
 """
 
@@ -43,7 +63,16 @@ def base_url(doc_id: int) -> str:
 
 def doc_html(doc_id: int, text: str) -> str:
     s = doc_id % 5
-    parts = [
+    parts = []
+    if doc_id % 4 == 0:
+        parts.append("<meta name='generator' content='Bikeshed version 3'>")
+    elif doc_id % 4 == 2:
+        parts.append("<meta name='generator' content='ReSpec'>")
+    if doc_id % 6 == 1:
+        parts.append(f"<meta name='revision' content='rev-{doc_id}'>")
+    if doc_id % 5 == 2:
+        parts.append("<meta name='dcterms.date' content='2026-03-15'>")
+    parts += [
         f"<title>Doc {doc_id}</title>",
         f"<h2 id='sec{s}'><span class='secno'>{s}.</span> Section {s}</h2>",
         f"<p>{_html.escape(text or '')}</p>",
@@ -68,6 +97,58 @@ def doc_html(doc_id: int, text: str) -> str:
             f"<figure><img src='https://img.example.org/doc-{doc_id}.png'>"
             f"<figcaption>Figure {doc_id}</figcaption></figure>"
         )
+    if doc_id % 6 == 0:
+        k = doc_id % 9
+        parts.append(
+            "<section id='normative-references'><dl>"
+            f"<dt>[REF{k}]</dt>"
+            f"<dd><a href='https://refs.example.org/ref-{k}/'>Reference {k}</a></dd>"
+            "</dl></section>"
+        )
+    elif doc_id % 6 == 3:
+        k = doc_id % 9
+        parts.append(
+            "<section id='informative-references'><dl>"
+            f"<dt>[XREF{k}]</dt>"
+            f"<dd><a href='https://refs.example.org/iref-{k}/'>Reference {k}</a></dd>"
+            "</dl></section>"
+        )
+    if doc_id % 8 == 0:
+        parts.append(
+            "<table class='propdef'>"
+            f"<tr><th>Name:</th><td><dfn id='propdef-p{doc_id}' "
+            f"data-dfn-type='property'>p{doc_id % 20}</dfn></td></tr>"
+            "<tr><th>Value:</th><td>none | auto</td></tr>"
+            "<tr><th>Initial:</th><td>none</td></tr>"
+            "</table>"
+        )
+    if doc_id % 16 == 0:
+        parts.append(f"<pre class='prod'>&lt;len{doc_id % 6}&gt; = px | em</pre>")
+    if doc_id % 9 == 0:
+        parts.append(
+            f"<table class='def' id='eventdef-{doc_id}'>"
+            f"<tr><th>Type:</th><td>ev{doc_id % 7}</td></tr>"
+            "<tr><th>Interface:</th><td>Event</td></tr>"
+            "<tr><th>Bubbles:</th><td>Yes</td></tr>"
+            "</table>"
+        )
+    if doc_id % 12 == 0:
+        parts.append(
+            f"<p>To run algorithm {doc_id}:</p>"
+            f"<ol class='algorithm' id='algo-{doc_id}' "
+            f"data-algorithm='compute {doc_id}'>"
+            f"<li>Let x be {doc_id}.</li><li>Return x.</li></ol>"
+        )
+    if doc_id % 14 == 0:
+        parts.append(
+            f"<pre class='cddl' data-cddl-module='modA'>msg{doc_id} = tstr</pre>"
+        )
+    if doc_id % 15 == 0:
+        parts.append(
+            f"<h3><dfn id='eldef-{doc_id}'>x-el{doc_id}</dfn></h3>"
+            "<dl class='element'><dt>DOM interface:</dt>"
+            "<dd><code>HTMLElement</code></dd></dl>"
+        )
     return "".join(parts)
 
 
@@ -91,12 +172,16 @@ class TestdataSpanParser:
         )
 
 
-def span_documents(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
+def span_documents(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
     """sf documents table → span-table Dataset (columns pruned at read).
 
-    Fixed-size actor pool (autoscaling pools under-provision; see
-    pipelines/crawl.py); num_cpus=0.5 keeps a 4-actor pool viable on a
-    4-CPU test session while a bench caller passes a bigger pool."""
+    Fixed-size actor pool sized from the session's CPUs (autoscaling
+    pools under-provision, and the round-1 literal ``4×num_cpus=0.5``
+    starved a 32-CPU bench node — see VERDICT round 1)."""
+    from ..util import pool_size
+
+    if concurrency is None:
+        concurrency = pool_size()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_blocks = max(4, int(concurrency) * 4)
     return ds.repartition(n_blocks).map_batches(
@@ -104,5 +189,4 @@ def span_documents(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
         batch_format="pyarrow",
         batch_size=256,
         concurrency=concurrency,
-        num_cpus=0.5,
     )

@@ -1,0 +1,21 @@
+"""Small shared runtime helpers."""
+
+from __future__ import annotations
+
+
+def pool_size(frac: float = 1.0, minimum: int = 2, cap: int | None = None) -> int:
+    """Fixed actor-pool size derived from the session's CPUs.
+
+    Autoscaling ``concurrency=(min, max)`` pools idle at their minimum
+    under Ray's conservative scale-up (measured in round 1 — see
+    BASELINE.md perf journal), so stateful stages use a fixed pool
+    sized from ``ray.cluster_resources()`` instead: most-of-the-node
+    for hot stages (frac=1.0), a slice for light ones.
+    """
+    import ray
+
+    cpus = 4
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    n = max(minimum, int(cpus * frac) - 1)
+    return min(n, cap) if cap else n

@@ -156,14 +156,38 @@ def test_quality_score_ppm_integers():
 
 def test_lang_id():
     lid = LangId()
-    import pandas as pd
-
-    out = lid(pd.DataFrame({
+    out = lid(pa.table({
         "doc_id": [1, 2, 3],
         "text": [
             "the cat and the dog sat in a corner of the house",
             "der Hund und die Katze ist nicht mit dem Mann",
             "",
         ],
-    }))
-    assert out["lang_pred"].tolist() == ["en", "de", "und"]
+    })).to_pydict()
+    assert out["lang_pred"] == ["en", "de", "und"]
+
+
+def test_fingerprint_deterministic():
+    from reffy_ray.ops.text import Fingerprint
+
+    fp = Fingerprint()
+    out1 = fp(pa.table({"doc_id": [1, 2, 3], "text": ["a b  c", "a b c", ""]}))
+    out2 = fp(pa.table({"doc_id": [1, 2, 3], "text": ["a b  c", "a b c", ""]}))
+    v1 = out1.column("fingerprint").to_pylist()
+    assert v1 == out2.column("fingerprint").to_pylist()
+    # whitespace-normalized: 'a b  c' and 'a b c' hash identically
+    assert v1[0] == v1[1]
+    assert v1[2] == 0
+    big = fp(pa.table({"doc_id": [1], "text": ["xyz " * 30000]}))
+    assert big.column("fingerprint").to_pylist()[0] > 0
+
+
+def test_simhash_near_pairs_planted(ray_session):
+    from reffy_ray.ops.dedup import simhash_near_pairs, simhash_table
+
+    texts = [BASE, BASE + " tail", "completely different text on another matter " * 3]
+    sigs = simhash_table(_docs_ds(texts))
+    out = simhash_near_pairs(sigs, max_hamming=10).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)

@@ -60,7 +60,10 @@ def test_entry_smoke(contract):
 
 ORACLE_KEYS = [
     "headings_from_text", "dfns_from_text", "idl_from_text", "links_from_text",
-    "titles_from_text", "token_count", "bpeish_tokens", "quality_score",
+    "titles_from_text", "meta_from_text", "ids_from_text", "refs_from_text",
+    "css_from_text", "events_from_text", "algorithms_from_text",
+    "cddl_from_text", "elements_from_text",
+    "token_count", "bpeish_tokens", "quality_score",
     "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "word_counts", "sessionize",
