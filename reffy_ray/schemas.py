@@ -174,6 +174,9 @@ EXTRACTS_DFNS = pa.schema(
         ("heading", HEADING_STRUCT),
         ("defined_in", pa.string()),
         ("html_prose", pa.string()),
+        # dev links from "for web developers" sections, JSON-encoded
+        # (extract-dfns.mjs links property)
+        ("links", pa.large_string()),
     ]
 )
 

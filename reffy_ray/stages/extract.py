@@ -251,7 +251,9 @@ def extract_dfns(batch: pa.Table) -> pa.Table:
         # pass 1: id → heading struct + doc title
         pt = _PageTracker(url)
         headings: dict[str, dict] = {}
-        title = "No Title"
+        # fallback heading title is document.title — empty when the doc
+        # has no <title> (extract-dfns.mjs:275-278)
+        title = ""
         saw_title = False
         for s in spans:
             pt.feed(s)
@@ -269,8 +271,27 @@ def extract_dfns(batch: pa.Table) -> pa.Table:
                     }
         pt = _PageTracker(url)
         seen_ids: set[str] = set()
+        doc_rows: list[dict] = []
+        dev_links: list[dict] = []
         for s in spans:
             pt.feed(s)
+            if s["kind"] == "dev-link":
+                l = json.loads(s["text"])
+                heading = headings.get(l.get("heading_id") or "")
+                if heading is None:
+                    heading = {"id": None, "href": pt.page, "title": title,
+                               "number": None}
+                dev_links.append(
+                    {
+                        "type": "dev",
+                        "id": l["id"],
+                        "name": l["name"],
+                        "href": pt.href(l["id"]),
+                        "target": l.get("target") or "",
+                        "heading": heading,
+                    }
+                )
+                continue
             if s["kind"] != "dfn":
                 continue
             d = json.loads(s["text"])
@@ -280,7 +301,7 @@ def extract_dfns(batch: pa.Table) -> pa.Table:
             heading = headings.get(d.get("heading_id") or "")
             if heading is None:
                 heading = {"id": None, "href": pt.page, "title": title, "number": None}
-            rows.append(
+            doc_rows.append(
                 {
                     "doc_id": doc_id,
                     "id": d["id"],
@@ -294,8 +315,20 @@ def extract_dfns(batch: pa.Table) -> pa.Table:
                     "heading": heading,
                     "defined_in": d.get("defined_in", "prose"),
                     "html_prose": d.get("html_prose"),
+                    "_links": [],
                 }
             )
+        # attach dev links to the dfn they reference
+        # (extract-dfns.mjs:387-414; unmatched dev anchors are dropped)
+        by_href = {r["href"]: r for r in doc_rows}
+        for link in dev_links:
+            target = link.pop("target")
+            dfn = by_href.get(target)
+            if dfn is not None:
+                dfn["_links"].append(link)
+        for r in doc_rows:
+            r["links"] = json.dumps(r.pop("_links"), ensure_ascii=False)
+        rows.extend(doc_rows)
     return _table(schemas.EXTRACTS_DFNS, rows)
 
 

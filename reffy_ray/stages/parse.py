@@ -23,7 +23,12 @@ import pyarrow as pa
 from ..schemas import SPAN_STRUCT
 from .htmldom import Node, parse_html
 
-_RE_SECNO = re.compile(r"^\s*((?:[A-Z]|\d+)(?:\.\d+)*\.?)\s+")
+# Heading-number fallback, aligned with the reference's reNumber shape
+# (map-ids-to-headings.mjs:12): dotted forms, single digits, or
+# "Appendix X." — NOT bare words like "A Sample Heading" or "10 Things".
+_RE_SECNO = re.compile(
+    r"^\s*([A-Z\d]\.|[A-Z](?:\.\d+)+\.?|\d+(?:\.\d+)+\.?|\d|Appendix [A-Z][.:])\s+"
+)
 _RE_NORMATIVE_REFS = re.compile(r"^normative\s+references?$", re.I)
 _RE_INFORMATIVE_REFS = re.compile(r"^(informative|other)\s+references?$", re.I)
 _RE_REFS_HEADING = re.compile(r"^references?$", re.I)
@@ -71,10 +76,16 @@ def dedent_code(text: str) -> str:
     return "\n".join(ln[cut:] if ln.strip() else "" for ln in lines)
 
 
+_DFN_DATA_ATTRS = (
+    "data-dfn-type", "data-dfn-for", "data-export", "data-noexport", "data-lt",
+)
+_CSS2_VENDOR_URL = "https://www.w3.org/TR/CSS2/syndata.html#vendor-keywords"
+
+
 class _Walker:
     """Single-document walk emitting (kind, text, media_ref) events."""
 
-    def __init__(self, base_url: str):
+    def __init__(self, base_url: str, uses_dfn_model: bool = True):
         self.base_url = base_url
         self.page_url = base_url
         self.events: list[tuple[str, str, str]] = []
@@ -86,6 +97,9 @@ class _Walker:
         self.saw_idl_index = False
         self._algo_counter = 0
         self.last_heading_dfns: list[tuple[str, str]] = []
+        # Document-level flag (extract-dfns.mjs:335-340): in specs that
+        # never use the dfn data model, every dfn is public.
+        self.uses_dfn_model = uses_dfn_model
 
     # -- emission ----------------------------------------------------------
     def emit(self, kind: str, text: str, media_ref: str = "", to_idl_index: bool = False):
@@ -120,6 +134,11 @@ class _Walker:
             return
         if cls & _INFORMATIVE_CLASSES:
             informative = True
+        if "domintro" in cls:
+            # "For web developers" sections: capture dev anchors as
+            # dev-link spans (extract-dfns.mjs:387-414), then continue
+            # the normal walk (dfns inside still count).
+            self._emit_dev_links(n)
         if n.get("data-reffy-page"):
             self.page_url = n.get("data-reffy-page")
             self.emit("meta", f"page={self.page_url}")
@@ -188,6 +207,11 @@ class _Walker:
             img = n.first("img")
             cap = n.first("figcaption")
             self.emit("figure", cap.norm_text() if cap else "", img.get("src", "") if img else "")
+            # non-media content inside figures (e.g. the ecmascript
+            # spec's state-component tables) still gets walked
+            for child in n.element_children():
+                if child.tag not in ("img", "figcaption"):
+                    self._visit(child, informative, in_head, in_idl_index)
             return
         if tag == "img":
             self.emit("image", n.get("alt", "") or "", n.get("src", "") or "")
@@ -253,7 +277,7 @@ class _Walker:
         else:
             m = _RE_SECNO.match(text)
             if m:
-                number = m.group(1).rstrip(".")
+                number = re.sub(r"^Appendix ", "", m.group(1).rstrip(".:"))
                 text = text[m.end():].strip()
         return number, text
 
@@ -263,6 +287,20 @@ class _Walker:
             a = n.first("a")
             if a is not None and a.get("name"):
                 hid = a.get("name")
+        if not hid:
+            # adopt the enclosing section's id when the heading has none
+            # (map-ids-to-headings.mjs: the section root's id wins)
+            anc = n.parent
+            while anc is not None and anc.tag in ("div", "hgroup", "header") and not anc.id:
+                anc = anc.parent
+            if anc is not None and anc.tag == "section" and anc.id:
+                first_h = next(
+                    (d for d in anc.iter()
+                     if d.tag in ("h1", "h2", "h3", "h4", "h5", "h6")),
+                    None,
+                )
+                if first_h is n:
+                    hid = anc.id
         level = int(n.tag[1])
         number, title = self._heading_parts(n)
         if hid:
@@ -286,6 +324,17 @@ class _Walker:
         # links inside headings still count
         for a in n.find_all("a"):
             self._visit_link(a, in_head)
+        # the heading itself may be a definition (annotated headings,
+        # extract-dfns.mjs:309: heading[id] with any dfn data attribute)
+        if (
+            hid
+            and any(n.get(a) is not None for a in _DFN_DATA_ATTRS)
+            and n.get("data-lt") != ""
+        ):
+            self._emit_dfn_payload(
+                n, hid, default_lt=[title], defined_in="heading",
+                informative=informative, heading_id=hid,
+            )
         # dfns inside headings (annotated headings, extract-dfns.mjs:301-310);
         # also remembered for the HTML `<dl class=element>` dialect, whose
         # element names come from the heading's dfns (extract-elements.mjs)
@@ -296,24 +345,78 @@ class _Walker:
                 self._visit_dfn(d, informative, in_head)
             self.last_heading_dfns.append((d.id, d.norm_text()))
 
+    def _dfn_access(self, n: Node) -> str:
+        """Reference access rule (extract-dfns.mjs:259-268): public when
+        the doc doesn't use the dfn data model, when explicitly
+        exported, or when typed as anything but 'dfn'/'cddl-*' without
+        an explicit noexport."""
+        dfn_type = n.get("data-dfn-type")
+        if not self.uses_dfn_model or n.get("data-export") is not None:
+            return "public"
+        if (
+            n.get("data-noexport") is None
+            and dfn_type
+            and dfn_type != "dfn"
+            and not dfn_type.startswith("cddl-")
+        ):
+            return "public"
+        return "private"
+
+    def _emit_dfn_payload(
+        self, n: Node, dfn_id: str, default_lt: list[str], defined_in: str,
+        informative: bool, heading_id: str, html_prose: str | None = None,
+    ):
+        lt = n.get("data-lt")
+        linking = [s.strip() for s in lt.split("|")] if lt else default_lt
+        local_lt = n.get("data-local-lt")
+        local = [s.strip() for s in local_lt.split("|")] if local_lt else []
+        # `for` list is not purely comma-separated (method(foo,bar) args)
+        dfn_for = [
+            s.strip()
+            for s in re.split(r",(?![^(]*\))", n.get("data-dfn-for") or "")
+            if s.strip()
+        ]
+        self.emit(
+            "dfn",
+            json.dumps(
+                {
+                    "id": dfn_id,
+                    "lt": linking,
+                    "local_lt": local,
+                    "type": n.get("data-dfn-type") or "dfn",
+                    "for": dfn_for,
+                    "access": self._dfn_access(n),
+                    "informative": informative,
+                    "heading_id": heading_id,
+                    "defined_in": defined_in,
+                    "html_prose": html_prose,
+                },
+                ensure_ascii=False,
+            ),
+        )
+
     def _visit_dfn(self, n: Node, informative: bool, in_head: bool):
         if not n.id:
             return
-        dfn_type = n.get("data-dfn-type") or "dfn"
-        lt = n.get("data-lt")
-        linking = [s.strip() for s in lt.split("|")] if lt else [n.norm_text()]
-        local_lt = n.get("data-local-lt")
-        local = [s.strip() for s in local_lt.split("|")] if local_lt else []
-        dfn_for = [s.strip() for s in (n.get("data-dfn-for") or "").split(",") if s.strip()]
-        exported = n.get("data-export") is not None
-        noexport = n.get("data-noexport") is not None
-        if exported:
-            access = "public"
-        elif noexport:
-            access = "private"
-        else:
-            # Bikeshed default: concept dfns private, IDL/markup dfns public
-            access = "private" if dfn_type in ("dfn", "abstract-op") else "public"
+        if n.get("data-lt") == "":
+            return
+        # a dfn whose whole text is an http link is an *imported*
+        # definition, not a real one (extract-dfns.mjs:365-375), with
+        # one hardcoded CSS2 exception
+        link = next(
+            (a for a in n.iter()
+             if a is not n and a.tag == "a" and (a.get("href") or "").startswith("http")),
+            None,
+        ) or n.closest(
+            lambda a: a is not n and a.tag == "a"
+            and (a.get("href") or "").startswith("http")
+        )
+        if (
+            link is not None
+            and n.norm_text() == link.norm_text()
+            and link.get("href") != _CSS2_VENDOR_URL
+        ):
+            return
         container = n.closest(
             lambda a: a.tag in ("pre", "dt", "h1", "h2", "h3", "h4", "h5", "h6", "li", "table")
         )
@@ -334,24 +437,43 @@ class _Walker:
             defined_in = "table"
         else:
             defined_in = "prose"
-        self.emit(
-            "dfn",
-            json.dumps(
-                {
-                    "id": n.id,
-                    "lt": linking,
-                    "local_lt": local,
-                    "type": dfn_type,
-                    "for": dfn_for,
-                    "access": access,
-                    "informative": informative,
-                    "heading_id": self.heading_id,
-                    "defined_in": defined_in,
-                    "html_prose": html_prose,
-                },
-                ensure_ascii=False,
-            ),
+        self._emit_dfn_payload(
+            n, n.id, default_lt=[n.norm_text()], defined_in=defined_in,
+            informative=informative, heading_id=self.heading_id,
+            html_prose=html_prose,
         )
+
+    def _emit_dev_links(self, n: Node):
+        """`.domintro dt:not(:has(dfn)) a[id]` anchors become dev-link
+        spans attached to the target dfn downstream
+        (extract-dfns.mjs:387-414)."""
+        from urllib.parse import urljoin
+
+        for dt in n.find_all("dt"):
+            if dt.first("dfn") is not None:
+                continue
+            for a in dt.iter():
+                if a.tag != "a" or not a.id:
+                    continue
+                href = a.get("href") or ""
+                if href.startswith("#"):
+                    # urljoin can't resolve fragments against opaque
+                    # bases like about:blank
+                    target = self.page_url.split("#")[0] + href
+                else:
+                    target = urljoin(self.page_url, href) if href else ""
+                self.emit(
+                    "dev-link",
+                    json.dumps(
+                        {
+                            "id": a.id,
+                            "name": dt.norm_text(),
+                            "target": target,
+                            "heading_id": self.heading_id,
+                        },
+                        ensure_ascii=False,
+                    ),
+                )
 
     def _visit_link(self, n: Node, in_head: bool):
         href = n.get("href") or ""
@@ -891,20 +1013,43 @@ class _Walker:
         self._walk(n, informative, in_head, in_idl_index)
 
 
-def spans_from_html(
-    html: str, base_url: str, pages: list[tuple[str, str]] | None = None
-) -> list[dict]:
-    """Parse one (possibly multi-page) document into its span sequence."""
-    from .htmldom import clear_parents
+def _uses_dfn_model(roots) -> bool:
+    """Whether any dfn[id] / heading[id] carries a dfn data attribute
+    (extract-dfns.mjs:335-340 usesDfnDataModel)."""
+    flags = ("data-dfn-type", "data-dfn-for", "data-export", "data-noexport")
+    for root in roots:
+        for n in root.iter():
+            if not n.id:
+                continue
+            if n.tag == "dfn" or n.tag in ("h2", "h3", "h4", "h5", "h6"):
+                if any(n.get(a) is not None for a in flags):
+                    return True
+    return False
 
-    w = _Walker(base_url)
+
+def spans_from_html(
+    html: str,
+    base_url: str,
+    pages: list[tuple[str, str]] | None = None,
+    shortname: str | None = None,
+) -> list[dict]:
+    """Parse one (possibly multi-page) document into its span sequence.
+
+    ``shortname`` selects a spec-specific preprocessing pass
+    (stages/preprocess.py — extract-dfns.mjs:312-332 dispatch)."""
+    from .htmldom import clear_parents
+    from .preprocess import preprocess_spec
+
     root = parse_html(html)
+    page_roots = [(url, parse_html(page_html)) for url, page_html in pages or []]
+    all_pages = [(base_url, root)] + page_roots
+    preprocess_spec(shortname, all_pages)
+    w = _Walker(base_url, uses_dfn_model=_uses_dfn_model([r for _, r in all_pages]))
     w.walk_document(root)
-    clear_parents(root)
-    for url, page_html in pages or []:
-        proot = parse_html(page_html)
+    for url, proot in page_roots:
         w.merge_subpage(url, proot)
-        clear_parents(proot)
+    for _, r in all_pages:
+        clear_parents(r)
     events = w.events
     if w.saw_idl_index:
         # Bikeshed IDL index wins over in-prose IDL blocks
@@ -939,12 +1084,19 @@ class SpanParser:
             if "page_htmls" in batch.column_names
             else [[] for _ in doc_ids]
         )
+        shortnames = (
+            batch.column("shortname").to_pylist()
+            if "shortname" in batch.column_names
+            else [None for _ in doc_ids]
+        )
         spans_col = []
         errors = []
-        for url, html, purls, phtmls in zip(urls, htmls, pus, phs):
+        for url, html, purls, phtmls, shortname in zip(urls, htmls, pus, phs, shortnames):
             pages = list(zip(purls or [], phtmls or []))
             try:
-                spans_col.append(spans_from_html(html or "", url, pages))
+                spans_col.append(
+                    spans_from_html(html or "", url, pages, shortname=shortname)
+                )
                 errors.append(None)
             except Exception as e:  # per-doc error capture; crawl continues
                 # (reference records spec.error and moves on,
