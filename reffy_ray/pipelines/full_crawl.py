@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.scalars import camel_case_module_name
-from ..functions.webidl import IdlParser
+from ..functions.webidl import parse_idl_batch
 from ..post.annotate_links import annotate_links
 from ..post.backrefs import backrefs
 from ..post.csscomplete import complete_css
@@ -88,6 +88,7 @@ def full_crawl(
     run_post: bool = True,
     fallback_spans: dict | None = None,
     cache_info: dict | None = None,
+    validate: bool = False,
 ) -> FullCrawlResult:
     """Crawl the seeds, extract every module, run post-processing,
     write everything under ``out_dir`` (documents/, extracts/<module>/,
@@ -116,6 +117,14 @@ def full_crawl(
         if n > 0
     }
 
+    validation: dict[str, int] = {}
+    if validate:
+        # Ajv-analog structural validation of every extract table
+        # (src/lib/util.js:1065-1140), run as a streamed stage
+        from ..stages.validate import validate_extracts
+
+        validation = validate_extracts(extracts)
+
     post_out: dict[str, object] = {}
     if run_post:
         post_dir = os.path.join(out_dir, "post")
@@ -128,7 +137,7 @@ def full_crawl(
 
         if "idl" in extracts:
             parsed = extracts["idl"].map_batches(
-                IdlParser, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+                parse_idl_batch, batch_format="pyarrow"
             ).materialize()
             parsed.write_parquet(os.path.join(post_dir, "idlparsed"))
             post_out["idlparsed"] = parsed
@@ -192,10 +201,9 @@ def full_crawl(
         for m in modules:
             if not m.extracts_per_series or m.name not in extracts:
                 continue
-            with_extract = set(
-                r["doc_id"]
-                for r in extracts[m.name].select_columns(["doc_id"]).take_all()
-            )
+            # distributed distinct; only the (small) per-spec id list
+            # reaches the driver
+            with_extract = set(extracts[m.name].unique("doc_id"))
             reduced = reduce_extracts_per_series(
                 extracts[m.name], seeds, with_extract
             )
@@ -210,9 +218,12 @@ def full_crawl(
     with open(os.path.join(out_dir, "index.json"), "w") as f:
         json.dump(index, f, indent=2)
 
-    return FullCrawlResult(
+    result = FullCrawlResult(
         out_dir=out_dir, counts=counts, index=index, crawl_stats=res.stats
     )
+    if validate:
+        result.index["validation"] = validation
+    return result
 
 
 def markdown_report(result: FullCrawlResult, documents: rd.Dataset) -> str:
@@ -230,8 +241,10 @@ def markdown_report(result: FullCrawlResult, documents: rd.Dataset) -> str:
         lines.append(f"- **{mod}**: {n} rows")
     lines.append("")
     lines.append("## Documents")
-    rows = documents.select_columns(["doc_id", "url", "error"]).take_all()
-    for r in sorted(rows, key=lambda x: x["doc_id"]):
+    rows = documents.select_columns(["doc_id", "url", "error"]).sort(
+        "doc_id"
+    ).iter_rows()
+    for r in rows:
         status = f"error: {r['error']}" if r["error"] else "ok"
         lines.append(f"- `{r['doc_id']}` <{r['url']}> — {status}")
     return "\n".join(lines) + "\n"

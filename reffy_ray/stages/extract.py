@@ -423,8 +423,23 @@ def extract_css(batch: pa.Table) -> pa.Table:
         pt = _PageTracker(url)
         tables: "OrderedDict[str, dict]" = OrderedDict()
         table_hrefs: dict[str, str] = {}
+        dl_defs: list[dict] = []  # legacy dl dialect, used only as fallback
         for s in spans:
             pt.feed(s)
+            if s["kind"] == "css-dl-def":
+                d = json.loads(s["text"])
+                d["_page"] = pt.page
+                dl_defs.append(d)
+                continue
+            if s["kind"] == "css-legacy-alias":
+                # legacy '-webkit' aliases always land in properties
+                # (extract-cssdfn.mjs:33)
+                a = json.loads(s["text"])
+                payload = {"name": a["name"], "legacyAliasOf": a["alias_of"]}
+                if a.get("id"):
+                    payload["href"] = pt.href(a["id"])
+                add_row("properties", a["name"], payload)
+                continue
             if s["kind"] == "dfn":
                 d = json.loads(s["text"])
                 cat = css_dfn_categories.get(d.get("type", ""))
@@ -456,6 +471,22 @@ def extract_css(batch: pa.Table) -> pa.Table:
                         "value": " ".join(m.group(2).split()),
                     }
                     add_row("values", name, payload)
+        if not tables and dl_defs:
+            # older recipe fallback: dl definitions only apply when no
+            # table-based propdef/descdef exists (extract-cssdfn.mjs:83-96)
+            for d in dl_defs:
+                props = {
+                    _css_prop_key(label): value
+                    for label, value in d.get("props", {}).items()
+                }
+                props.pop("name", None)
+                category = "atrules" if d["kind"] == "descdef" else "properties"
+                for nm in d.get("names", []):
+                    payload = dict(props)
+                    payload["name"] = nm["name"]
+                    if nm.get("id"):
+                        payload["href"] = f"{d['_page']}#{nm['id']}"
+                    add_row(category, nm["name"], payload)
         for tid, t in tables.items():
             kind = t.pop("__kind", "propdef")
             names = [n.strip() for n in t.get("name", "").split(",") if n.strip()]
@@ -633,25 +664,71 @@ def extract_events(batch: pa.Table) -> pa.Table:
 
 
 def extract_elements(batch: pa.Table) -> pa.Table:
-    """Markup element → IDL interface mapping (extract-elements.mjs);
-    href = the heading dfn's anchor carried in the span payload."""
+    """Markup element → IDL interface mapping, three dialects with the
+    reference's priority order (extract-elements.mjs): HTML dl.element
+    first, else SVG element-summary / definition-table, else the dfn
+    contract (dfn[data-dfn-type=element]; every MathML Core element
+    uses MathMLElement, other specs match an interface dfn named
+    html<name>element)."""
     rows = []
     for doc_id, url, spans in _iter_docs(batch):
         pt = _PageTracker(url)
-        seen: set[str] = set()
+        shortname = None
+        html_defs: list[dict] = []
+        svg_defs: list[dict] = []
+        element_dfns: list[dict] = []   # dfn spans typed 'element'
+        iface_dfns: list[tuple[str, str]] = []  # (lt0, text) of interface dfns
         for s in spans:
             pt.feed(s)
-            if s["kind"] != "element-def":
-                continue
-            e = json.loads(s["text"])
-            if e["name"] in seen:
+            if s["kind"] == "meta" and s["text"].startswith("shortname="):
+                shortname = s["text"][len("shortname="):]
+            elif s["kind"] == "element-def":
+                e = json.loads(s["text"])
+                e["href"] = pt.href(e["id"]) if e.get("id") else pt.page
+                if e.get("dialect", "html") == "html":
+                    html_defs.append(e)
+                else:
+                    svg_defs.append(e)
+            elif s["kind"] == "iface-name":
+                iface_dfns.append((s["text"].lower(), s["text"]))
+            elif s["kind"] == "dfn":
+                d = json.loads(s["text"])
+                if d.get("type") == "element":
+                    element_dfns.append(
+                        {
+                            "name": (d.get("lt") or [""])[0],
+                            "href": pt.href(d["id"]),
+                        }
+                    )
+                elif d.get("type") == "interface":
+                    lt0 = (d.get("lt") or [""])[0]
+                    iface_dfns.append((lt0.lower(), lt0))
+        if html_defs:
+            chosen = html_defs
+        elif svg_defs:
+            chosen = svg_defs
+        else:
+            chosen = []
+            for d in element_dfns:
+                if shortname == "mathml-core":
+                    iface = "MathMLElement"
+                else:
+                    matches = [
+                        text for low, text in iface_dfns
+                        if low == f"html{d['name']}element".lower()
+                    ]
+                    iface = matches[0] if len(matches) == 1 else None
+                chosen.append({**d, "interface": iface})
+        seen: set[str] = set()
+        for e in chosen:
+            if not e.get("name") or e["name"] in seen:
                 continue
             seen.add(e["name"])
             rows.append(
                 {
                     "doc_id": doc_id,
                     "name": e["name"],
-                    "href": pt.href(e["id"]) if e.get("id") else pt.page,
+                    "href": e["href"],
                     "interface": e.get("interface"),
                 }
             )

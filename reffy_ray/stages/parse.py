@@ -111,6 +111,7 @@ class _Walker:
 
     # -- entry -------------------------------------------------------------
     def walk_document(self, root: Node):
+        self._scan_css_legacy(root)
         self._walk(root, informative=False, in_head=False, in_idl_index=False)
 
     def merge_subpage(self, url: str, root: Node):
@@ -118,7 +119,62 @@ class _Walker:
         (analog of <section data-reffy-page>, util.js:555-594)."""
         self.page_url = url
         self.emit("meta", f"page={url}")
+        self._scan_css_legacy(root)
         self._walk(root, informative=False, in_head=False, in_idl_index=False)
+
+    def _scan_css_legacy(self, root: Node):
+        """Legacy '-webkit' alias extraction: paragraphs (or compat
+        tables right after them) referencing #legacy-name-alias
+        (extract-cssdfn.mjs:927-968 extractLegacyProperties)."""
+        for a in root.iter():
+            if a.tag != "a" or not (a.get("href") or "").endswith("#legacy-name-alias"):
+                continue
+            el = a.parent
+            if el is None:
+                continue
+            pairs: list[tuple[Node, Node]] = []
+            dfn = next(
+                (d for d in el.iter()
+                 if d.tag == "dfn" and d.get("data-dfn-type") == "property"),
+                None,
+            )
+            alias = next(
+                (d for d in el.iter()
+                 if d.tag == "a" and d.get("data-link-type") == "property"),
+                None,
+            )
+            if dfn is not None and alias is not None:
+                pairs.append((dfn, alias))
+            else:
+                table = self._next_element_sibling(el)
+                if table is None or table.tag != "table":
+                    continue
+                thead = table.first("thead")
+                if thead is None or len(list(thead.find_all("th"))) != 2:
+                    continue
+                tbody = table.first("tbody")
+                for row in tbody.find_all("tr") if tbody is not None else []:
+                    d = next(
+                        (x for x in row.iter()
+                         if x.tag == "dfn" and x.get("data-dfn-type") == "property"),
+                        None,
+                    )
+                    al = next(
+                        (x for x in row.iter()
+                         if x.tag == "a" and x.get("data-link-type") == "property"),
+                        None,
+                    )
+                    if d is not None and al is not None:
+                        pairs.append((d, al))
+            for d, al in pairs:
+                self.emit(
+                    "css-legacy-alias",
+                    json.dumps(
+                        {"name": d.norm_text(), "id": d.id or None,
+                         "alias_of": al.norm_text()},
+                        ensure_ascii=False,
+                    ),
+                )
 
     # -- recursive walk ----------------------------------------------------
     def _walk(self, node: Node, informative: bool, in_head: bool, in_idl_index: bool):
@@ -187,6 +243,19 @@ class _Walker:
         if tag == "dl":
             if self._visit_dl(n, informative):
                 return
+            self._walk(n, informative, in_head, in_idl_index)
+            return
+        if tag == "div" and (cls & {"propdef", "descdef"}):
+            # legacy dl-based CSS definitions ("old" CSS specs:
+            # div.propdef dl / div.descdef dl, extract-cssdfn.mjs:470-506)
+            dl = n.first("dl")
+            if dl is not None:
+                self._emit_dl_cssdef(dl, "descdef" if "descdef" in cls else "propdef")
+            self._walk(n, informative, in_head, in_idl_index)
+            return
+        if tag == "div" and "element-summary" in cls:
+            # SVG element-summary dialect (extract-elements.mjs:152-205)
+            self._emit_element_summary(n)
             self._walk(n, informative, in_head, in_idl_index)
             return
         if tag in ("ol", "div", "section") and "algorithm" in cls:
@@ -397,6 +466,11 @@ class _Walker:
 
     def _visit_dfn(self, n: Node, informative: bool, in_head: bool):
         if not n.id:
+            # id-less interface dfns still matter to the elements
+            # extractor's name→interface lookup (extract-elements.mjs
+            # queries dfn[data-dfn-type=interface] without an id filter)
+            if n.get("data-dfn-type") == "interface":
+                self.emit("iface-name", n.norm_text())
             return
         if n.get("data-lt") == "":
             return
@@ -542,6 +616,11 @@ class _Walker:
     # -- tables ------------------------------------------------------------
     def _visit_table(self, n: Node, informative: bool) -> bool:
         cls = n.classes
+        if "definition-table" in cls:
+            # SVG definition-table dialect (extract-elements.mjs:208-239);
+            # generic walk still emits the dfn/link spans inside
+            self._emit_definition_table_element(n)
+            return False
         if cls & {"propdef", "descdef"}:
             self._emit_propdef(n, "descdef" if "descdef" in cls else "propdef")
             return True
@@ -688,8 +767,11 @@ class _Walker:
     def _visit_dl(self, n: Node, informative: bool) -> bool:
         cls = n.classes
         if "element" in cls:
+            # emit the element mapping, then let the generic walk pick
+            # up IDL blocks / dfns / links nested in the dds (the HTML
+            # spec inlines the interface IDL inside dl.element)
             self._emit_element_def(n)
-            return True
+            return False
         if "switch" in cls:
             self._emit_switch_algorithm(n)
             return True
@@ -754,10 +836,11 @@ class _Walker:
         self._emit_descendant_anchors(n)
 
     def _emit_element_def(self, n: Node):
-        """HTML-spec style `<dl class=element>` (extract-elements.mjs):
+        """HTML-spec style `<dl class=element>` (extract-elements.mjs:25-149):
         element name(s) come from the preceding heading's dfn(s) —
         grouped headings yield one element per dfn; the interface comes
-        from the "DOM interface:" dd (own dfn > referenced code/a)."""
+        from the "DOM interface:" dd (typed dfn/idl link > "Uses X"
+        prose > lenient code/a fallback)."""
         names = list(getattr(self, "last_heading_dfns", []))
         iface = None
         grab_next = False
@@ -765,14 +848,25 @@ class _Walker:
             if child.tag == "dt":
                 grab_next = "dom interface" in child.norm_text().lower()
             elif child.tag == "dd" and grab_next:
-                own = child.first("dfn")
-                if own is not None:
-                    iface = own.norm_text() or None
+                iface_el = next(
+                    (
+                        d for d in child.iter()
+                        if (d.tag == "dfn" and d.get("data-dfn-type") == "interface")
+                        or (d.tag == "a" and d.get("data-link-type") == "idl")
+                    ),
+                    None,
+                )
+                if iface_el is not None:
+                    iface = iface_el.norm_text() or None
                 else:
-                    code = child.first("code") or child.first("a")
-                    iface = (
-                        code.norm_text() if code is not None else child.norm_text()
-                    ) or None
+                    m = re.match(r"^Uses? (.*?)[,.\s]", child.norm_text())
+                    if m:
+                        iface = m.group(1)
+                    else:
+                        code = child.first("code") or child.first("a")
+                        iface = (
+                            code.norm_text() if code is not None else child.norm_text()
+                        ) or None
                 grab_next = False
         for el_id, el_name in names:
             if not el_name:
@@ -780,10 +874,115 @@ class _Walker:
             self.emit(
                 "element-def",
                 json.dumps(
-                    {"name": el_name, "id": el_id, "interface": iface},
+                    {"dialect": "html", "name": el_name, "id": el_id,
+                     "interface": iface},
                     ensure_ascii=False,
                 ),
             )
+
+    def _emit_dl_cssdef(self, dl: Node, kind: str):
+        """One css-dl-def span per legacy dl definition list: names from
+        the first dt's dfn[id]/a[name] (else the dt id, else the
+        comma-split dt text), properties from dd table rows
+        (extract-cssdfn.mjs extractDlDfns)."""
+        names: list[dict] = []
+        dt = dl.first("dt")
+        if dt is None:
+            return
+        named = [
+            d for d in dt.iter()
+            if (d.tag == "dfn" and d.id) or (d.tag == "a" and d.get("name"))
+        ]
+        if named:
+            for d in named:
+                names.append(
+                    {
+                        "name": d.norm_text().replace("'", ""),
+                        "id": d.id or d.get("name"),
+                    }
+                )
+        elif dt.id:
+            names.append({"name": dt.norm_text().replace("'", ""), "id": dt.id})
+        else:
+            for nm in dt.norm_text().split(","):
+                nm = " ".join(nm.replace("'", "").split())
+                if nm:
+                    names.append({"name": nm, "id": None})
+        props: dict[str, str] = {}
+        for dd in dl.find_all("dd"):
+            table = dd.first("table")
+            if table is None:
+                continue
+            for tr in table.find_all("tr"):
+                cells = [
+                    c for c in tr.element_children() if c.tag in ("th", "td")
+                ]
+                if len(cells) < 2:
+                    continue
+                props[cells[0].norm_text()] = cells[-1].norm_text()
+        self.emit(
+            "css-dl-def",
+            json.dumps(
+                {"kind": kind, "names": names, "props": props},
+                ensure_ascii=False,
+            ),
+        )
+
+    def _emit_element_summary(self, n: Node):
+        """SVG `div.element-summary`: name from .element-name (curly
+        quotes stripped), anchor from the inner dfn, the parent's id, or
+        the preceding heading; interface from the "DOM Interfaces" dd."""
+        name_el = next(
+            (d for d in n.iter() if "element-name" in d.classes), None
+        )
+        if name_el is None:
+            return
+        name = name_el.norm_text().replace("‘", "").replace("’", "")
+        dfn = n.first("dfn")
+        if dfn is not None and dfn.id:
+            eid = dfn.id
+        elif n.parent is not None and n.parent.id:
+            eid = n.parent.id
+        else:
+            eid = self.heading_id or None
+        iface = None
+        grab = False
+        for d in n.iter():
+            if d.tag == "dt":
+                grab = d.norm_text().rstrip(":").lower() == "dom interfaces"
+            elif d.tag == "dd" and grab:
+                iface = d.norm_text() or None
+                grab = False
+        self.emit(
+            "element-def",
+            json.dumps(
+                {"dialect": "svg", "name": name, "id": eid, "interface": iface},
+                ensure_ascii=False,
+            ),
+        )
+
+    def _emit_definition_table_element(self, n: Node):
+        """SVG `table.definition-table`: name from the inner dfn,
+        interface from the "DOM Interfaces" th's td."""
+        dfn = n.first("dfn")
+        if dfn is None:
+            return
+        iface = None
+        for tr in n.find_all("tr"):
+            th = tr.first("th")
+            if th is None or th.norm_text().rstrip(":").lower() != "dom interfaces":
+                continue
+            td = tr.first("td")
+            if td is not None:
+                iface = td.norm_text() or None
+        self.emit(
+            "element-def",
+            json.dumps(
+                {"dialect": "svg", "name": dfn.norm_text(),
+                 "id": dfn.id or None, "interface": iface},
+                ensure_ascii=False,
+            ),
+        )
 
     # -- algorithms --------------------------------------------------------
     def _visit_algorithm(self, n: Node, informative: bool, in_head: bool, in_idl_index: bool):
@@ -1045,6 +1244,10 @@ def spans_from_html(
     all_pages = [(base_url, root)] + page_roots
     preprocess_spec(shortname, all_pages)
     w = _Walker(base_url, uses_dfn_model=_uses_dfn_model([r for _, r in all_pages]))
+    if shortname:
+        # downstream extractors with shortname-keyed behavior (e.g. the
+        # MathML element dialect) read it from this meta span
+        w.emit("meta", f"shortname={shortname}")
     w.walk_document(root)
     for url, proot in page_roots:
         w.merge_subpage(url, proot)

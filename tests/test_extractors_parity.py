@@ -410,3 +410,100 @@ def test_complete_with_alternative_urls():
     assert complete_with_alternative_urls(
         seed, {"https://www.w3.org/TR/WOFF2/": ["https://old.example/woff2"]}
     )[-1] == "https://old.example/woff2"
+
+
+# -- CSS legacy dialects (extract-cssdfn.mjs:470-506, 927-968) ---------------
+
+
+def css_of(html: str):
+    from reffy_ray.stages.extract import extract_css
+    import json as _json
+
+    rows = extract_css(batch_of(html)).to_pylist()
+    return {
+        (r["category"], r["name"]): _json.loads(r["payload_json"]) for r in rows
+    }
+
+
+def test_css_dl_propdef_single():
+    out = css_of(
+        "<div class='propdef'><dl>"
+        "<dt><dfn id='propdef-margin'>'margin'</dfn></dt>"
+        "<dd><table><tr><td>Value:</td><td>&lt;margin-width&gt;{1,4}</td></tr>"
+        "<tr><td>Initial:</td><td>see individual properties</td></tr>"
+        "<tr><td>Inherited:</td><td>no</td></tr></table></dd>"
+        "</dl></div>"
+    )
+    p = out[("properties", "margin")]
+    assert p["href"] == f"{URL}#propdef-margin"
+    assert p["value"] == "<margin-width>{1,4}"
+    assert p["initial"] == "see individual properties"
+    assert p["inherited"] == "no"
+
+
+def test_css_dl_propdef_grouped_names():
+    out = css_of(
+        "<div class='propdef'><dl>"
+        "<dt><dfn id='propdef-border-top-width'>'border-top-width'</dfn>, "
+        "<dfn id='propdef-border-bottom-width'>'border-bottom-width'</dfn></dt>"
+        "<dd><table><tr><td>Value:</td><td>&lt;border-width&gt;</td></tr>"
+        "</table></dd></dl></div>"
+    )
+    assert out[("properties", "border-top-width")]["value"] == "<border-width>"
+    assert out[("properties", "border-bottom-width")]["href"].endswith(
+        "#propdef-border-bottom-width"
+    )
+
+
+def test_css_dl_a_name_anchor():
+    out = css_of(
+        "<div class='propdef'><dl>"
+        "<dt><a name='propdef-clip'>'clip'</a></dt>"
+        "<dd><table><tr><td>Value:</td><td>auto</td></tr></table></dd>"
+        "</dl></div>"
+    )
+    assert out[("properties", "clip")]["href"] == f"{URL}#propdef-clip"
+
+
+def test_css_dl_ignored_when_table_propdefs_exist():
+    out = css_of(
+        "<table class='propdef'>"
+        "<tr><th>Name:</th><td><dfn id='propdef-gap' "
+        "data-dfn-type='property'>gap</dfn></td></tr>"
+        "<tr><th>Value:</th><td>normal</td></tr></table>"
+        "<div class='propdef'><dl><dt><dfn id='propdef-old'>'old'</dfn></dt>"
+        "<dd><table><tr><td>Value:</td><td>x</td></tr></table></dd></dl></div>"
+    )
+    assert ("properties", "gap") in out
+    assert ("properties", "old") not in out
+
+
+def test_css_legacy_alias_prose():
+    out = css_of(
+        "<p>The <dfn data-dfn-type='property' data-export='' "
+        "id='propdef--webkit-flow-into'>-webkit-flow-into</dfn> property is a "
+        "<a href='https://drafts.csswg.org/css-cascade-5/#legacy-name-alias'>"
+        "legacy name alias</a> of <a data-link-type='property' "
+        "href='#propdef-flow-into'>flow-into</a>.</p>"
+    )
+    p = out[("properties", "-webkit-flow-into")]
+    assert p["legacyAliasOf"] == "flow-into"
+    assert p["href"] == f"{URL}#propdef--webkit-flow-into"
+
+
+def test_css_legacy_alias_compat_table():
+    out = css_of(
+        "<p>Some <a href='https://compat.example/#legacy-name-alias'>legacy "
+        "name aliases</a> are defined below.</p>"
+        "<table><thead><tr><th>Alias</th><th>Property</th></tr></thead>"
+        "<tbody>"
+        "<tr><td><dfn data-dfn-type='property' id='w-box-align'>"
+        "-webkit-box-align</dfn></td>"
+        "<td><a data-link-type='property' href='#align'>align-items</a></td></tr>"
+        "<tr><td><dfn data-dfn-type='property' id='w-box-flex'>"
+        "-webkit-box-flex</dfn></td>"
+        "<td><a data-link-type='property' href='#grow'>flex-grow</a></td></tr>"
+        "</tbody></table>"
+    )
+    assert out[("properties", "-webkit-box-align")]["legacyAliasOf"] == "align-items"
+    assert out[("properties", "-webkit-box-flex")]["legacyAliasOf"] == "flex-grow"

@@ -83,3 +83,47 @@ def test_custom_module_registration():
     mods = register_module(default_modules(), "extract-my-thing.mjs", my_extractor)
     assert mods[-1].name == "extractMyThing"  # util.js:106-121 camelCase
     assert mods[-1].fn is my_extractor
+
+
+def test_validation_stage_green_on_fixture(tmp_path, ray_session):
+    """Ajv-analog validation (stages/validate.py) passes on every
+    module's fixture-corpus output."""
+    import ray.data as rd
+
+    from reffy_ray.pipelines.crawl import CrawlConfig
+    from reffy_ray.pipelines.full_crawl import full_crawl
+    from reffy_ray.sources.corpus import fixture_seeds
+
+    res = full_crawl(
+        fixture_seeds(),
+        str(tmp_path / "out"),
+        CrawlConfig(mode="fixture", num_seen_shards=2, num_gates=1),
+        run_post=False,
+        validate=True,
+    )
+    validation = res.index["validation"]
+    assert validation, "no modules validated"
+    assert all(n == 0 for n in validation.values()), validation
+
+
+def test_validate_extract_table_catches_drift():
+    import pyarrow as pa
+
+    from reffy_ray import schemas
+    from reffy_ray.stages.validate import validate_extract_table
+
+    good = pa.table(
+        {
+            "doc_id": ["d"], "name": ["a"],
+            "href": ["https://x/#a"], "rationale": [".algorithm"],
+            "steps_json": ['{"html": "x", "steps": [{"html": "y"}]}'],
+        },
+        schema=schemas.EXTRACTS_ALGORITHMS,
+    )
+    assert validate_extract_table("algorithms", good) == []
+    bad = good.set_column(
+        4, "steps_json",
+        pa.array(['{"steps": [{"bogus": 1}]}'], pa.large_string()),
+    )
+    errs = validate_extract_table("algorithms", bad)
+    assert errs and "unknown keys" in errs[0]
