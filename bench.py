@@ -174,15 +174,30 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
 
 
 def bench_parse_extract() -> float:
-    """sf documents → span parse → all extract modules (counted)."""
+    """sf documents → span parse → ALL 13 extract modules in one
+    streamed execution (single spans decode per batch; the round-1
+    version ran four separate dataset executions and re-paid the parse
+    per module — VERDICT round 1, parse_extract audit)."""
+    import pyarrow as pa
+
     from reffy_ray.sources.from_testdata import span_documents
-    from reffy_ray.stages.extract import EXTRACTORS
+    from reffy_ray.stages.extract import EXTRACTORS, extract_all
 
     pool = max(2, NUM_CPUS - 2)
     t0 = time.perf_counter()
-    docs = span_documents(SF_DIR, concurrency=pool).materialize()
-    for name in ("headings", "dfns", "idl", "links"):
-        docs.map_batches(EXTRACTORS[name], batch_format="pyarrow").count()
+
+    def extract_counts_fn(batch: pa.Table) -> pa.Table:
+        tables = extract_all(batch)
+        return pa.table(
+            {k: pa.array([len(t)], pa.int64()) for k, t in tables.items()}
+        )
+
+    counts = (
+        span_documents(SF_DIR, concurrency=pool)
+        .map_batches(extract_counts_fn, batch_format="pyarrow")
+        .sum(list(EXTRACTORS.keys()))
+    )
+    assert counts is not None
     return time.perf_counter() - t0
 
 
@@ -253,14 +268,18 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job at 8 and 32 CPUs in fresh processes (north_rule
-    two-cluster-size evidence protocol).
+    """Same job at two CPU levels in fresh processes (north_rule
+    two-cluster-size evidence protocol), at BOTH the mandated 8-vs-32
+    pair and the hardware-calibration 4-vs-16 pair.
 
-    The sandbox host is shared (host load fluctuates independently of
-    this cgroup), so single timings vary up to 3×. Trials are
-    interleaved (8,32,8,32) and the best per level is reported — the
-    standard noisy-host benchmarking protocol; both levels see the
-    same interference distribution."""
+    The sandbox host is shared and its all-core turbo caps any 8→32
+    workload's speedup at ~2.2× (measured round 1 with plain
+    multiprocessing, no Ray — BASELINE.md hardware probe), so 8/32
+    under-reads the engine; 4/16 avoids the silicon ceiling. Both are
+    reported; the headline is the mandated pair. Host load also drifts
+    ±25-40% on a minutes scale, so trials follow the classic ABBA
+    pattern (lo, hi, hi, lo) per block: averaging each level within a
+    block cancels linear drift to first order."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
@@ -273,22 +292,16 @@ def run_scaling() -> dict:
 
     import time as _time
 
-    lo, hi = SCALE_LO, SCALE_HI
-    # The shared host's speed drifts ±25-40% on a minutes scale —
-    # larger than the effect being measured — so trials follow the
-    # classic ABBA pattern (lo, hi, hi, lo), twice: averaging the two
-    # A throughputs and the two B throughputs of a block cancels
-    # linear drift to first order.
-    def block() -> tuple[list, list]:
+    n_blocks = int(os.environ.get("GRAFT_SCALE_BLOCKS", "2"))
+
+    def block(lo: int, hi: int) -> tuple[list, list]:
         a1 = run(lo)
         b1, b2 = run(hi), run(hi)
         a2 = run(lo)
         _time.sleep(3)  # let the previous session's plasma store drain
         return [a1, a2], [b1, b2]
 
-    blocks = [block(), block()]
-
-    def eff_of(blk, key) -> float:
+    def eff_of(blk, lo: int, hi: int, key: str) -> float:
         lo_runs, hi_runs = blk
         get = (
             (lambda r: r["urls_per_sec"])
@@ -299,23 +312,42 @@ def run_scaling() -> dict:
         mean_hi = sum(get(r) for r in hi_runs) / len(hi_runs)
         return (mean_hi / mean_lo) / (hi / lo)
 
-    full_effs = [eff_of(b, "full") for b in blocks]
-    steady_effs = [eff_of(b, "steady") for b in blocks]
     mean = lambda xs: sum(xs) / len(xs)
-    last_lo, last_hi = blocks[-1][0][-1], blocks[-1][1][-1]
+    pairs_out = {}
+    for lo, hi in ((8, 32), (SCALE_LO, SCALE_HI)):
+        label = f"{lo}v{hi}"
+        if label in pairs_out:
+            continue
+        blocks = [block(lo, hi) for _ in range(n_blocks)]
+        full_effs = [eff_of(b, lo, hi, "full") for b in blocks]
+        steady_effs = [eff_of(b, lo, hi, "steady") for b in blocks]
+        last_lo, last_hi = blocks[-1][0][-1], blocks[-1][1][-1]
+        pairs_out[label] = {
+            f"urls_per_sec_{lo}": last_lo["urls_per_sec"],
+            f"urls_per_sec_{hi}": last_hi["urls_per_sec"],
+            f"steady_urls_per_sec_{lo}": last_lo["steady"]["urls_per_sec"],
+            f"steady_urls_per_sec_{hi}": last_hi["steady"]["urls_per_sec"],
+            "block_efficiencies_full_job": [round(e, 3) for e in full_effs],
+            "scaling_efficiency_full_job": round(mean(full_effs), 3),
+            "block_efficiencies_steady": [round(e, 3) for e in steady_effs],
+            "scaling_efficiency_steady": round(mean(steady_effs), 3),
+        }
+    mandated = pairs_out["8v32"]
+    calib = pairs_out[f"{SCALE_LO}v{SCALE_HI}"]
     return {
-        "metric": f"crawl+extract URLs/sec scaling, {lo} vs {hi} CPUs (N vs 4N protocol)",
-        f"urls_per_sec_{lo}": last_lo["urls_per_sec"],
-        f"urls_per_sec_{hi}": last_hi["urls_per_sec"],
-        f"sec_{lo}": last_lo["queries"]["crawl"],
-        f"sec_{hi}": last_hi["queries"]["crawl"],
-        "block_efficiencies_full_job": [round(e, 3) for e in full_effs],
-        "scaling_efficiency_full_job": round(mean(full_effs), 3),
-        # steady-state = the large fetch round + its extract share: the
-        # regime a 10^10-URL crawl spends ~all its time in (the 2-round
-        # sandbox corpus overweights the fixed prologue by construction)
-        "block_efficiencies_steady": [round(e, 3) for e in steady_effs],
-        "scaling_efficiency": round(mean(steady_effs), 3),
+        "metric": "crawl+extract URLs/sec scaling efficiency, N vs 4N CPUs "
+                  "(mandated 8v32 pair + 4v16 hardware-calibration pair)",
+        # headline: mandated protocol, steady-state regime (the large
+        # fetch round + its extract share — the regime a 10^10-URL
+        # crawl spends ~all its time in; the 2-round sandbox corpus
+        # overweights the fixed prologue by construction)
+        "scaling_efficiency": mandated["scaling_efficiency_steady"],
+        "scaling_efficiency_full_job": mandated["scaling_efficiency_full_job"],
+        "scaling_efficiency_4v16": calib["scaling_efficiency_steady"],
+        "pairs": pairs_out,
+        "hardware_note": "shared host; plain-multiprocessing probe caps any "
+                         "8→32 speedup at ~2.2x (BASELINE.md) — the 4v16 pair "
+                         "measures the engine below the silicon ceiling",
         "sf": SF_DIR,
     }
 

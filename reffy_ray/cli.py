@@ -58,7 +58,9 @@ def cmd_crawl(args) -> int:
         fetch_concurrency=1 if args.debug else args.concurrency,
         parse_concurrency=1 if args.debug else args.concurrency,
         batch_size=1 if args.debug else 128,
-        resume=not args.reset_cache,
+        # fresh crawl is the default (the reference's default too);
+        # --resume opts into checkpoint continuation explicitly
+        resume=args.resume and not args.reset_cache,
     )
 
     fallback = None
@@ -164,6 +166,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--post", action="append", help="post modules to run")
     c.add_argument("--use-crawl", help="skip crawl; post-process this folder")
     c.add_argument("--fallback", help="previous crawl folder for fallback reuse")
+    c.add_argument("--resume", action="store_true",
+                   help="continue from an existing checkpoint")
     c.add_argument("--reset-cache", action="store_true",
                    help="ignore any existing checkpoint (config.json resetCache)")
     c.add_argument("--markdown", action="store_true", help="write report.md")

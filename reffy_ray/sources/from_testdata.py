@@ -172,12 +172,21 @@ class TestdataSpanParser:
         )
 
 
+_PARSER_SINGLETON = TestdataSpanParser()
+
+
+def parse_testdata_batch(batch: pa.Table) -> pa.Table:
+    return _PARSER_SINGLETON(batch)
+
+
 def span_documents(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
     """sf documents table → span-table Dataset (columns pruned at read).
 
-    Fixed-size actor pool sized from the session's CPUs (autoscaling
-    pools under-provision, and the round-1 literal ``4×num_cpus=0.5``
-    starved a 32-CPU bench node — see VERDICT round 1)."""
+    Runs as plain tasks (the parser is stateless): a fresh actor pool
+    here intermittently stalled ~15 s waiting for a previous stage's
+    dying pool to release its CPUs, and the task pool scales
+    elastically to the session's CPUs. ``concurrency`` only sizes the
+    block split now."""
     from ..util import pool_size
 
     if concurrency is None:
@@ -185,8 +194,7 @@ def span_documents(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_blocks = max(4, int(concurrency) * 4)
     return ds.repartition(n_blocks).map_batches(
-        TestdataSpanParser,
+        parse_testdata_batch,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency,
     )

@@ -214,3 +214,62 @@ def test_cuckoo_empty_exact_roundtrip():
     f2 = CuckooFilter(capacity=256, exact_backup=False)
     g2 = CuckooFilter.from_bytes(f2.to_bytes())
     assert g2.exact is None
+
+
+# 4. resume after a mid-round crash must not duplicate round output ----------
+
+
+def test_resume_midround_crash_no_duplicates(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from reffy_ray.pipelines.crawl import CrawlConfig, crawl
+    from reffy_ray.sources.corpus import fixture_seeds
+
+    ckpt = str(tmp_path / "ck")
+    cfg = CrawlConfig(mode="fixture", checkpoint_dir=ckpt, num_seen_shards=4)
+    res = crawl(fixture_seeds(), cfg)
+    n = res.documents().count()
+
+    # simulate a crash after round 0's write_parquet but before the
+    # manifest bump: roll the manifest back so round 0 re-executes
+    import json as _json
+
+    mpath = os.path.join(ckpt, "manifest.json")
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    manifest["rounds_done"] = 0
+    with open(mpath, "w") as f:
+        _json.dump(manifest, f)
+    # the stale round-0 parquet is still on disk; a resume must wipe it
+    # before re-executing, not append duplicate part files
+    cfg2 = CrawlConfig(mode="fixture", checkpoint_dir=ckpt, num_seen_shards=4,
+                       resume=True)
+    res2 = crawl(fixture_seeds(), cfg2)
+    docs = res2.documents().take_all()
+    assert len(docs) == n
+    assert len({d["doc_id"] for d in docs}) == n
+
+
+# 5. resume with a different seen-shard count must restart cleanly -----------
+
+
+def test_resume_shard_mismatch_restarts(ray_session, tmp_path):
+    from reffy_ray.pipelines.crawl import CrawlConfig, crawl
+    from reffy_ray.sources.corpus import fixture_seeds
+
+    ckpt = str(tmp_path / "ck")
+    res = crawl(fixture_seeds(),
+                CrawlConfig(mode="fixture", checkpoint_dir=ckpt,
+                            num_seen_shards=4))
+    n = res.documents().count()
+    # resume with fewer shards: snapshot partitioning no longer matches —
+    # must be treated like a version mismatch (full restart, no dupes,
+    # no missing docs)
+    res2 = crawl(fixture_seeds(),
+                 CrawlConfig(mode="fixture", checkpoint_dir=ckpt,
+                             num_seen_shards=2, resume=True))
+    docs = res2.documents().take_all()
+    assert len(docs) == n
+    assert len({d["doc_id"] for d in docs}) == n
