@@ -347,6 +347,43 @@ def q_annotate_links(sf_dir: str):
     return annotate_links(links, seeds).to_pandas()
 
 
+def q_annotate_links_sf(sf_dir: str):
+    """annotate-links broadcast join (J2) over the testdata corpus: a
+    deterministic 50-spec list matches the spec-<k> link targets the
+    derivation plants, so the join is oracle-checkable."""
+    from reffy_ray.post.annotate_links import annotate_links
+    from reffy_ray.stages.extract import extract_links
+
+    import pyarrow.compute as pc
+
+    links = _span_docs(sf_dir).map_batches(extract_links, batch_format="pyarrow")
+    seeds = pa.table(
+        {
+            "shortname": pa.array([f"spec-{k}" for k in range(50)]),
+            "url": pa.array(
+                [f"https://specs.example.org/spec-{k}/" for k in range(50)]
+            ),
+            "nightly_url": pa.array(
+                [f"https://specs.example.org/spec-{k}/" for k in range(50)]
+            ),
+            "release_url": pa.array([None] * 50, pa.string()),
+            "pages": pa.array([[] for _ in range(50)], pa.list_(pa.string())),
+            "seed_rank": pa.array(list(range(50)), pa.int64()),
+        }
+    )
+    out = annotate_links(links, seeds).select_columns(
+        ["doc_id", "page_url", "spec_shortname"]
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("spec_shortname")
+        return b.set_column(
+            i, "spec_shortname", pc.fill_null(b.column("spec_shortname"), "")
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
 def q_media_manifest(sf_dir: str):
     """Interleaved media spans → manifest (multimodal column plumbing)."""
     from reffy_ray.ops.multimodal import media_manifest
@@ -526,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idlnames": q_idlnames,
         "backrefs": q_backrefs,
         "annotate_links": q_annotate_links,
+        "annotate_links_sf": q_annotate_links_sf,
         "media_manifest": q_media_manifest,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
@@ -838,8 +876,65 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('day', ts)
         """,
-        # lang_id / fingerprint / simhash / minhash_pairs /
-        # embedding_near_dups / crawl_fixture / media_features:
-        # intentionally omitted — not SQL-expressible (heuristic or
-        # stateful-distributed semantics); driver records rows-only.
+        "annotate_links_sf": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://specs.example.org/spec-' || CAST(doc_id % 50 AS VARCHAR)
+                     || '/' AS page_url,
+                   'spec-' || CAST(doc_id % 50 AS VARCHAR) AS spec_shortname
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR),
+                   'https://corpus.example.org/doc-'
+                     || CAST(doc_id - doc_id % 10 AS VARCHAR) || '/', ''
+            FROM documents WHERE doc_id % 5 = 4
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR),
+                   'https://refs.example.org/ref-' || CAST(doc_id % 9 AS VARCHAR)
+                     || '/', ''
+            FROM documents WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR),
+                   'https://refs.example.org/iref-' || CAST(doc_id % 9 AS VARCHAR)
+                     || '/', ''
+            FROM documents WHERE doc_id % 6 = 3
+        """,
+        # lang_id oracle: same stopword tables + tie-break order
+        # (alphabetical langs, first max wins) as ops.text.LangId
+        "lang_id": _lang_id_sql(),
+        # fingerprint / simhash / minhash_pairs / embedding_near_dups /
+        # crawl_fixture / media_features / annotate_links (fixture
+        # variant): intentionally omitted — not SQL-expressible
+        # (hash-kernel or stateful-distributed semantics); driver
+        # records rows-only.
     }
+
+
+def _lang_id_sql() -> str:
+    from reffy_ray.ops.text import _LANG_STOPWORDS, LangId
+
+    langs = sorted(_LANG_STOPWORDS)
+    cols = ",\n".join(
+        f"  len(regexp_extract_all(lower(substr(text, 1, {LangId.MAX_CHARS})), "
+        f"'\\b(?:{'|'.join(sorted(_LANG_STOPWORDS[lang]))})\\b')) AS {lang}"
+        for lang in langs
+    )
+    # first max wins across alphabetically-ordered langs (numpy argmax)
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [o for o in langs[i + 1:]]
+        cond = " AND ".join([f"{lang} >= {o}" for o in others]) or "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "\n       ".join(cases)
+    greatest = ", ".join(langs)
+    return f"""
+        WITH scored AS (
+          SELECT doc_id,
+{cols}
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE WHEN greatest({greatest}) = 0 THEN 'und'
+       {case_sql}
+          END AS lang_pred
+        FROM scored
+    """

@@ -226,9 +226,16 @@ def full_crawl(
     return result
 
 
-def markdown_report(result: FullCrawlResult, documents: rd.Dataset) -> str:
-    """Human-readable crawl summary (S9 analog,
-    src/lib/markdown-report.js): per-spec status + module counts."""
+def markdown_report(
+    result: FullCrawlResult,
+    documents: rd.Dataset,
+    extracts_dir: str | None = None,
+    idlparsed_by_doc: dict[str, dict] | None = None,
+) -> str:
+    """Human-readable crawl summary (S9, src/lib/markdown-report.js):
+    crawl-level stats, then a full per-spec `generateSpecReport` block
+    (metadata, "Spec defines:", missing modules, <details> sections)
+    when ``extracts_dir`` is given."""
     lines = ["# Crawl report", ""]
     stats = result.index.get("stats", {})
     lines.append(
@@ -241,10 +248,36 @@ def markdown_report(result: FullCrawlResult, documents: rd.Dataset) -> str:
         lines.append(f"- **{mod}**: {n} rows")
     lines.append("")
     lines.append("## Documents")
-    rows = documents.select_columns(["doc_id", "url", "error"]).sort(
-        "doc_id"
-    ).iter_rows()
-    for r in rows:
+    doc_rows = list(
+        documents.select_columns(["doc_id", "url", "error"]).sort("doc_id")
+        .iter_rows()
+    )
+    for r in doc_rows:
         status = f"error: {r['error']}" if r["error"] else "ok"
         lines.append(f"- `{r['doc_id']}` <{r['url']}> — {status}")
+
+    if extracts_dir is not None:
+        from ..post.report import generate_spec_report
+
+        # per-spec extract rows: one pandas pass per module (extract
+        # tables are orders of magnitude smaller than the corpus)
+        by_doc: dict[str, dict[str, list[dict]]] = {}
+        for mod in sorted(result.counts):
+            if result.counts[mod] == 0:
+                continue
+            path = os.path.join(extracts_dir, mod)
+            if not os.path.isdir(path):
+                continue
+            for row in rd.read_parquet(path).iter_rows():
+                by_doc.setdefault(row["doc_id"], {}).setdefault(mod, []).append(row)
+        for r in doc_rows:
+            lines.append("")
+            lines.append(f"## {r['doc_id']}")
+            lines.append(
+                generate_spec_report(
+                    {"url": r["url"]},
+                    by_doc.get(r["doc_id"], {}),
+                    (idlparsed_by_doc or {}).get(r["doc_id"]),
+                )
+            )
     return "\n".join(lines) + "\n"

@@ -35,19 +35,26 @@ def build_spec_url_index(seeds: pa.Table) -> dict[str, str]:
     return idx
 
 
+_IDX_CACHE: dict[str, dict] = {}
+
+
 def annotate_links(links: rd.Dataset, seeds: pa.Table) -> rd.Dataset:
-    """Adds ``spec_shortname`` (nullable) to a links extract Dataset."""
+    """Adds ``spec_shortname`` (nullable) to a links extract Dataset.
+
+    Plain tasks with a per-worker cached broadcast dict (one zero-copy
+    ``ray.get`` per worker process) — no actor pool to churn."""
     idx_ref = ray.put(build_spec_url_index(seeds))
 
-    class Annotate:
-        def __init__(self):
-            self.idx = ray.get(idx_ref)
+    def annotate(batch: pa.Table) -> pa.Table:
+        idx = _IDX_CACHE.get(idx_ref.hex())
+        if idx is None:
+            idx = ray.get(idx_ref)
+            _IDX_CACHE.clear()
+            _IDX_CACHE[idx_ref.hex()] = idx
+        urls = batch.column("page_url").to_pylist()
+        short = [idx.get(canonicalize_url(u or "")) for u in urls]
+        return batch.append_column(
+            "spec_shortname", pa.array(short, pa.string())
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            urls = batch.column("page_url").to_pylist()
-            short = [self.idx.get(canonicalize_url(u or "")) for u in urls]
-            return batch.append_column(
-                "spec_shortname", pa.array(short, pa.string())
-            )
-
-    return links.map_batches(Annotate, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    return links.map_batches(annotate, batch_format="pyarrow")

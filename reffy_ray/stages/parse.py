@@ -122,6 +122,74 @@ class _Walker:
         self._scan_css_legacy(root)
         self._walk(root, informative=False, in_head=False, in_idl_index=False)
 
+    def prescan(self, pages) -> None:
+        """Whole-document pre-pass over [(page_url, root)] BEFORE any
+        walking: data-defines prose may live on a different page than
+        the dfn it defines (the reference queries the merged DOM)."""
+        for page_url, root in pages:
+            self._scan_data_defines(root, page_url)
+
+    # elements kept in textual definitions (getHtmlProseDefinition
+    # keepSelector, extract-dfns.mjs:138-176); everything else removed
+    _PROSE_KEEP = frozenset(
+        """blockquote dd div dl dt figcaption figure hr li ol p pre ul
+        a abbr b bdi bdo br cite code data dfn em i kbd mark q rp rt ruby
+        s samp small span strong sub sup time u var wbr""".split()
+    )
+    _PROSE_ATTRS = frozenset({"dir", "lang", "title"})
+    _ASIDE_CLASSES = frozenset(
+        """informative informative-bg note issue example ednote annotation
+        practice introductory non-normative idlHeader mdn-anno
+        wpt-tests-block""".split()
+    )
+
+    def _scan_data_defines(self, root: Node, default_page: str):
+        """Map dfn id → cleaned prose HTML from [data-defines='#id']
+        elements (extract-dfns.mjs:289-296 + getHtmlProseDefinition)."""
+        if not hasattr(self, "data_defines"):
+            self.data_defines: dict[str, str] = {}
+        for el in root.iter():
+            target = el.get("data-defines")
+            if not target:
+                continue
+            anc = el.closest(lambda a: a.get("data-reffy-page") is not None)
+            page = anc.get("data-reffy-page") if anc is not None else default_page
+            self.data_defines[target.lstrip("#")] = self._html_prose_of(el, page)
+
+    def _html_prose_of(self, el: Node, page_url: str) -> str:
+        """Serialize children keeping only simple grouping/text-level
+        elements, stripping asides, and dropping all attributes except
+        dir/lang/title and absolutized href."""
+        from urllib.parse import urljoin
+
+        from .htmldom import VOID
+
+        def ser(node) -> str:
+            if isinstance(node, str):
+                return node
+            if node.tag == "aside" or (node.classes & self._ASIDE_CLASSES):
+                return ""
+            if node.id.startswith("dfn-panel-"):
+                return ""
+            if node.tag not in self._PROSE_KEEP:
+                return ""
+            attrs = ""
+            for k, v in node.attrs.items():
+                if k == "href":
+                    if v.startswith("#"):
+                        v = page_url.split("#")[0] + v
+                    else:
+                        v = urljoin(page_url, v)
+                    attrs += f' href="{v}"'
+                elif k in self._PROSE_ATTRS:
+                    attrs += f' {k}="{v}"'
+            inner = "".join(ser(c) for c in node.children)
+            if node.tag in VOID:
+                return f"<{node.tag}{attrs}>"
+            return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
+
+        return "".join(ser(c) for c in el.children).strip()
+
     def _scan_css_legacy(self, root: Node):
         """Legacy '-webkit' alias extraction: paragraphs (or compat
         tables right after them) referencing #legacy-name-alias
@@ -494,9 +562,9 @@ class _Walker:
         container = n.closest(
             lambda a: a.tag in ("pre", "dt", "h1", "h2", "h3", "h4", "h5", "h6", "li", "table")
         )
-        # defining-paragraph context (extract-dfns htmlProse analog)
-        prose_p = n.closest(lambda a: a.tag == "p")
-        html_prose = prose_p.norm_text() if prose_p is not None else None
+        # prose definition from a [data-defines='#id'] element
+        # (extract-dfns.mjs:289-296; no fallback in the reference)
+        html_prose = getattr(self, "data_defines", {}).get(n.id)
         if container is None:
             defined_in = "prose"
         elif container.tag == "pre":
@@ -1244,6 +1312,7 @@ def spans_from_html(
     all_pages = [(base_url, root)] + page_roots
     preprocess_spec(shortname, all_pages)
     w = _Walker(base_url, uses_dfn_model=_uses_dfn_model([r for _, r in all_pages]))
+    w.prescan(all_pages)
     if shortname:
         # downstream extractors with shortname-keyed behavior (e.g. the
         # MathML element dialect) read it from this meta span

@@ -628,3 +628,65 @@ def test_cddl_type_stays_private():
     d = one("<p><dfn id='foo' data-dfn-type='cddl-type'>Foo</dfn>.</p>")
     assert d["type"] == "cddl-type"
     assert d["access"] == "private"
+
+
+# ---------------------------------------------------------------------------
+# htmlProse from [data-defines] (getHtmlProseDefinition)
+# ---------------------------------------------------------------------------
+
+
+def test_html_prose_simple():
+    d = one(
+        "<p data-defines='#foo'>\n"
+        "  <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> enters a bar.\n"
+        "</p>"
+    )
+    assert d["html_prose"] == "<dfn>Foo</dfn> enters a bar."
+
+
+def test_html_prose_keeps_structure_and_useful_attrs():
+    d = one(
+        "<p data-defines='#foo'>\n"
+        "  <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> <i dir=\"ltr\">enters</i>"
+        " a <a lang=\"en\" title=\"Ze ol' tavern\">bar</a>.\n"
+        "</p>"
+    )
+    assert d["html_prose"] == (
+        '<dfn>Foo</dfn> <i dir="ltr">enters</i> a '
+        '<a lang="en" title="Ze ol\' tavern">bar</a>.'
+    )
+
+
+def test_html_prose_absolutizes_href():
+    d = one(
+        "<p data-defines='#foo'>\n"
+        "  <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> enters a "
+        '<a href="#bar">bar</a>.\n'
+        "</p>"
+    )
+    assert d["html_prose"] == '<dfn>Foo</dfn> enters a <a href="about:blank#bar">bar</a>.'
+
+
+def test_html_prose_strips_attrs_asides_and_complex_structure():
+    d = one(
+        "<div data-defines='#foo'>\n"
+        "  <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> "
+        '<i class="verb">enters</i> a <a hidden tabindex="2">bar</a>.\n'
+        "  <aside><p>I'm an aside</p></aside>\n"
+        "  <p class='mdn-anno'>So am I</p>\n"
+        "  <div id='dfn-panel-foo'>refs</div>\n"
+        "  <section><h4>Inner</h4></section>\n"
+        '  <img src="bar.png" alt="A bar">\n'
+        "</div>"
+    )
+    assert "<dfn>Foo</dfn> <i>enters</i> a <a>bar</a>." in d["html_prose"]
+    assert "aside" not in d["html_prose"]
+    assert "So am I" not in d["html_prose"]
+    assert "refs" not in d["html_prose"]
+    assert "Inner" not in d["html_prose"]
+    assert "img" not in d["html_prose"]
+
+
+def test_html_prose_absent_without_data_defines():
+    d = one("<p><dfn id='foo' data-dfn-type='dfn'>Foo</dfn> enters a bar.</p>")
+    assert d["html_prose"] is None

@@ -127,3 +127,58 @@ def test_validate_extract_table_catches_drift():
     )
     errs = validate_extract_table("algorithms", bad)
     assert errs and "unknown keys" in errs[0]
+
+
+def test_markdown_spec_report(tmp_path, ray_session):
+    """Per-spec markdown report parity (markdown-report.js
+    generateSpecReport shape)."""
+    import ray.data as rd
+
+    from reffy_ray.pipelines.crawl import CrawlConfig
+    from reffy_ray.pipelines.full_crawl import full_crawl, markdown_report
+    from reffy_ray.sources.corpus import fixture_seeds
+
+    out = str(tmp_path / "out")
+    res = full_crawl(
+        fixture_seeds(), out,
+        CrawlConfig(mode="fixture", num_seen_shards=2, num_gates=1),
+        run_post=False,
+    )
+    docs = rd.read_parquet(out + "/crawl/documents")
+    md = markdown_report(res, docs, extracts_dir=out + "/extracts")
+    assert "Crawl summary:" in md
+    assert "- Canonical URL: [" in md
+    assert "- Spec defines:" in md
+    assert "definitions found" in md       # "No X definitions found"
+    # css fixture has a propdef → a details section with an xref link
+    assert "<details>" in md
+    assert "respec.org/xref" in md
+    # dfns access split appears for the woff2 private dfn
+    assert "private" in md
+
+
+def test_generate_spec_report_idl_details():
+    from reffy_ray.post.report import generate_spec_report
+
+    md = generate_spec_report(
+        {"url": "https://x.example/", "crawled": "https://x.example/nightly"},
+        {
+            "idl": [{"doc_id": "d", "idl": "interface Foo {};"}],
+            "dfns": [
+                {"doc_id": "d", "id": "t", "href": "https://x.example/#t",
+                 "linking_text": ["term"], "type": "dfn", "for": [],
+                 "access": "public"},
+            ],
+        },
+        idlparsed={
+            "idlNames": {"Foo": {"type": "interface"}},
+            "idlExtendedNames": {"Bar": [{"type": "interface"}]},
+            "globals": {"Window": ["Foo"]},
+        },
+    )
+    assert "- Crawled URL: [https://x.example/nightly]" in md
+    assert "2 names (or partials), 1 global" in md
+    assert "1 Web IDL name" in md
+    assert "1 extended Web IDL name" in md
+    assert "1 explicitly exported term" in md
+    assert "- interface `Foo` ([xref search]" in md

@@ -62,8 +62,8 @@ ORACLE_KEYS = [
     "headings_from_text", "dfns_from_text", "idl_from_text", "links_from_text",
     "titles_from_text", "meta_from_text", "ids_from_text", "refs_from_text",
     "css_from_text", "events_from_text", "algorithms_from_text",
-    "cddl_from_text", "elements_from_text",
-    "token_count", "bpeish_tokens", "quality_score",
+    "cddl_from_text", "elements_from_text", "annotate_links_sf",
+    "token_count", "bpeish_tokens", "quality_score", "lang_id",
     "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "word_counts", "sessionize",
@@ -91,7 +91,7 @@ def test_query_matches_oracle(contract, name):
 
 
 ROWS_ONLY_KEYS = [
-    "lang_id", "fingerprint", "simhash", "minhash_pairs",
+    "fingerprint", "simhash", "minhash_pairs",
     "embedding_near_dups", "crawl_fixture", "media_features", "annotate_links",
 ]
 
@@ -105,5 +105,5 @@ def test_rows_only_queries_run(contract, name):
     if name == "media_features":
         assert len(res) == 256
         assert set(res["decode_status"]) == {"fake"}
-    if name in ("lang_id", "fingerprint", "simhash"):
+    if name in ("fingerprint", "simhash"):
         assert len(res) == ({"/root/testdata/sf0.001": 500}.get(SF_DIR, len(res)))
