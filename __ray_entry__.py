@@ -214,15 +214,20 @@ def q_minhash_pairs(sf_dir: str):
     from reffy_ray.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.5).select_columns(
-        ["a", "b"]
+        ["a", "b", "est_jaccard"]
     )
 
 
 def q_embedding_near_dups(sf_dir: str):
     from reffy_ray.ops.dedup import embedding_near_dups
 
-    return embedding_near_dups(_embeddings(sf_dir), threshold=0.99).select_columns(
-        ["a", "b"]
+    # threshold 0.3: the synthetic embeddings carry no planted
+    # near-identical pairs (max cosine ≈0.51), so a production 0.95+
+    # threshold would always return empty; a moderate threshold makes
+    # the oracle check exercise the banding + verification machinery
+    # on real pairs. The operator default stays 0.95.
+    return embedding_near_dups(_embeddings(sf_dir), threshold=0.3).select_columns(
+        ["a", "b", "cosine"]
     )
 
 
@@ -574,6 +579,153 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# --- hash-kernel oracles --------------------------------------------------
+# Exact SQL recomputation of the md5-derived dedup/fingerprint kernels.
+# Conventions shared with the Python kernels:
+#   H(x)  = big-endian uint64 of md5(x)[:8]  ⇔  ('0x'||substr(md5(x),1,16))::UBIGINT
+#   mod 2⁶⁴ arithmetic in HUGEINT (products < 2¹⁰⁴ never overflow 128 bits)
+
+# ops/text.py Fingerprint: h = Horner fold of bytes of the
+# whitespace-normalized text over base P=1099511628211 mod 2⁶⁴, emitted >>1.
+# (ord() == utf-8 byte only for ASCII; the synthetic corpus is pure
+# ASCII at every sf — verified — so the SQL fold matches the byte fold.)
+_FINGERPRINT_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                        '\s+', ' ', 'g') AS s
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    CASE WHEN length(s) = 0 THEN 0::HUGEINT
+    ELSE list_reduce(
+      list_transform(range(1, length(s) + 1),
+                     i -> ord(substr(s, i, 1))::HUGEINT),
+      (acc, b) -> (acc * 1099511628211 + b) % 18446744073709551616::HUGEINT)
+    END AS hv
+  FROM norm
+)
+SELECT doc_id, CAST(hv // 2 AS BIGINT) AS fingerprint FROM h
+"""
+
+# ops/dedup.py SimHasher: per unique token t, H(t); bit m of the simhash is
+# sign(Σ_t count_t·(2·bit_m(H(t))−1)); value emitted >>1.
+_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents
+), tc AS (
+  SELECT doc_id, tok, count(*)::HUGEINT AS cnt FROM toks GROUP BY doc_id, tok
+), th AS (
+  SELECT doc_id, cnt,
+         ('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT AS h
+  FROM tc
+), bits AS (
+  SELECT doc_id, m.m AS m,
+         sum(CASE WHEN (h // (1::HUGEINT << m.m)) % 2 = 1
+                  THEN cnt ELSE -cnt END) AS acc
+  FROM th, (SELECT unnest(range(64)) AS m) m
+  GROUP BY doc_id, m.m
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN 1::HUGEINT << m ELSE 0::HUGEINT END) AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(sh.v, 0::HUGEINT) // 2 AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+"""
+
+# ops/dedup.py minhash_lsh_pairs (num_perm=64, bands=16 → 4 rows/band,
+# k=3 word shingles, seed=7, est-Jaccard threshold 0.5): signatures
+# sigⱼ = min over shingles of (aⱼ·base+bⱼ) mod p (p=2³¹−1), band key =
+# joined signature slice, candidates = same (band, key), est = matching
+# signature fraction.
+_MINHASH_SQL = r"""
+WITH params AS (
+  SELECT j.j AS j,
+     1 + ('0x' || substr(md5('minhash-a-7-' || j.j), 1, 16))::UBIGINT::HUGEINT
+         % 2147483646 AS a,
+     ('0x' || substr(md5('minhash-b-7-' || j.j), 1, 16))::UBIGINT::HUGEINT
+         % 2147483647 AS b
+  FROM (SELECT unnest(range(64)) AS j) j
+), shing AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    END AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+        FROM documents)
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shing WHERE len(shingles) > 0
+), base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT % 2147483647 AS x
+  FROM sh
+), sigs AS (
+  SELECT doc_id, j, min((a * x + b) % 2147483647) AS sig
+  FROM base, params GROUP BY doc_id, j
+), bandkeys AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(sig AS VARCHAR), '-' ORDER BY j) AS band_val
+  FROM sigs GROUP BY doc_id, j // 4
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandkeys x JOIN bandkeys y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+), est AS (
+  SELECT c.a, c.b,
+         avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.a
+  JOIN sigs sb ON sb.doc_id = c.b AND sb.j = sa.j
+  GROUP BY c.a, c.b
+)
+SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+# ops/dedup.py embedding_near_dups (n_bits=32, bands=4 → 8 bits/band,
+# seed=13, cosine threshold 0.3): Rademacher sign s(d,b) = parity of the
+# last md5 byte of 'hp-13-d-b'; code bit b = (Σ_d emb_d·s(d,b)) > 0;
+# candidates share a (band, band_val); exact cosine verified per pair.
+_EMB_NEAR_DUP_SQL = r"""
+WITH dims AS (
+  SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS val
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+), signs AS (
+  SELECT dd.d, bb.b,
+         CASE WHEN ('0x' || substr(md5('hp-13-' || dd.d || '-' || bb.b), 31, 2))::UBIGINT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT DISTINCT d FROM dims) dd,
+       (SELECT unnest(range(32)) AS b) bb
+), proj AS (
+  SELECT dims.vec_id, signs.b, sum(dims.val * signs.s) AS p
+  FROM dims JOIN signs ON dims.d = signs.d
+  GROUP BY dims.vec_id, signs.b
+), bandvals AS (
+  SELECT vec_id, b // 8 AS band,
+         sum(CASE WHEN p > 0 THEN 1::HUGEINT << (b % 8) ELSE 0::HUGEINT END) AS band_val
+  FROM proj GROUP BY vec_id, b // 8
+), cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bandvals x JOIN bandvals y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.vec_id < y.vec_id
+), cos AS (
+  SELECT c.a, c.b,
+    list_inner_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+      / (sqrt(list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+         * sqrt(list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b
+)
+SELECT a, b, round(cosine, 6) AS cosine FROM cos WHERE cosine >= 0.3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "headings_from_text": """
@@ -901,11 +1053,19 @@ def oracle_sql() -> dict[str, str]:
         # lang_id oracle: same stopword tables + tie-break order
         # (alphabetical langs, first max wins) as ops.text.LangId
         "lang_id": _lang_id_sql(),
-        # fingerprint / simhash / minhash_pairs / embedding_near_dups /
+        # Hash-kernel oracles: the md5-derived kernels (ops/dedup.py,
+        # ops/text.py Fingerprint) are recomputed exactly in SQL with
+        # HUGEINT modular arithmetic — md5 hex → uint64 via
+        # ('0x'||substr(md5(x),1,16))::UBIGINT, mod-2⁶⁴ Horner folds
+        # via list_reduce.
+        "fingerprint": _FINGERPRINT_SQL,
+        "simhash": _SIMHASH_SQL,
+        "minhash_pairs": _MINHASH_SQL,
+        "embedding_near_dups": _EMB_NEAR_DUP_SQL,
         # crawl_fixture / media_features / annotate_links (fixture
-        # variant): intentionally omitted — not SQL-expressible
-        # (hash-kernel or stateful-distributed semantics); driver
-        # records rows-only.
+        # variant): intentionally omitted — stateful-distributed
+        # semantics (crawl rounds, stubbed decode); driver records
+        # rows-only.
     }
 
 

@@ -57,15 +57,30 @@ class MinHasher:
     Kernel is pure uint64 numpy: p = 2³¹−1 (Mersenne), so a·x < 2⁶²
     never overflows uint64 — no object-dtype bigint math (round-1
     verdict fix). 31-bit hash space is ample for per-document shingle
-    sets (collision odds ~|shingles|/2³¹ per permutation)."""
+    sets (collision odds ~|shingles|/2³¹ per permutation).
+
+    The permutation params and base hashes are md5-derived (not
+    numpy-RNG) so a SQL oracle can recompute the exact signatures:
+    aⱼ = 1 + H('minhash-a-seed-j') mod (p−1), bⱼ = H('minhash-b-…')
+    mod p, base(x) = big-endian uint64 of md5(x)[:8] mod p."""
 
     P = np.uint64((1 << 31) - 1)
 
+    @staticmethod
+    def _param(tag: str, seed: int, i: int) -> int:
+        h = hashlib.md5(f"minhash-{tag}-{seed}-{i}".encode()).digest()[:8]
+        return int.from_bytes(h, "big")
+
     def __init__(self, num_perm: int = 64, seed: int = 7, k: int = 3):
-        rng = np.random.default_rng(seed)
         p = int(self.P)
-        self.a = rng.integers(1, p, size=num_perm).astype(np.uint64)
-        self.b = rng.integers(0, p, size=num_perm).astype(np.uint64)
+        self.a = np.array(
+            [1 + self._param("a", seed, i) % (p - 1) for i in range(num_perm)],
+            dtype=np.uint64,
+        )
+        self.b = np.array(
+            [self._param("b", seed, i) % p for i in range(num_perm)],
+            dtype=np.uint64,
+        )
         self.num_perm = num_perm
         self.k = k
 
@@ -75,8 +90,8 @@ class MinHasher:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         base = np.frombuffer(
             b"".join(hashlib.md5(s).digest()[:8] for s in sorted(sh)),
-            dtype=np.uint64,
-        ) % self.P
+            dtype=">u8",
+        ).astype(np.uint64) % self.P
         # (a * x + b) mod p per permutation — (num_perm, n_shingles) uint64
         vals = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.P
         return vals.min(axis=1)
@@ -116,7 +131,9 @@ def minhash_lsh_pairs(
                 band = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 out_doc.append(doc_id)
                 out_band.append(b)
-                out_hash.append(hashlib.md5(band.tobytes()).hexdigest())
+                # band key = joined decimal values (SQL-mirrorable:
+                # string_agg over the band's signature slice)
+                out_hash.append("-".join(str(int(v)) for v in band))
                 out_sig.append(blob)
         return pd.DataFrame(
             {"doc_id": out_doc, "band": out_band, "band_hash": out_hash, "minhash": out_sig}
@@ -126,7 +143,11 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+            ids0 = group["doc_id"].iloc[:0]
+            return pd.DataFrame(
+                {"a": ids0, "b": ids0,
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
         g = group.sort_values("doc_id").drop_duplicates("doc_id")
         ids = list(g["doc_id"])
         sigs_ = [np.frombuffer(x, dtype=np.uint64) for x in g["minhash"]]
@@ -256,7 +277,11 @@ def simhash_near_pairs(
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            ids0 = group["doc_id"].iloc[:0]
+            return pd.DataFrame(
+                {"a": ids0, "b": ids0,
+                 "hamming": pd.Series([], dtype="int64")}
+            )
         g = group.sort_values("doc_id").drop_duplicates("doc_id")
         ids = g["doc_id"].to_numpy()
         keys = g["simhash"].to_numpy().astype(np.uint64)
@@ -321,6 +346,11 @@ def embedding_near_dups(
     ``group_cap`` are sub-split by the full code (documented recall
     trade: pairs straddling a sub-split of one oversized bucket can
     only match via their other bands).
+
+    Projections are Rademacher (±1) with signs md5-derived per
+    (dim, bit) — same sign-LSH guarantees as Gaussian planes for
+    angular distance, and a DuckDB oracle can recompute the exact
+    codes (parity of H('hp-seed-d-b')).
     """
     planes_by_dim: dict[int, np.ndarray] = {}
     width = n_bits // bands
@@ -329,7 +359,17 @@ def embedding_near_dups(
         dim = emb.shape[1]
         planes = planes_by_dim.get(dim)
         if planes is None:
-            planes = np.random.default_rng(seed).normal(size=(dim, n_bits))
+            planes = np.array(
+                [
+                    [
+                        1.0
+                        if hashlib.md5(f"hp-{seed}-{d}-{b}".encode()).digest()[-1] & 1
+                        else -1.0
+                        for b in range(n_bits)
+                    ]
+                    for d in range(dim)
+                ]
+            )
             planes_by_dim[dim] = planes
         bits = (emb @ planes > 0).astype(np.uint8)  # (n, n_bits)
         # pack into one uint64 code
@@ -359,7 +399,10 @@ def embedding_near_dups(
         return pd.concat(out, ignore_index=True)
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ids0 = group["vec_id"].iloc[:0]
+        empty = pd.DataFrame(
+            {"a": ids0, "b": ids0, "cosine": pd.Series([], dtype="float64")}
+        )
         if len(group) < 2:
             return empty
         g = group.sort_values("vec_id").drop_duplicates("vec_id")

@@ -67,6 +67,7 @@ ORACLE_KEYS = [
     "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "word_counts", "sessionize",
+    "fingerprint", "simhash", "minhash_pairs", "embedding_near_dups",
 ]
 
 
@@ -91,8 +92,7 @@ def test_query_matches_oracle(contract, name):
 
 
 ROWS_ONLY_KEYS = [
-    "fingerprint", "simhash", "minhash_pairs",
-    "embedding_near_dups", "crawl_fixture", "media_features", "annotate_links",
+    "crawl_fixture", "media_features", "annotate_links",
 ]
 
 
@@ -105,5 +105,3 @@ def test_rows_only_queries_run(contract, name):
     if name == "media_features":
         assert len(res) == 256
         assert set(res["decode_status"]) == {"fake"}
-    if name in ("fingerprint", "simhash"):
-        assert len(res) == ({"/root/testdata/sf0.001": 500}.get(SF_DIR, len(res)))
