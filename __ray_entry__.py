@@ -231,6 +231,33 @@ def q_embedding_near_dups(sf_dir: str):
     )
 
 
+_IVF_CACHE: dict[str, Any] = {}
+
+
+def q_ann_ivf(sf_dir: str):
+    """Inverted-list IVF index probed at nprobe == n_centroids: every
+    partition is read, so the result is exactly brute-force top-k (same
+    oracle) while exercising the build → partitioned-write →
+    partition-pruned-read path end to end."""
+    import hashlib
+    import shutil
+
+    from reffy_ray.ops.similarity import IVFIndex
+
+    idx = _IVF_CACHE.get(sf_dir)
+    if idx is None:
+        d = f"/tmp/reffy_ray_ivf/{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+        shutil.rmtree(d, ignore_errors=True)
+        idx = IVFIndex.build(_embeddings(sf_dir), d, n_centroids=8)
+        _IVF_CACHE[sf_dir] = idx
+    qrows = (
+        _embeddings(sf_dir).filter(expr="vec_id < 4").to_pandas().sort_values("vec_id")
+    )
+    queries = np.stack(qrows["embedding"].to_numpy())
+    out = idx.topk(queries, k=10, nprobe=len(idx.centroids))
+    return out.select(["query_id", "vec_id"])
+
+
 def q_ann_topk(sf_dir: str):
     from reffy_ray.ops.similarity import brute_force_topk
 
@@ -564,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "idlparsed": q_idlparsed,
         "idlnames": q_idlnames,
         "backrefs": q_backrefs,
@@ -973,6 +1001,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "ann_topk": """
+            SELECT query_id, vec_id FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id ASC
+                     ) AS rn
+              FROM embeddings e, embeddings q
+              WHERE q.vec_id < 4
+            ) WHERE rn <= 10
+        """,
+        # IVF at full probe == exhaustive scan == the same top-k
+        "ann_ivf": """
             SELECT query_id, vec_id FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
                      row_number() OVER (

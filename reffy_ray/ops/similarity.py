@@ -108,6 +108,17 @@ def brute_force_topk(
 
 # ---------------------------------------------------------------------------
 # IVF-bucketed scale path
+#
+# Two tiers:
+#  * ``ivf_topk`` — index-free: assignments recomputed per batch, rows
+#    outside the probe shortlist masked out. Saves matmul FLOPs but
+#    still *reads* every block — fine for one-off queries.
+#  * ``IVFIndex`` — real inverted lists: the corpus is written once as
+#    centroid-partitioned Parquet; each query then reads ONLY the
+#    ``nprobe`` probed partitions (hive-partition pruning at the read,
+#    nothing else leaves storage). This is the 100 TB path: build cost
+#    is one pass + one partitioned write, query cost is
+#    nprobe/n_centroids of the corpus.
 # ---------------------------------------------------------------------------
 
 
@@ -188,3 +199,127 @@ def ivf_topk(
                 {"query_id": qi, "vec_id": -neg_id, "cosine": round(sim, 6), "rank": rank}
             )
     return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-list IVF index (persisted, partition-pruned probes)
+# ---------------------------------------------------------------------------
+
+
+class IVFIndex:
+    """Persisted IVF index: centroid-partitioned Parquet + a small
+    centroid matrix.
+
+    ``build`` assigns every vector to its nearest coarse centroid in
+    one ``map_batches`` pass (centroids broadcast via ``ray.put``) and
+    writes hive-partitioned Parquet (``centroid=<c>/``, one directory
+    per inverted list — also the resumable-output layout: a failed
+    build can skip finished partitions). ``topk`` computes the probe
+    shortlist driver-side from the tiny centroid matrix, then
+    ``read_parquet(filter=centroid ∈ probes)`` prunes every
+    non-probed partition at the read — at scale only
+    nprobe/n_centroids of the corpus leaves storage.
+    """
+
+    def __init__(self, index_dir: str, centroids: np.ndarray):
+        self.index_dir = index_dir
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+
+    # -- build ------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        ds: rd.Dataset,
+        index_dir: str,
+        n_centroids: int = 16,
+        sample_rows: int = 2048,
+        iters: int = 10,
+        seed: int = 7,
+    ) -> "IVFIndex":
+        import os
+
+        cent = train_ivf_centroids(
+            ds, n_centroids=n_centroids, sample_rows=sample_rows,
+            iters=iters, seed=seed,
+        )
+        cref = ray.put(cent)
+
+        def assign(batch: pd.DataFrame) -> pd.DataFrame:
+            c = _ivf_worker_centroids(cref)
+            emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            normed = emb / np.maximum(
+                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+            )
+            batch = batch.copy()
+            batch["centroid"] = (normed @ c.T).argmax(axis=1).astype(np.int64)
+            return batch
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(assign, batch_format="pandas").write_parquet(
+            index_dir, partition_cols=["centroid"]
+        )
+        np.save(os.path.join(index_dir, "centroids.npy"), cent)
+        return cls(index_dir, cent)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IVFIndex":
+        import os
+
+        cent = np.load(os.path.join(index_dir, "centroids.npy"))
+        return cls(index_dir, cent)
+
+    # -- query ------------------------------------------------------------
+
+    def probe_set(self, queries: np.ndarray, nprobe: int) -> list[int]:
+        q = np.asarray(queries, dtype=np.float64)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        return sorted(
+            {
+                int(c)
+                for qi in range(qn.shape[0])
+                for c in np.argsort(-(qn[qi] @ self.centroids.T))[:nprobe]
+            }
+        )
+
+    def probed_dataset(self, queries: np.ndarray, nprobe: int) -> rd.Dataset:
+        """The pruned read: only the probed inverted-list directories
+        are passed to ``read_parquet`` — non-probed partitions are
+        never opened (explicit path-level pruning; version-proof where
+        hive-filter pushdown binds against the file schema)."""
+        import glob
+        import os
+
+        probes = self.probe_set(queries, nprobe)
+        files = [
+            f
+            for c in probes
+            for f in sorted(
+                glob.glob(
+                    os.path.join(self.index_dir, f"centroid={c}", "*.parquet")
+                )
+            )
+        ]
+        if not files:
+            return rd.from_items([])
+        return rd.read_parquet(files)
+
+    def topk(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pa.Table:
+        """Top-k over the probed partitions only. With
+        ``nprobe >= n_centroids`` this is exactly ``brute_force_topk``
+        (every partition probed ⇒ exhaustive scan)."""
+        nprobe = min(nprobe, len(self.centroids))
+        pruned = self.probed_dataset(queries, nprobe)
+        return brute_force_topk(pruned, queries, k=k)
+
+
+_IVF_WORKER_CENTROIDS: dict[str, np.ndarray] = {}
+
+
+def _ivf_worker_centroids(cref) -> np.ndarray:
+    key = cref.hex()
+    c = _IVF_WORKER_CENTROIDS.get(key)
+    if c is None:
+        c = np.asarray(ray.get(cref), dtype=np.float64)
+        _IVF_WORKER_CENTROIDS[key] = c
+    return c

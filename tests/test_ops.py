@@ -191,3 +191,49 @@ def test_simhash_near_pairs_planted(ray_session):
     pairs = set(zip(out["a"], out["b"]))
     assert (0, 1) in pairs
     assert all(2 not in p for p in pairs)
+
+
+# -- IVF inverted lists --------------------------------------------------------
+
+
+def test_ivf_index_partition_pruned_probe(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from reffy_ray.ops.similarity import IVFIndex, brute_force_topk
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(400, 16)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": list(map(float, emb[i]))} for i in range(400)]
+    )
+    d = str(tmp_path / "ivf")
+    idx = IVFIndex.build(ds, d, n_centroids=8, sample_rows=400)
+
+    # inverted lists exist on disk as one directory per centroid
+    parts = sorted(p for p in os.listdir(d) if p.startswith("centroid="))
+    assert len(parts) >= 2
+
+    queries = emb[:3].astype(np.float64)
+    # pruned read: nprobe=1 must read strictly fewer rows than the corpus
+    pruned = idx.probed_dataset(queries, nprobe=1)
+    assert pruned.count() < 400
+
+    # full probe == exhaustive == brute force (exact)
+    full = idx.topk(queries, k=5, nprobe=8).to_pandas()
+    ref = brute_force_topk(ds, queries, k=5).to_pandas()
+    assert full[["query_id", "vec_id", "rank"]].values.tolist() == \
+        ref[["query_id", "vec_id", "rank"]].values.tolist()
+
+    # load() round-trips the centroids
+    idx2 = IVFIndex.load(d)
+    assert np.allclose(idx2.centroids, idx.centroids)
+
+    # small-probe recall: self-query must find itself (cosine 1.0 lives
+    # in the probed partition by construction)
+    small = idx.topk(queries, k=5, nprobe=2).to_pandas()
+    for qi in range(3):
+        got = small[small["query_id"] == qi]
+        assert int(got.iloc[0]["vec_id"]) == qi
