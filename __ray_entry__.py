@@ -522,6 +522,177 @@ def q_sessionize(sf_dir: str):
     return sessionize_events(ds, gap_minutes=30)
 
 
+# --- post-stage queries over testdata-derived inputs ----------------------
+# These exercise the crawl-level post-processors (S8 merger, A4
+# cssmerge, A5 events consolidation) on inputs derived deterministically
+# from the documents table, so a DuckDB oracle can restate the merged
+# result directly. Derivation rules live in the builder fns below —
+# keep in sync with the oracle SQL.
+
+
+def q_merge_crawl(sf_dir: str):
+    """S8 merge_crawl_results: reference crawl = every doc, new crawl =
+    doc_id % 4 == 0 re-crawls; merged = anti-join + union + sort."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.post.sinks import merge_crawl_results
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(tag: str, mod: int | None = None):
+        def fn(b: pa.Table) -> pa.Table:
+            import numpy as np_
+
+            ids = b.column("doc_id")
+            if mod is not None:
+                keep = (ids.to_numpy(zero_copy_only=False) % mod) == 0
+                ids = ids.filter(pa.array(keep))
+            sid = pc.cast(ids, pa.string())
+            url = pc.binary_join_element_wise(
+                "https://corpus.example.org/doc-", sid, "/", ""
+            )
+            title = pc.binary_join_element_wise(tag + " ", sid, "")
+            return pa.table(
+                {
+                    "url": url,
+                    "title": title,
+                    "status": pa.array([tag] * len(ids), pa.string()),
+                    "doc_id": ids,
+                }
+            )
+
+        return fn
+
+    ref = docs.map_batches(build("ref"), batch_format="pyarrow")
+    new = docs.map_batches(build("new", mod=4), batch_format="pyarrow")
+    merged = merge_crawl_results(ref, new, key="url")
+    return merged.select_columns(["url", "title", "status"])
+
+
+def q_cssmerge(sf_dir: str):
+    """A4 merge_css: css extract rows for doc_id % 8 == 0 (category
+    'properties', name p<doc_id % 20>, payload value v<doc_id % 4> +
+    newValues n<doc_id % 5>), series version 1 + doc_id % 3; the merge
+    picks the highest-version base and unions newValues into the value
+    syntax."""
+    import json
+
+    import pandas as pd
+
+    from reffy_ray.post.cssmerge import merge_css
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        ids = [i for i in b["doc_id"].to_numpy() if i % 8 == 0]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([str(i) for i in ids], dtype="object"),
+                "category": pd.Series(["properties"] * len(ids), dtype="object"),
+                "name": pd.Series([f"p{i % 20}" for i in ids], dtype="object"),
+                "payload_json": pd.Series(
+                    [
+                        json.dumps(
+                            {"newValues": f"n{i % 5}", "value": f"v{i % 4}"},
+                            sort_keys=True,
+                        )
+                        for i in ids
+                    ],
+                    dtype="object",
+                ),
+            }
+        )
+
+    css = docs.map_batches(build, batch_format="pandas")
+    ids = [str(i) for i in docs.to_pandas()["doc_id"] if i % 8 == 0]
+    seeds = pa.table(
+        {
+            "shortname": pa.array(ids, pa.string()),
+            "series_version": pa.array(
+                [str(1 + int(i) % 3) for i in ids], pa.string()
+            ),
+        }
+    )
+    out = merge_css(css, seeds).to_pandas()
+    out["defined_in"] = out["defined_in"].map(",".join)
+    return out
+
+
+def q_events_consolidated(sf_dir: str):
+    """A5/J4 consolidate_events: originals for doc_id % 9 == 0 (target
+    MixinA when doc_id % 18 == 0, else IFace<doc_id % 4>), extension
+    rows for doc_id % 9 == 3 extending the event of doc_id − 3; one
+    idlparsed report declares IncA/IncB include MixinA. Consolidation
+    expands the mixin, folds extensions into the original's target set
+    and sorts."""
+    import json
+
+    import pandas as pd
+
+    from reffy_ray.post.events import consolidate_events
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i in b["doc_id"].to_numpy():
+            i = int(i)
+            if i % 9 == 0:
+                rows.append(
+                    {
+                        "type": f"ev{i % 7}",
+                        "interface": "Event",
+                        "bubbles": True,
+                        "cancelable": False,
+                        "href": f"https://corpus.example.org/doc-{i}/#eventdef-{i}",
+                        "targets": ["MixinA"] if i % 18 == 0 else [f"IFace{i % 4}"],
+                        "is_extension": False,
+                    }
+                )
+            elif i % 9 == 3 and i >= 3:
+                o = i - 3
+                rows.append(
+                    {
+                        "type": f"ev{o % 7}",
+                        "interface": None,
+                        "bubbles": None,
+                        "cancelable": None,
+                        "href": f"https://corpus.example.org/doc-{o}/#eventdef-{o}",
+                        "targets": [f"IFaceX{i % 5}"],
+                        "is_extension": True,
+                    }
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "type", "interface", "bubbles", "cancelable", "href",
+                "targets", "is_extension",
+            ],
+        )
+
+    events = docs.map_batches(build, batch_format="pandas")
+    idlparsed = rd.from_items(
+        [
+            {
+                "doc_id": "mixins",
+                "idlparsed": json.dumps(
+                    {
+                        "idlExtendedNames": {
+                            "IncA": [{"type": "includes", "includes": "MixinA"}],
+                            "IncB": [{"type": "includes", "includes": "MixinA"}],
+                        }
+                    }
+                ),
+            }
+        ]
+    )
+    out = consolidate_events(events, idlparsed).to_pandas()
+    out["targets"] = out["targets"].map(
+        lambda t: ",".join(t) if t is not None else ""
+    )
+    return out[["type", "interface", "bubbles", "href", "targets"]]
+
+
 def q_crawl_fixture(sf_dir: str):
     """Flagship crawl pipeline over the fixture corpus (rows-only
     check: crawl semantics are not SQL-expressible)."""
@@ -592,6 +763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "merge_crawl": q_merge_crawl,
+        "cssmerge": q_cssmerge,
+        "events_consolidated": q_events_consolidated,
         "idlparsed": q_idlparsed,
         "idlnames": q_idlnames,
         "backrefs": q_backrefs,
@@ -1103,6 +1277,67 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "minhash_pairs": _MINHASH_SQL,
         "embedding_near_dups": _EMB_NEAR_DUP_SQL,
+        # post-stage oracles over the derived inputs (see the q_* docstrings)
+        "merge_crawl": """
+            SELECT 'https://corpus.example.org/doc-' || CAST(doc_id AS VARCHAR)
+                     || '/' AS url,
+                   'ref ' || CAST(doc_id AS VARCHAR) AS title,
+                   'ref' AS status
+            FROM documents WHERE doc_id % 4 <> 0
+            UNION ALL
+            SELECT 'https://corpus.example.org/doc-' || CAST(doc_id AS VARCHAR)
+                     || '/',
+                   'new ' || CAST(doc_id AS VARCHAR), 'new'
+            FROM documents WHERE doc_id % 4 = 0
+        """,
+        "cssmerge": """
+            WITH rows AS (
+              SELECT CAST(doc_id AS VARCHAR) AS d,
+                     'p' || CAST(doc_id % 20 AS VARCHAR) AS name,
+                     1 + doc_id % 3 AS v_num,
+                     'v' || CAST(doc_id % 4 AS VARCHAR) AS val,
+                     'n' || CAST(doc_id % 5 AS VARCHAR) AS nv
+              FROM documents WHERE doc_id % 8 = 0
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY name ORDER BY v_num DESC, d ASC) AS rn
+              FROM rows
+            ), base AS (
+              SELECT name, val AS base_val, nv AS base_nv
+              FROM ranked WHERE rn = 1
+            ), extras AS (
+              SELECT name, nv, min(rn) AS rn_min
+              FROM ranked WHERE rn > 1 GROUP BY name, nv
+            ), agg AS (
+              SELECT name, string_agg(nv, ' | ' ORDER BY rn_min) AS extra_vals
+              FROM extras GROUP BY name
+            ), din AS (
+              SELECT name, string_agg(d, ',' ORDER BY d) AS defined_in
+              FROM rows GROUP BY name
+            )
+            SELECT 'properties' AS category, b.name AS name,
+              '{"newValues": "' || base_nv || '", "value": "' ||
+                CASE WHEN a.extra_vals IS NULL THEN base_val
+                     ELSE base_val || ' | ' || a.extra_vals END
+              || '"}' AS payload_json,
+              din.defined_in AS defined_in
+            FROM base b LEFT JOIN agg a USING (name) JOIN din USING (name)
+        """,
+        "events_consolidated": """
+            SELECT 'ev' || CAST(doc_id % 7 AS VARCHAR) AS type,
+                   'Event' AS interface,
+                   TRUE AS bubbles,
+                   'https://corpus.example.org/doc-' || CAST(doc_id AS VARCHAR)
+                     || '/#eventdef-' || CAST(doc_id AS VARCHAR) AS href,
+                   array_to_string(list_sort(
+                     (CASE WHEN doc_id % 18 = 0 THEN ['IncA', 'IncB']
+                           ELSE ['IFace' || CAST(doc_id % 4 AS VARCHAR)] END)
+                     || (CASE WHEN doc_id + 3 IN (SELECT doc_id FROM documents)
+                              THEN ['IFaceX' || CAST((doc_id + 3) % 5 AS VARCHAR)]
+                              ELSE [] END)
+                   ), ',') AS targets
+            FROM documents WHERE doc_id % 9 = 0
+        """,
         # crawl_fixture / media_features / annotate_links (fixture
         # variant): intentionally omitted — stateful-distributed
         # semantics (crawl rounds, stubbed decode); driver records

@@ -68,7 +68,7 @@ ORACLE_KEYS = [
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "word_counts", "sessionize",
     "fingerprint", "simhash", "minhash_pairs", "embedding_near_dups",
-    "ann_ivf",
+    "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
 ]
 
 
