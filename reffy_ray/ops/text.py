@@ -79,11 +79,58 @@ def quality_score(batch: pa.Table) -> pa.Table:
     )
 
 
+# ASCII-only stopword tables (8 languages × ~25 words): keeps the
+# re2 patterns byte-oriented and lets the auto-generated DuckDB oracle
+# recompute identical hit counts. Highest-frequency function words per
+# language, minus diacritic forms.
 _LANG_STOPWORDS = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
-    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour"},
-    "es": {"el", "la", "los", "las", "es", "un", "una", "de", "en", "por"},
+    "en": {
+        "the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
+        "was", "with", "as", "his", "on", "be", "at", "by", "had", "not",
+        "are", "but", "from", "or", "have", "an", "they", "which", "you",
+        "were",
+    },
+    "de": {
+        "der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf",
+        "zu", "den", "von", "sie", "im", "dem", "sich", "des", "auch",
+        "es", "an", "werden", "aus", "er", "hat", "dass", "sind", "einer",
+        "wird", "wie", "eine",
+    },
+    "fr": {
+        "le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour",
+        "que", "qui", "sur", "pas", "plus", "par", "avec", "sont", "au",
+        "il", "aux", "ce", "se", "ne", "nous", "comme", "mais", "ou",
+        "si", "leur",
+    },
+    "es": {
+        "el", "la", "los", "las", "es", "un", "una", "de", "en", "por",
+        "que", "no", "se", "con", "para", "su", "al", "lo", "como", "del",
+        "mas", "pero", "sus", "le", "ya", "o", "este", "ha", "cuando",
+        "todo",
+    },
+    "it": {
+        "il", "di", "che", "e", "la", "per", "un", "in", "sono", "non",
+        "con", "si", "da", "come", "anche", "questo", "della", "del", "le",
+        "gli", "una", "dei", "nel", "alla", "ma", "lo", "se", "ci", "al",
+        "su",
+    },
+    "pt": {
+        "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com",
+        "nao", "uma", "os", "no", "se", "na", "por", "mais", "as", "dos",
+        "como", "mas", "ao", "ele", "das", "seu", "sua", "ou", "quando",
+    },
+    "nl": {
+        "de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+        "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als",
+        "maar", "dan", "bij", "nog", "uit", "naar", "je", "hij", "was",
+        "wordt", "dit",
+    },
+    "sv": {
+        "och", "att", "det", "som", "en", "pa", "ar", "av", "for", "den",
+        "till", "med", "han", "var", "om", "sig", "men", "ett", "har",
+        "inte", "vi", "jag", "hon", "de", "sa", "kan", "nar", "fran",
+        "efter", "vid",
+    },
 }
 
 

@@ -121,17 +121,30 @@ def merge_crawl_results(
 ) -> rd.Dataset:
     """reference ⟕anti⟕ new on url → union → sort(url)
     (merge-crawl-results.js:41-95): rows of `reference` whose key
-    appears in `new` are replaced by the new rows."""
-    import ray
+    appears in `new` are replaced by the new rows.
 
-    new_keys_ref = ray.put(set(
-        r[key] for r in new.select_columns([key]).take_all()
-    ))
+    Fully distributed: tag each side, union, hash-partition on the key
+    and keep the new side per group — no driver-side key-set
+    materialization (the previous broadcast anti-join collected every
+    new url on the driver, which caps out when the re-crawl is itself
+    huge). One groupby shuffle + the reference-mandated url sort."""
+    import pandas as pd
 
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(new_keys_ref)
-        mask = [k not in keys for k in batch.column(key).to_pylist()]
-        return batch.filter(pa.array(mask))
+    def tag(is_new: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_src_new", pa.array([is_new] * len(batch), pa.bool_())
+            )
 
-    kept = reference.map_batches(anti, batch_format="pyarrow")
-    return kept.union(new).sort(key)
+        return fn
+
+    both = reference.map_batches(tag(False), batch_format="pyarrow").union(
+        new.map_batches(tag(True), batch_format="pyarrow")
+    )
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        if group["_src_new"].any():
+            group = group[group["_src_new"]]
+        return group.drop(columns=["_src_new"])
+
+    return both.groupby(key).map_groups(pick, batch_format="pandas").sort(key)
