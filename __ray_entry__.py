@@ -67,7 +67,12 @@ def _embeddings(sf_dir: str) -> rd.Dataset:
 def q_headings(sf_dir: str):
     from reffy_ray.stages.extract import extract_headings
 
-    return _span_docs(sf_dir).map_batches(extract_headings, batch_format="pyarrow")
+    # alternate_ids excluded: always NULL on this corpus and DuckDB
+    # renders a NULL list as nan while Arrow yields None — the library
+    # schema keeps the column (test_dfns_reference_suite covers it)
+    return _span_docs(sf_dir).map_batches(
+        extract_headings, batch_format="pyarrow"
+    ).select_columns(["doc_id", "id", "href", "level", "title", "number"])
 
 
 def q_dfns(sf_dir: str):

@@ -128,6 +128,7 @@ EXTRACTS_HEADINGS = pa.schema(
         ("level", pa.int32()),
         ("title", pa.string()),
         ("number", pa.string()),
+        ("alternate_ids", pa.list_(pa.string())),
     ]
 )
 
@@ -157,6 +158,9 @@ HEADING_STRUCT = pa.struct(
         ("href", pa.string()),
         ("title", pa.string()),
         ("number", pa.string()),
+        # earlier id candidates demoted by the canonical pick
+        # (map-ids-to-headings.mjs alternateIds)
+        ("alternate_ids", pa.list_(pa.string())),
     ]
 )
 

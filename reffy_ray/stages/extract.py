@@ -66,7 +66,16 @@ class _PageTracker:
             self.page = span["text"][5:]
 
     def href(self, frag: str) -> str:
-        return f"{self.page}#{frag}" if frag else self.page
+        return f"{self.page}#{_encode_frag(frag)}" if frag else self.page
+
+
+def _encode_frag(frag: str) -> str:
+    """encodeURIComponent over the fragment (get-absolute-url.mjs:14:
+    ``url.hash = '#' + encodeURIComponent(fragment)``) — unreserved set
+    A-Za-z0-9 ``-_.!~*'()``, UTF-8 percent-encoding otherwise."""
+    from urllib.parse import quote
+
+    return quote(frag, safe="!'()*-._~")
 
 
 def _table(schema: pa.Schema, rows: list[dict]) -> pa.Table:
@@ -135,6 +144,7 @@ def extract_headings(batch: pa.Table) -> pa.Table:
                     "level": h.get("level"),
                     "title": h.get("title", ""),
                     "number": h.get("number") or None,
+                    "alternate_ids": h.get("alt_ids"),
                 }
             )
     return _table(schemas.EXTRACTS_HEADINGS, rows)
@@ -268,9 +278,11 @@ def extract_dfns(batch: pa.Table) -> pa.Table:
                         "href": pt.href(h["id"]),
                         "title": h.get("title", ""),
                         "number": h.get("number") or None,
+                        "alternate_ids": h.get("alt_ids"),
                     }
         pt = _PageTracker(url)
         seen_ids: set[str] = set()
+        exported: set[tuple] = set()
         doc_rows: list[dict] = []
         dev_links: list[dict] = []
         for s in spans:
@@ -298,6 +310,18 @@ def extract_dfns(batch: pa.Table) -> pa.Table:
             if d["id"] in seen_ids:
                 continue
             seen_ids.add(d["id"])
+            # isNotAlreadyExported (extract-dfns.mjs:122-134): a later
+            # PUBLIC dfn with the same (type, linkingText, for) as an
+            # earlier public one is a duplicate export — first wins
+            if d.get("access") == "public":
+                exp_key = (
+                    d.get("type", "dfn"),
+                    tuple(sorted(d.get("lt", []))),
+                    tuple(sorted(d.get("for", []))),
+                )
+                if exp_key in exported:
+                    continue
+                exported.add(exp_key)
             heading = headings.get(d.get("heading_id") or "")
             if heading is None:
                 heading = {"id": None, "href": pt.page, "title": title, "number": None}
@@ -485,7 +509,7 @@ def extract_css(batch: pa.Table) -> pa.Table:
                     payload = dict(props)
                     payload["name"] = nm["name"]
                     if nm.get("id"):
-                        payload["href"] = f"{d['_page']}#{nm['id']}"
+                        payload["href"] = f"{d['_page']}#{_encode_frag(nm['id'])}"
                     add_row(category, nm["name"], payload)
         for tid, t in tables.items():
             kind = t.pop("__kind", "propdef")

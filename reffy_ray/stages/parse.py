@@ -79,6 +79,26 @@ def dedent_code(text: str) -> str:
 _DFN_DATA_ATTRS = (
     "data-dfn-type", "data-dfn-for", "data-export", "data-noexport", "data-lt",
 )
+# Valid dfn types (hasValidType, extract-dfns.mjs:51-118 — the Bikeshed
+# dfn-types list + namespace/event/permission)
+_VALID_DFN_TYPES = frozenset({
+    # CSS
+    "property", "descriptor", "value", "type", "at-rule", "function",
+    "selector",
+    # Web IDL
+    "namespace", "interface", "constructor", "method", "argument",
+    "attribute", "callback", "dictionary", "dict-member", "enum",
+    "enum-value", "exception", "const", "typedef", "stringifier",
+    "serializer", "iterator", "maplike", "setlike", "extended-attribute",
+    "event", "permission",
+    # Elements
+    "element", "element-state", "element-attr", "attr-value",
+    # CDDL
+    "cddl-module", "cddl-type", "cddl-parameter", "cddl-key", "cddl-value",
+    # URL scheme / HTTP header / grammar / English terms
+    "scheme", "http-header", "grammar", "abstract-op", "dfn",
+})
+
 _CSS2_VENDOR_URL = "https://www.w3.org/TR/CSS2/syndata.html#vendor-keywords"
 
 
@@ -250,6 +270,25 @@ class _Walker:
             self._visit(child, informative, in_head, in_idl_index)
 
     def _visit(self, n: Node, informative: bool, in_head: bool, in_idl_index: bool):
+        # data-reffy-page scopes to the subtree (the reference resolves
+        # pages with closest(), get-absolute-url.mjs:5-6): switch the
+        # page on entry, restore it after the subtree
+        page_attr = n.get("data-reffy-page")
+        if page_attr and page_attr != self.page_url:
+            prev = self.page_url
+            self.page_url = page_attr
+            self.emit("meta", f"page={page_attr}")
+            try:
+                self._visit_in_page(n, informative, in_head, in_idl_index)
+            finally:
+                self.page_url = prev
+                self.emit("meta", f"page={prev}")
+            return
+        self._visit_in_page(n, informative, in_head, in_idl_index)
+
+    def _visit_in_page(
+        self, n: Node, informative: bool, in_head: bool, in_idl_index: bool
+    ):
         tag = n.tag
         cls = n.classes
         if tag in _SKIP_TAGS or (cls & _SKIP_CLASSES):
@@ -263,9 +302,6 @@ class _Walker:
             # dev-link spans (extract-dfns.mjs:387-414), then continue
             # the normal walk (dfns inside still count).
             self._emit_dev_links(n)
-        if n.get("data-reffy-page"):
-            self.page_url = n.get("data-reffy-page")
-            self.emit("meta", f"page={self.page_url}")
         if n.id == "idl-index" or (tag == "section" and n.id == "idl-index"):
             in_idl_index = True
             self.saw_idl_index = True
@@ -419,36 +455,37 @@ class _Walker:
         return number, text
 
     def _visit_heading(self, n: Node, informative: bool, in_head: bool):
-        hid = n.id
-        if not hid:
-            a = n.first("a")
-            if a is not None and a.get("name"):
-                hid = a.get("name")
-        if not hid:
-            # adopt the enclosing section's id when the heading has none
-            # (map-ids-to-headings.mjs: the section root's id wins)
-            anc = n.parent
-            while anc is not None and anc.tag in ("div", "hgroup", "header") and not anc.id:
-                anc = anc.parent
-            if anc is not None and anc.tag == "section" and anc.id:
-                first_h = next(
-                    (d for d in anc.iter()
-                     if d.tag in ("h1", "h2", "h3", "h4", "h5", "h6")),
-                    None,
-                )
-                if first_h is n:
-                    hid = anc.id
+        # id candidates in the reference's order (map-ids-to-headings.mjs
+        # :89-105): <a name> anchor, the heading's own id, the enclosing
+        # section root's id — the LAST becomes the canonical id, the
+        # earlier ones its alternateIds.
+        ids: list[str] = []
+        a = n.first("a")
+        if a is not None and a.get("name"):
+            ids.append(a.get("name"))
+        if n.id:
+            ids.append(n.id)
+        anc = n.parent
+        while anc is not None and anc.tag in ("div", "hgroup", "header") and not anc.id:
+            anc = anc.parent
+        if anc is not None and anc.tag in ("section", "article") and anc.id:
+            first_h = next(
+                (d for d in anc.iter()
+                 if d.tag in ("h1", "h2", "h3", "h4", "h5", "h6")),
+                None,
+            )
+            if first_h is n:
+                ids.append(anc.id)
+        hid = ids[-1] if ids else None
+        alt_ids = ids[:-1] or None
         level = int(n.tag[1])
         number, title = self._heading_parts(n)
         if hid:
             self.heading_id = hid
-        self.emit(
-            "heading",
-            json.dumps(
-                {"id": hid, "level": level, "number": number, "title": title},
-                ensure_ascii=False,
-            ),
-        )
+        payload = {"id": hid, "level": level, "number": number, "title": title}
+        if alt_ids:
+            payload["alt_ids"] = alt_ids
+        self.emit("heading", json.dumps(payload, ensure_ascii=False))
         # ref-section state machine (extract-references.mjs heuristics)
         if _RE_NORMATIVE_REFS.match(title):
             self.ref_section = "normative"
@@ -482,12 +519,13 @@ class _Walker:
                 self._visit_dfn(d, informative, in_head)
             self.last_heading_dfns.append((d.id, d.norm_text()))
 
-    def _dfn_access(self, n: Node) -> str:
+    def _dfn_access(self, n: Node, dfn_type: str | None = None) -> str:
         """Reference access rule (extract-dfns.mjs:259-268): public when
         the doc doesn't use the dfn data model, when explicitly
         exported, or when typed as anything but 'dfn'/'cddl-*' without
         an explicit noexport."""
-        dfn_type = n.get("data-dfn-type")
+        if dfn_type is None:
+            dfn_type = n.get("data-dfn-type")
         if not self.uses_dfn_model or n.get("data-export") is not None:
             return "public"
         if (
@@ -513,6 +551,18 @@ class _Walker:
             for s in re.split(r",(?![^(]*\))", n.get("data-dfn-for") or "")
             if s.strip()
         ]
+        dfn_type = n.get("data-dfn-type") or "dfn"
+        if dfn_type == "idl":
+            # respec's invalid "idl" type for internal slots/methods →
+            # method when the term is a call, attribute otherwise
+            # (extract-dfns.mjs:344-354)
+            dfn_type = (
+                "method" if linking and linking[0].endswith(")") else "attribute"
+            )
+        if dfn_type not in _VALID_DFN_TYPES:
+            # unknown types are dropped with a warning in the reference
+            # (hasValidType, extract-dfns.mjs:51-118)
+            return
         self.emit(
             "dfn",
             json.dumps(
@@ -520,9 +570,9 @@ class _Walker:
                     "id": dfn_id,
                     "lt": linking,
                     "local_lt": local,
-                    "type": n.get("data-dfn-type") or "dfn",
+                    "type": dfn_type,
                     "for": dfn_for,
-                    "access": self._dfn_access(n),
+                    "access": self._dfn_access(n, dfn_type),
                     "informative": informative,
                     "heading_id": heading_id,
                     "defined_in": defined_in,

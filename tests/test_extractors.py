@@ -79,6 +79,7 @@ def test_woff2_headings(woff2):
             "level": 2,
             "title": "Heading in subpage",
             "number": None,
+            "alternate_ids": None,
         }
     ]
 
