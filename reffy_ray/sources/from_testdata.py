@@ -33,7 +33,7 @@ Derivation rules (keep in sync with the oracle SQL!):
            (the <dd> link also lands in the links extract)
   css      iff doc_id % 8 == 0: propdef table, property 'p<doc_id % 20>',
              dfn id 'propdef-p<doc_id>' (type 'property' → also a dfn row)
-           iff doc_id % 16 == 0: pre.prod '<len<doc_id % 6>> = px | em'
+           iff doc_id % 16 == 0: pre.prod typed-dfn rule '<len<doc_id % 6>> = px | em'
   event    iff doc_id % 9 == 0: def-table type 'ev<doc_id % 7>',
              interface 'Event', bubbles yes, id 'eventdef-<doc_id>'
   algo     iff doc_id % 12 == 0: ol.algorithm id 'algo-<doc_id>',
@@ -123,7 +123,12 @@ def doc_html(doc_id: int, text: str) -> str:
             "</table>"
         )
     if doc_id % 16 == 0:
-        parts.append(f"<pre class='prod'>&lt;len{doc_id % 6}&gt; = px | em</pre>")
+        # typed dfn inside the production rule — a bare rule with no dfn
+        # is a "Missing definition" warning in the reference model
+        parts.append(
+            f"<pre class='prod'><dfn data-dfn-type='type'>&lt;len{doc_id % 6}&gt;</dfn>"
+            " = px | em</pre>"
+        )
     if doc_id % 9 == 0:
         parts.append(
             f"<table class='def' id='eventdef-{doc_id}'>"

@@ -416,123 +416,29 @@ _RE_PROD = re.compile(r"^\s*<?([a-zA-Z][\w-]*)>?\s*=\s*(.+)$", re.S)
 
 
 def extract_css(batch: pa.Table) -> pa.Table:
-    """CSS definitions: propdef/descdef tables → properties, pre.prod
-    production rules → values (extract-cssdfn.mjs:407-458, 871-915).
-    One output row per definition; full record as payload_json."""
+    """CSS definitions (extract-cssdfn.mjs main flow): the whole-document
+    assembly runs at parse time (stages/cssdfn.py — it needs DOM context
+    the span stream doesn't carry) and lands in one ``css-data`` span;
+    this stage explodes it into one Arrow row per definition with the
+    full record as payload_json."""
     rows = []
-    # typed CSS dfns (extractTypedDfns, extract-cssdfn.mjs:715-865):
-    # dfn type → output category
-    css_dfn_categories = {
-        "at-rule": "atrules",
-        "selector": "selectors",
-        "type": "values",
-        "function": "values",
-        "value": "values",
-    }
-    for doc_id, url, spans in _iter_docs(batch):
-        doc_rows: "OrderedDict[tuple[str, str], dict]" = OrderedDict()
-
-        def add_row(category: str, name: str, payload: dict):
-            """In-doc duplicate policy (extract-cssdfn.mjs:558-607):
-            same (category, name) merges — first definition's values
-            win, later ones fill missing keys."""
-            key = (category, name)
-            if key in doc_rows:
-                existing = doc_rows[key]
-                for k, v in payload.items():
-                    existing.setdefault(k, v)
-            else:
-                doc_rows[key] = dict(payload)
-
-        pt = _PageTracker(url)
-        tables: "OrderedDict[str, dict]" = OrderedDict()
-        table_hrefs: dict[str, str] = {}
-        dl_defs: list[dict] = []  # legacy dl dialect, used only as fallback
-        for s in spans:
-            pt.feed(s)
-            if s["kind"] == "css-dl-def":
-                d = json.loads(s["text"])
-                d["_page"] = pt.page
-                dl_defs.append(d)
-                continue
-            if s["kind"] == "css-legacy-alias":
-                # legacy '-webkit' aliases always land in properties
-                # (extract-cssdfn.mjs:33)
-                a = json.loads(s["text"])
-                payload = {"name": a["name"], "legacyAliasOf": a["alias_of"]}
-                if a.get("id"):
-                    payload["href"] = pt.href(a["id"])
-                add_row("properties", a["name"], payload)
-                continue
-            if s["kind"] == "dfn":
-                d = json.loads(s["text"])
-                cat = css_dfn_categories.get(d.get("type", ""))
-                if cat:
-                    for lt in d.get("lt", []):
-                        payload = {
-                            "name": lt,
-                            "href": pt.href(d["id"]),
-                            "type": d["type"],
-                        }
-                        if d.get("for"):
-                            payload["for"] = d["for"]
-                        add_row(cat, lt, payload)
-            elif s["kind"] == "css-propdef-row":
-                r = json.loads(s["text"])
-                tid = r.get("table_id") or (r.get("dfn_ids") or [""])[0] or f"__t{len(tables)}"
-                t = tables.setdefault(tid, {"__kind": r.get("table_kind", "propdef")})
-                key = _css_prop_key(r["row_label"])
-                t[key] = r["row_value"]
-                if key == "name" and r.get("dfn_ids"):
-                    table_hrefs[tid] = pt.href(r["dfn_ids"][0])
-            elif s["kind"] == "css-prod":
-                m = _RE_PROD.match(s["text"])
-                if m:
-                    name = f"<{m.group(1)}>"
-                    payload = {
-                        "name": name,
-                        "type": "type",
-                        "value": " ".join(m.group(2).split()),
+    for doc_id, _url, spans in _iter_docs(batch):
+        data = next((s["text"] for s in spans if s["kind"] == "css-data"), None)
+        if not data:
+            continue
+        struct = json.loads(data)
+        for category in ("properties", "atrules", "selectors", "values", "warnings"):
+            for item in struct.get(category) or []:
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "category": category,
+                        "name": item.get("name") or "",
+                        "payload_json": json.dumps(
+                            item, sort_keys=True, ensure_ascii=False
+                        ),
                     }
-                    add_row("values", name, payload)
-        if not tables and dl_defs:
-            # older recipe fallback: dl definitions only apply when no
-            # table-based propdef/descdef exists (extract-cssdfn.mjs:83-96)
-            for d in dl_defs:
-                props = {
-                    _css_prop_key(label): value
-                    for label, value in d.get("props", {}).items()
-                }
-                props.pop("name", None)
-                category = "atrules" if d["kind"] == "descdef" else "properties"
-                for nm in d.get("names", []):
-                    payload = dict(props)
-                    payload["name"] = nm["name"]
-                    if nm.get("id"):
-                        payload["href"] = f"{d['_page']}#{_encode_frag(nm['id'])}"
-                    add_row(category, nm["name"], payload)
-        for tid, t in tables.items():
-            kind = t.pop("__kind", "propdef")
-            names = [n.strip() for n in t.get("name", "").split(",") if n.strip()]
-            href = table_hrefs.get(tid)
-            for name in names or ([t["for"]] if kind == "descdef" and "for" in t else []):
-                payload = {k: v for k, v in t.items() if k != "name"}
-                payload["name"] = name
-                if href:
-                    payload["href"] = href
-                category = "atrules" if kind == "descdef" else "properties"
-                add_row(category, name, payload)
-        for (category, name), payload in doc_rows.items():
-            rows.append(
-                {
-                    "doc_id": doc_id,
-                    "category": category,
-                    "name": name,
-                    "payload_json": json.dumps(
-                        dict(sorted(payload.items())), ensure_ascii=False
-                    ),
-                }
-            )
+                )
     return _table(schemas.EXTRACTS_CSS, rows)
 
 

@@ -1370,14 +1370,24 @@ def spans_from_html(
     w.walk_document(root)
     for url, proot in page_roots:
         w.merge_subpage(url, proot)
-    for _, r in all_pages:
-        clear_parents(r)
     events = w.events
     if w.saw_idl_index:
         # Bikeshed IDL index wins over in-prose IDL blocks
         # (extract-webidl.mjs:13-35)
         events = [e for e in events if e[0] != "idl-block"]
         events.extend(w.idl_index_events)
+    # whole-document CSS definitions pass (needs DOM context the span
+    # stream doesn't carry: parent/sibling prose, production-rule
+    # mapping, value attachment) — extract-cssdfn.mjs main flow
+    from .cssdfn import extract_css_struct
+
+    css_struct = extract_css_struct(all_pages)
+    if any(css_struct.get(k) for k in css_struct):
+        events.append(
+            ("css-data", json.dumps(css_struct, ensure_ascii=False), "")
+        )
+    for _, r in all_pages:
+        clear_parents(r)
     return [
         {"kind": k, "text": t, "media_ref": m, "offset": i}
         for i, (k, t, m) in enumerate(events)

@@ -60,8 +60,8 @@ def _check_css_payload(payload, path: str, errors: list[str]) -> None:
     for k, v in payload.items():
         if not isinstance(k, str):
             errors.append(f"{path}: non-string key {k!r}")
-        elif not isinstance(v, (str, list)):
-            errors.append(f"{path}.{k}: value must be string or list")
+        elif not isinstance(v, (str, list, bool)):
+            errors.append(f"{path}.{k}: value must be string, list or bool")
 
 
 def _check_dfn_links(payload, path: str, errors: list[str]) -> None:
@@ -100,7 +100,7 @@ _REQUIRED_NONNULL = {
 }
 
 _ENUMS = {
-    "css": ("category", {"properties", "atrules", "selectors", "values"}),
+    "css": ("category", {"properties", "atrules", "selectors", "values", "warnings"}),
     "dfns": ("access", {"public", "private"}),
 }
 

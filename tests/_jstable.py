@@ -1,0 +1,60 @@
+"""Shared helper: evaluate a JS `const tests = [...]` literal from the
+reference's test files as Python data (read-don't-copy policy — the
+tables are parsed from /root/reference at collection time and never
+committed to this repo)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+
+def load_js_tests(path: str, var: str = "tests"):
+    """Return the `const <var> = [...]` array from a reference test
+    file as Python data, or [] when the file is unavailable."""
+    if not os.path.isfile(path):
+        return []
+    src = open(path).read()
+    marker = f"const {var} = ["
+    start = src.index(marker)
+    body = src[start + len(f"const {var} = "):]
+    arr = body[: body.index("\n];") + 2]
+    return eval_js_literal(arr)
+
+
+def eval_js_literal(arr: str):
+    blocks: list[str] = []
+
+    def stash(m):
+        # template literals process \uXXXX escapes
+        block = re.sub(
+            r"\\u([0-9a-fA-F]{4})",
+            lambda e: chr(int(e.group(1), 16)),
+            m.group(1),
+        )
+        blocks.append(block)
+        return f"__BLOCK_{len(blocks) - 1}__"
+
+    s = re.sub(r"`([^`]*)`", stash, arr, flags=re.S)
+    s = re.sub(r"^\s*//.*$", "", s, flags=re.M)
+    s = re.sub(r"([{,\[]\s*)([A-Za-z_]\w*)\s*:", r'\1"\2":', s)
+    s = re.sub(r"\btrue\b", "True", s)
+    s = re.sub(r"\bfalse\b", "False", s)
+    s = re.sub(r"\bnull\b", "None", s)
+    s = re.sub(r"\bundefined\b", "None", s)
+    s = re.sub(r"__BLOCK_(\d+)__", lambda m: json.dumps(blocks[int(m.group(1))]), s)
+    return eval(s, {"__builtins__": {}}, {})  # noqa: S307 - trusted local file
+
+
+def norm(v, keymap: dict[str, str] | None = None):
+    """Recursively drop None-valued keys (absent key in JS ≡ null field
+    in Arrow) and rename camelCase keys via keymap."""
+    keymap = keymap or {}
+    if isinstance(v, dict):
+        return {
+            keymap.get(k, k): norm(x, keymap) for k, x in v.items() if x is not None
+        }
+    if isinstance(v, list):
+        return [norm(x, keymap) for x in v]
+    return v

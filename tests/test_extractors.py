@@ -203,10 +203,14 @@ def test_css_propdef(cssbg):
 
 
 def test_css_production_rule(cssbg):
+    # a production rule with no dfn anywhere is a "Missing definition"
+    # warning in the reference model (extract-cssdfn.mjs:186-196), not a
+    # values entry
     rows = ex.extract_css(cssbg).to_pylist()
-    vals = [r for r in rows if r["category"] == "values"]
-    assert len(vals) == 1
-    v = json.loads(vals[0]["payload_json"])
+    warns = [r for r in rows if r["category"] == "warnings"]
+    assert len(warns) == 1
+    v = json.loads(warns[0]["payload_json"])
+    assert v["msg"] == "Missing definition"
     assert v["name"] == "<position>"
     assert v["value"] == "[ left | center | right ]"
 

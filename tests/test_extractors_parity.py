@@ -369,10 +369,16 @@ def test_css_duplicate_tables_merge():
 </tbody></table>"""
     rows = ex.extract_css(batch_of(html)).to_pylist()
     props = [r for r in rows if r["category"] == "properties"]
-    assert len(props) == 1  # merged, not duplicated
+    assert len(props) == 1  # not duplicated
     p = json.loads(props[0]["payload_json"])
-    assert p["value"] == "a | b"   # first definition wins
-    assert p["initial"] == "a"     # later definition fills missing keys
+    # two base definitions (both carry "value") cannot merge: the first
+    # wins untouched and an Unmergeable-definition warning is recorded
+    # (mergeDfns, extract-cssdfn.mjs:517-548)
+    assert p["value"] == "a | b"
+    assert "initial" not in p
+    warns = [json.loads(r["payload_json"]) for r in rows
+             if r["category"] == "warnings"]
+    assert any(w["msg"] == "Unmergeable definition" for w in warns)
 
 
 # -- RFC-style headings (extract-headings.mjs:23-38) -------------------------
