@@ -1025,9 +1025,11 @@ def oracle_sql() -> dict[str, str]:
                    base || '#term-' || CAST(doc_id AS VARCHAR)
               FROM d WHERE doc_id % 3 = 0
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
-                   base || '#normative-references' FROM d WHERE doc_id % 6 = 0
+                   base || '#normative' FROM d
+              WHERE doc_id % 6 = 0 AND doc_id % 4 = 0
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
-                   base || '#informative-references' FROM d WHERE doc_id % 6 = 3
+                   base || '#normative-references' FROM d
+              WHERE doc_id % 6 = 0 AND doc_id % 4 = 2
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
                    base || '#propdef-p' || CAST(doc_id AS VARCHAR)
               FROM d WHERE doc_id % 8 = 0

@@ -205,6 +205,7 @@ EXTRACTS_EVENTS = pa.schema(
         ("targets", pa.list_(pa.string())),
         ("href", pa.string()),
         ("src_format", pa.string()),
+        ("src_href", pa.string()),
         ("is_extension", pa.bool_()),
     ]
 )

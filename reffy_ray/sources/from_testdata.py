@@ -27,9 +27,12 @@ Derivation rules (keep in sync with the oracle SQL!):
            revision 'rev-<doc_id>' iff doc_id % 6 == 1;
            date '2026-03-15' iff doc_id % 5 == 2
   refs     iff doc_id % 6 == 0: normative ref '[REF<doc_id % 9>]' →
-             'https://refs.example.org/ref-<doc_id % 9>/'
+             'https://refs.example.org/ref-<doc_id % 9>/' — bikeshed
+             '#normative + dl' when %4==0, respec
+             '#normative-references > dl' when %4==2
            iff doc_id % 6 == 3: informative ref '[XREF<doc_id % 9>]' →
-             'https://refs.example.org/iref-<doc_id % 9>/'
+             'https://refs.example.org/iref-<doc_id % 9>/' (generic
+             'Informative references' heading + dl)
            (the <dd> link also lands in the links extract)
   css      iff doc_id % 8 == 0: propdef table, property 'p<doc_id % 20>',
              dfn id 'propdef-p<doc_id>' (type 'property' → also a dfn row)
@@ -98,20 +101,28 @@ def doc_html(doc_id: int, text: str) -> str:
             f"<figcaption>Figure {doc_id}</figcaption></figure>"
         )
     if doc_id % 6 == 0:
+        # normative refs: %6==0 docs are even, so the generator is
+        # always bikeshed (%4==0: '#normative + dl') or respec
+        # (%4==2: '#normative-references > dl')
         k = doc_id % 9
-        parts.append(
-            "<section id='normative-references'><dl>"
-            f"<dt>[REF{k}]</dt>"
+        dl = (
+            f"<dl><dt>[REF{k}]</dt>"
             f"<dd><a href='https://refs.example.org/ref-{k}/'>Reference {k}</a></dd>"
-            "</dl></section>"
+            "</dl>"
         )
+        if doc_id % 4 == 0:
+            parts.append(f"<div id='normative'></div>{dl}")
+        else:
+            parts.append(f"<section id='normative-references'>{dl}</section>")
     elif doc_id % 6 == 3:
+        # informative refs: %6==3 docs are odd → no generator meta →
+        # the generic heading-scan path
         k = doc_id % 9
         parts.append(
-            "<section id='informative-references'><dl>"
+            "<h3>Informative references</h3><dl>"
             f"<dt>[XREF{k}]</dt>"
             f"<dd><a href='https://refs.example.org/iref-{k}/'>Reference {k}</a></dd>"
-            "</dl></section>"
+            "</dl>"
         )
     if doc_id % 8 == 0:
         parts.append(
@@ -131,10 +142,12 @@ def doc_html(doc_id: int, text: str) -> str:
         )
     if doc_id % 9 == 0:
         parts.append(
+            # css-nav-1-style def table: bare row labels (the reference
+            # matches th text "Bubbles" exactly, extract-events.mjs:147)
             f"<table class='def' id='eventdef-{doc_id}'>"
-            f"<tr><th>Type:</th><td>ev{doc_id % 7}</td></tr>"
-            "<tr><th>Interface:</th><td>Event</td></tr>"
-            "<tr><th>Bubbles:</th><td>Yes</td></tr>"
+            f"<tr><th>Type</th><td>ev{doc_id % 7}</td></tr>"
+            "<tr><th>Interface</th><td>Event</td></tr>"
+            "<tr><th>Bubbles</th><td>Yes</td></tr>"
             "</table>"
         )
     if doc_id % 12 == 0:

@@ -221,28 +221,26 @@ def extract_links(batch: pa.Table) -> pa.Table:
 
 
 def extract_refs(batch: pa.Table) -> pa.Table:
-    """Normative/informative references (extract-references.mjs:99-148);
-    first-wins per (name, section)."""
+    """Normative/informative references (extract-references.mjs main
+    flow — the generator-keyed selectors and heading/sibling walks run
+    at parse time in stages/refsdfn.py and land in one refs-data span;
+    this stage explodes it into rows)."""
     rows = []
     for doc_id, _url, spans in _iter_docs(batch):
-        seen: set[tuple[str, bool]] = set()
-        for s in spans:
-            if s["kind"] != "ref-entry":
-                continue
-            r = json.loads(s["text"])
-            normative = r.get("section") == "normative"
-            key = (r["name"], normative)
-            if key in seen:
-                continue
-            seen.add(key)
-            rows.append(
-                {
-                    "doc_id": doc_id,
-                    "name": r["name"],
-                    "url": r.get("url"),
-                    "normative": normative,
-                }
-            )
+        data = next((s["text"] for s in spans if s["kind"] == "refs-data"), None)
+        if not data:
+            continue
+        struct = json.loads(data)
+        for section in ("normative", "informative"):
+            for r in struct.get(section) or []:
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "name": r.get("name"),
+                        "url": r.get("url"),
+                        "normative": section == "normative",
+                    }
+                )
     return _table(schemas.EXTRACTS_REFS, rows)
 
 
@@ -458,134 +456,35 @@ _RE_IFACE_BODY = re.compile(
 
 
 def extract_events(batch: pa.Table) -> pa.Table:
-    """Event inventory from summary tables, def tables, `on<event>`
-    EventHandler IDL attributes and fire-an-event prose
-    (extract-events.mjs:80-406); in-doc dedup via same-(type,iface)
-    merge (isSameEvent, extract-events.mjs:39-48)."""
+    """Event inventory (extract-events.mjs main flow — summary/def/
+    event-definition tables, fire-an-event phrasing, IDL handlers,
+    event dfns; runs at parse time in stages/eventsdfn.py and lands in
+    one events-data span that this stage explodes into rows)."""
     rows = []
-    for doc_id, url, spans in _iter_docs(batch):
-        pt = _PageTracker(url)
-        events: list[dict] = []
-
-        def find(ev_type: str, iface: str | None):
-            for e in events:
-                if e["type"] == ev_type and (
-                    iface is None or e.get("interface") in (None, iface)
-                ):
-                    return e
-            return None
-
-        idl_ifaces: list[tuple[str, list[str]]] = []  # (iface, [event names])
-        for s in spans:
-            pt.feed(s)
-            if s["kind"] == "event-row":
-                r = json.loads(s["text"])
-                ext_href = r.get("ext_href")
-                from ..urlnorm import host_of as _host_of
-
-                is_ext = bool(
-                    ext_href and _host_of(ext_href) != _host_of(pt.page)
-                )
-                ev = {
+    for doc_id, _url, spans in _iter_docs(batch):
+        data = next(
+            (s["text"] for s in spans if s["kind"] == "events-data"), None
+        )
+        if not data:
+            continue
+        for e in json.loads(data):
+            src = e.get("src") or {}
+            rows.append(
+                {
                     "doc_id": doc_id,
-                    "type": r["type"],
-                    "interface": r.get("iface"),
-                    "bubbles": r.get("bubbles"),
-                    "cancelable": r.get("cancelable"),
-                    "targets": r.get("targets"),
-                    "href": (
-                        ext_href
-                        if is_ext
-                        else (pt.href(r["id"]) if r.get("id") else None)
-                    ),
-                    "src_format": r.get("src_format", "summary table"),
-                    "is_extension": is_ext,
+                    "type": e.get("type"),
+                    "interface": e.get("interface"),
+                    "bubbles": e.get("bubbles"),
+                    "cancelable": e.get("cancelable"),
+                    "targets": e.get("targets"),
+                    "href": e.get("href"),
+                    "src_format": src.get("format"),
+                    "src_href": src.get("href"),
+                    "is_extension": bool(e.get("isExtension")),
                 }
-                existing = find(r["type"], r.get("iface"))
-                if existing is None:
-                    events.append(ev)
-                else:
-                    for k, v in ev.items():
-                        if existing.get(k) is None and v is not None:
-                            existing[k] = v
-            elif s["kind"] == "idl-block":
-                for m in _RE_IFACE_BODY.finditer(s["text"]):
-                    iface, body = m.group(1), m.group(2)
-                    handlers = _RE_ONHANDLER.findall(body)
-                    if handlers:
-                        idl_ifaces.append((iface, handlers))
-            elif s["kind"] == "dfn":
-                d = json.loads(s["text"])
-                if d.get("type") == "event":
-                    ev_type = (d.get("lt") or [""])[0]
-                    existing = find(ev_type, None)
-                    targets = d.get("for") or None
-                    if existing is None:
-                        events.append(
-                            {
-                                "doc_id": doc_id,
-                                "type": ev_type,
-                                "interface": None,
-                                "bubbles": None,
-                                "cancelable": None,
-                                "targets": targets,
-                                "href": pt.href(d["id"]),
-                                "src_format": "dfn",
-                                "is_extension": False,
-                            }
-                        )
-                    else:
-                        if existing.get("href") is None:
-                            existing["href"] = pt.href(d["id"])
-                        if existing.get("targets") is None and targets:
-                            existing["targets"] = targets
-            elif s["kind"] == "prose":
-                for m in _RE_FIRE_EVENT.finditer(s["text"]):
-                    ev_type = m.group(1)
-                    txt = s["text"].lower()
-                    bubbles = None
-                    if "bubbles attribute initialized to true" in txt or "which bubbles" in txt:
-                        bubbles = True
-                    elif "does not bubble" in txt or "bubbles attribute initialized to false" in txt:
-                        bubbles = False
-                    if find(ev_type, None) is None:
-                        events.append(
-                            {
-                                "doc_id": doc_id,
-                                "type": ev_type,
-                                "interface": None,
-                                "bubbles": bubbles,
-                                "cancelable": None,
-                                "targets": None,
-                                "href": None,
-                                "src_format": "fire an event phrasing",
-                                "is_extension": False,
-                            }
-                        )
-        # complete targets from on<event> EventHandler IDL attributes
-        for iface, handlers in idl_ifaces:
-            for ev_name in handlers:
-                e = find(ev_name, None)
-                if e is not None:
-                    tgts = set(e.get("targets") or [])
-                    tgts.add(iface)
-                    e["targets"] = sorted(tgts)
-                else:
-                    events.append(
-                        {
-                            "doc_id": doc_id,
-                            "type": ev_name,
-                            "interface": None,
-                            "bubbles": None,
-                            "cancelable": None,
-                            "targets": [iface],
-                            "href": None,
-                            "src_format": "IDL eventHandler",
-                            "is_extension": False,
-                        }
-                    )
-        rows.extend(events)
+            )
     return _table(schemas.EXTRACTS_EVENTS, rows)
+
 
 
 # ---------------------------------------------------------------------------
@@ -753,21 +652,38 @@ def extract_cddl(batch: pa.Table) -> pa.Table:
     (extract-cddl.mjs:30-125)."""
     rows = []
     for doc_id, _url, spans in _iter_docs(batch):
-        modules: "OrderedDict[str, list[str]]" = OrderedDict()
-        all_blocks: list[str] = []
+        blocks: list[tuple[str, list[str]]] = []
         for s in spans:
             if s["kind"] != "cddl-block":
                 continue
             c = json.loads(s["text"])
-            all_blocks.append(c["cddl"])
-            for m in c.get("modules") or []:
-                modules.setdefault(m, []).append(c["cddl"])
-        if all_blocks:
+            if c["cddl"]:
+                blocks.append((c["cddl"], c.get("modules") or []))
+        # module registry first ("all" never creates a module)
+        modules: "OrderedDict[str, list[str]]" = OrderedDict()
+        for _cddl, names in blocks:
+            for name in names:
+                if name != "all":
+                    modules.setdefault(name, [])
+        merged: list[str] = []
+        for cddl, names in blocks:
+            merged.append(cddl)
+            # no module ⇒ the CDDL is defined for all modules
+            for name in names or list(modules):
+                if name != "all":
+                    modules.setdefault(name, []).append(cddl)
+        if merged:
             rows.append(
-                {"doc_id": doc_id, "module": "all", "cddl": "\n\n".join(all_blocks)}
+                {
+                    "doc_id": doc_id,
+                    "module": "all" if modules else "",
+                    "cddl": "\n\n".join(merged),
+                }
             )
-            for m, blocks in modules.items():
-                rows.append({"doc_id": doc_id, "module": m, "cddl": "\n\n".join(blocks)})
+            for m, mblocks in modules.items():
+                rows.append(
+                    {"doc_id": doc_id, "module": m, "cddl": "\n\n".join(mblocks)}
+                )
     return _table(schemas.EXTRACTS_CDDL, rows)
 
 

@@ -102,6 +102,25 @@ _VALID_DFN_TYPES = frozenset({
 _CSS2_VENDOR_URL = "https://www.w3.org/TR/CSS2/syndata.html#vendor-keywords"
 
 
+def clean_text(n: Node) -> str:
+    """textContent with informative-selector subtrees removed
+    (clone-and-clean.mjs:7-25 — asides, .idlHeader, annotations,
+    details.respec-tests-details, dfn panels)."""
+    from .cssdfn import _is_informative
+
+    parts: list[str] = []
+
+    def rec(node: Node):
+        for c in node.children:
+            if isinstance(c, str):
+                parts.append(c)
+            elif not _is_informative(c):
+                rec(c)
+
+    rec(n)
+    return "".join(parts)
+
+
 class _Walker:
     """Single-document walk emitting (kind, text, media_ref) events."""
 
@@ -305,6 +324,10 @@ class _Walker:
         if n.id == "idl-index" or (tag == "section" and n.id == "idl-index"):
             in_idl_index = True
             self.saw_idl_index = True
+            if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                # Bikeshed idl-index as a bare heading: the IDL is the
+                # next element sibling (extract-webidl.mjs:46-56)
+                self._idl_index_next = True
         if tag == "div" and "head" in cls:
             in_head = True
 
@@ -433,6 +456,22 @@ class _Walker:
         elif name in ("date", "dcterms.date"):
             self.emit("meta", f"date={content}")
 
+    @staticmethod
+    def _heading_text(n: Node) -> str:
+        """Heading text minus annotations/asides/del (the reference's
+        getCleanTextContent → cloneAndClean)."""
+        parts: list[str] = []
+
+        def rec(node: Node):
+            for c in node.children:
+                if isinstance(c, str):
+                    parts.append(c)
+                elif c.tag not in _SKIP_TAGS and not (c.classes & _SKIP_CLASSES):
+                    rec(c)
+
+        rec(n)
+        return "".join(parts)
+
     def _heading_parts(self, n: Node) -> tuple[str, str]:
         """(number, title) split via .secno child or leading numbering."""
         number = ""
@@ -441,7 +480,7 @@ class _Walker:
             if c.has_class("secno", "secnum"):
                 secno = c
                 break
-        text = n.norm_text()
+        text = " ".join(self._heading_text(n).split()).replace("\u2212", "-")
         if secno is not None:
             number = secno.norm_text().rstrip(".")
             stext = secno.norm_text()
@@ -486,6 +525,15 @@ class _Walker:
         if alt_ids:
             payload["alt_ids"] = alt_ids
         self.emit("heading", json.dumps(payload, ensure_ascii=False))
+        # nested anchorable ids inside the heading (extract-ids walks
+        # every [id]/[name] element; the heading subtree isn't recursed)
+        for d in n.iter():
+            if d is n:
+                continue
+            if d.id and d.id != hid:
+                self.emit("anchor", d.id)
+            elif d.tag == "a" and d.get("name") and d.get("name") != hid:
+                self.emit("anchor", d.get("name"))
         # ref-section state machine (extract-references.mjs heuristics)
         if _RE_NORMATIVE_REFS.match(title):
             self.ref_section = "normative"
@@ -707,29 +755,71 @@ class _Walker:
                     ensure_ascii=False,
                 ),
             )
-        body = dedent_code(n.text())
+        body = dedent_code(clean_text(n))
         # dfns/anchors inside code blocks must still be emitted
         for d in n.find_all("dfn"):
             if d.id:
                 self.emit("anchor", d.id)
                 self._visit_dfn(d, informative, False)
-        if cls & {"idl", "webidl"} or n.first("code") and n.first("code").has_class("idl"):
+        if self._is_idl_pre(n, cls):
             if not informative:
-                self.emit("idl-block", body, to_idl_index=in_idl_index)
+                to_index = in_idl_index or getattr(self, "_idl_index_next", False)
+                self._idl_index_next = False
+                self.emit("idl-block", body, to_idl_index=to_index)
             return
         if "prod" in cls:
             self.emit("css-prod", body)
             return
         if "cddl" in cls:
-            modules = [
-                m for m in (n.get("data-cddl-module") or "").split(",") if m.strip()
-            ] or [c[len("cddl-"):] for c in cls if c.startswith("cddl-") and c != "cddl"]
+            attr = n.get("data-cddl-module")
+            if attr:
+                modules = [m.strip() for m in attr.split(",") if m.strip()]
+            else:
+                # class forms cddl-<name> and <name>-cddl
+                # (getModules, extract-cddl.mjs:107-125)
+                modules = []
+                for c in n.get("class", "").split():
+                    m = re.match(r"^(.*)-cddl$|^cddl-(.*)$", c)
+                    if m:
+                        name = m.group(1) if m.group(1) is not None else m.group(2)
+                        if name and name not in modules:
+                            modules.append(name)
             self.emit(
                 "cddl-block",
                 json.dumps({"cddl": body, "modules": modules}, ensure_ascii=False),
             )
             return
         # plain code block → prose-ish, ignore
+
+    @staticmethod
+    def _is_idl_pre(n: Node, cls: set[str]) -> bool:
+        """ReSpec-convention IDL block selectors
+        (extract-webidl.mjs:73-79): pre.idl / pre.widl, pre > code.idl /
+        code.idl-code, div.idl-code > pre — all minus .exclude/.extract
+        and the #actual-idl-index / #idl-index / .chapter-idl scopes."""
+        excluded = {"exclude", "extract"}
+        if cls & excluded:
+            return False
+        if n.closest(
+            lambda a: a.id in ("idl-index",) or "chapter-idl" in a.classes
+        ) is not None:
+            # handled by the Bikeshed idl-index path (saw_idl_index)
+            return False
+        if (cls & {"idl", "widl", "webidl"}) and n.id != "actual-idl-index":
+            return True
+        code = next((c for c in n.element_children() if c.tag == "code"), None)
+        if code is not None and (
+            code.classes & {"idl", "idl-code"}
+        ) and not (code.classes & excluded):
+            return True
+        if (
+            n.parent is not None
+            and n.parent.tag == "div"
+            and "idl-code" in n.parent.classes
+            and not (n.parent.classes & excluded)
+        ):
+            return True
+        return False
 
     # -- tables ------------------------------------------------------------
     def _visit_table(self, n: Node, informative: bool) -> bool:
@@ -1385,6 +1475,25 @@ def spans_from_html(
     if any(css_struct.get(k) for k in css_struct):
         events.append(
             ("css-data", json.dumps(css_struct, ensure_ascii=False), "")
+        )
+    # whole-document references pass (generator-keyed selectors +
+    # heading/sibling walks) — extract-references.mjs main flow
+    from .refsdfn import extract_references
+
+    refs_struct = extract_references(all_pages)
+    if refs_struct:
+        events.append(
+            ("refs-data", json.dumps(refs_struct, ensure_ascii=False), "")
+        )
+    # whole-document events pass (summary/def/event-definition tables,
+    # fire-an-event phrasing ranges, IDL handlers, event dfns) —
+    # extract-events.mjs main flow
+    from .eventsdfn import extract_events_struct
+
+    ev_struct = extract_events_struct(all_pages, shortname=shortname)
+    if ev_struct:
+        events.append(
+            ("events-data", json.dumps(ev_struct, ensure_ascii=False), "")
         )
     for _, r in all_pages:
         clear_parents(r)

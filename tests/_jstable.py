@@ -10,9 +10,14 @@ import os
 import re
 
 
-def load_js_tests(path: str, var: str = "tests"):
+def load_js_tests(path: str, var: str = "tests", namespace: dict | None = None,
+                  substitutions: dict[str, str] | None = None):
     """Return the `const <var> = [...]` array from a reference test
-    file as Python data, or [] when the file is unavailable."""
+    file as Python data, or [] when the file is unavailable.
+
+    ``namespace`` provides values for identifiers the table references
+    (e.g. a `defaultResults(...)` helper); ``substitutions`` replaces
+    `${name}` template interpolations inside backtick strings."""
     if not os.path.isfile(path):
         return []
     src = open(path).read()
@@ -20,18 +25,27 @@ def load_js_tests(path: str, var: str = "tests"):
     start = src.index(marker)
     body = src[start + len(f"const {var} = "):]
     arr = body[: body.index("\n];") + 2]
-    return eval_js_literal(arr)
+    for name, value in (substitutions or {}).items():
+        arr = arr.replace("${" + name + "}", value)
+    return eval_js_literal(arr, namespace)
 
 
-def eval_js_literal(arr: str):
+def eval_js_literal(arr: str, namespace: dict | None = None):
     blocks: list[str] = []
 
+    _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+                "v": "\v", "0": "\0", "\\": "\\", "`": "`", "'": "'",
+                '"': '"', "$": "$"}
+
     def stash(m):
-        # template literals process \uXXXX escapes
+        # template literals process escape sequences
+        def esc(e):
+            if e.group(1):
+                return chr(int(e.group(1), 16))
+            return _ESCAPES.get(e.group(2), e.group(2))
+
         block = re.sub(
-            r"\\u([0-9a-fA-F]{4})",
-            lambda e: chr(int(e.group(1), 16)),
-            m.group(1),
+            r"\\u([0-9a-fA-F]{4})|\\(.)", esc, m.group(1), flags=re.S
         )
         blocks.append(block)
         return f"__BLOCK_{len(blocks) - 1}__"
@@ -44,7 +58,7 @@ def eval_js_literal(arr: str):
     s = re.sub(r"\bnull\b", "None", s)
     s = re.sub(r"\bundefined\b", "None", s)
     s = re.sub(r"__BLOCK_(\d+)__", lambda m: json.dumps(blocks[int(m.group(1))]), s)
-    return eval(s, {"__builtins__": {}}, {})  # noqa: S307 - trusted local file
+    return eval(s, {"__builtins__": {}}, dict(namespace or {}))  # noqa: S307
 
 
 def norm(v, keymap: dict[str, str] | None = None):

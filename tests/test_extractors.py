@@ -357,7 +357,11 @@ def test_event_dfn_completes_table_event():
         }
     )
     rows = ex.extract_events(batch).to_pylist()
+    # the summary row has no dfn/a/code element in its type cell, so the
+    # reference skips it (extract-events.mjs:107-112); the event dfn is
+    # the only extracted event, with its data-dfn-for as target
     assert len(rows) == 1
     e = rows[0]
-    assert e["interface"] == "SuccessEvent"
-    assert e["targets"] == ["Example"]  # completed from the dfn
+    assert e["interface"] is None
+    assert e["targets"] == ["Example"]
+    assert e["src_format"] == "dfn"

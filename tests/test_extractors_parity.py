@@ -189,7 +189,8 @@ def cddl_of(html: str):
 
 def test_cddl_basic():
     rows = cddl_of('<pre class="cddl">cddl = tstr</pre>')
-    assert rows == [{"doc_id": "d", "module": "all", "cddl": "cddl = tstr"}]
+    # no named modules: the single entry is named "" (extract-cddl.mjs:82)
+    assert rows == [{"doc_id": "d", "module": "", "cddl": "cddl = tstr"}]
 
 
 def test_cddl_none():
