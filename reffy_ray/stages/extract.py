@@ -570,76 +570,33 @@ def extract_elements(batch: pa.Table) -> pa.Table:
 
 
 def extract_algorithms(batch: pa.Table) -> pa.Table:
-    """Normative algorithm trees (extract-algorithms.mjs:526-587):
-    algo-step spans grouped per algo_id, nested by depth; document
-    order preserved (sort at :700-708 is document order here)."""
+    """Normative algorithm trees (extract-algorithms.mjs main flow —
+    runs at parse time in stages/algodfn.py and lands in one algos-data
+    span; this stage explodes it into rows with name/href/rationale
+    columns and the rest of the record as steps_json)."""
     rows = []
-    for doc_id, url, spans in _iter_docs(batch):
-        pt = _PageTracker(url)
-        algos: "OrderedDict[str, dict]" = OrderedDict()
-        for s in spans:
-            pt.feed(s)
-            if s["kind"] != "algo-step":
-                continue
-            st = json.loads(s["text"])
-            aid = st["algo_id"]
-            if st["depth"] == -1:
-                algos[aid] = {
-                    "name": st.get("name") or None,
-                    "href": pt.href(aid) if not aid.startswith("__algo") else None,
-                    "rationale": st.get("rationale", ".algorithm"),
-                    "html": st.get("html", ""),
-                    "steps": [],
-                    "_stack": [],
-                }
-            else:
-                a = algos.get(aid)
-                if a is None:
-                    a = algos.setdefault(
-                        aid,
-                        {
-                            "name": None,
-                            "href": pt.href(aid) if not aid.startswith("__algo") else None,
-                            "rationale": ".algorithm",
-                            "html": "",
-                            "steps": [],
-                            "_stack": [],
-                        },
-                    )
-                step = {}
-                if st.get("case") is not None:
-                    step["case"] = st["case"]
-                if st.get("operation"):
-                    step["operation"] = st["operation"]
-                if st.get("html") or not step:
-                    step["html"] = st.get("html", "")
-                depth = st["depth"]
-                stack = a["_stack"]
-                del stack[depth:]
-                parent_steps = a["steps"] if depth == 0 else stack[depth - 1].setdefault(
-                    "steps", []
-                )
-                parent_steps.append(step)
-                stack.append(step)
-        for a in algos.values():
-            a.pop("_stack", None)
-            steps = a.pop("steps")
-            intro_html = a.pop("html")
-            payload = {}
-            if intro_html:
-                payload["html"] = intro_html
-            if steps:
-                payload["steps"] = steps
+    for doc_id, _url, spans in _iter_docs(batch):
+        data = next(
+            (s["text"] for s in spans if s["kind"] == "algos-data"), None
+        )
+        if not data:
+            continue
+        for a in json.loads(data):
+            rest = {
+                k: v for k, v in a.items()
+                if k not in ("name", "href", "rationale")
+            }
             rows.append(
                 {
                     "doc_id": doc_id,
-                    "name": a["name"],
-                    "href": a["href"],
-                    "rationale": a["rationale"],
-                    "steps_json": json.dumps(payload, ensure_ascii=False),
+                    "name": a.get("name"),
+                    "href": a.get("href"),
+                    "rationale": a.get("rationale"),
+                    "steps_json": json.dumps(rest, ensure_ascii=False),
                 }
             )
     return _table(schemas.EXTRACTS_ALGORITHMS, rows)
+
 
 
 # ---------------------------------------------------------------------------

@@ -1495,6 +1495,16 @@ def spans_from_html(
         events.append(
             ("events-data", json.dumps(ev_struct, ensure_ascii=False), "")
         )
+    # whole-document algorithms pass (.algorithm/.switch containers,
+    # probable <ol>s via the operation lexicon, "To <dfn>" one-liners)
+    # — extract-algorithms.mjs main flow
+    from .algodfn import extract_algorithms_struct
+
+    algo_struct = extract_algorithms_struct(all_pages)
+    if algo_struct:
+        events.append(
+            ("algos-data", json.dumps(algo_struct, ensure_ascii=False), "")
+        )
     for _, r in all_pages:
         clear_parents(r)
     return [

@@ -38,21 +38,32 @@ def eval_js_literal(arr: str, namespace: dict | None = None):
                 '"': '"', "$": "$"}
 
     def stash(m):
-        # template literals process escape sequences
+        # string literals process escape sequences
         def esc(e):
             if e.group(1):
                 return chr(int(e.group(1), 16))
             return _ESCAPES.get(e.group(2), e.group(2))
 
-        block = re.sub(
-            r"\\u([0-9a-fA-F]{4})|\\(.)", esc, m.group(1), flags=re.S
-        )
+        raw = next(g for g in m.groups() if g is not None)
+        block = re.sub(r"\\u([0-9a-fA-F]{4})|\\(.)", esc, raw, flags=re.S)
         blocks.append(block)
         return f"__BLOCK_{len(blocks) - 1}__"
 
-    s = re.sub(r"`([^`]*)`", stash, arr, flags=re.S)
+    # stash EVERY string literal (backtick, single- and double-quoted)
+    # in ONE left-to-right pass — the quote types nest inside each
+    # other's content, so separate passes would match quotes inside
+    # already-string content; keys inside string content (e.g.
+    # "Then, run:") must never be mistaken for object keys
+    s = re.sub(
+        r"`([^`]*)`|'((?:[^'\\\n]|\\.)*)'|\"((?:[^\"\\\n]|\\.)*)\"",
+        stash,
+        arr,
+        flags=re.S,
+    )
     s = re.sub(r"^\s*//.*$", "", s, flags=re.M)
-    s = re.sub(r"([{,\[]\s*)([A-Za-z_]\w*)\s*:", r'\1"\2":', s)
+    # quote bare keys; stashed strings used as keys restore with their
+    # own quotes, so leave placeholders alone
+    s = re.sub(r"([{,\[]\s*)(?!__BLOCK_\d+__)([A-Za-z_]\w*)\s*:", r'\1"\2":', s)
     s = re.sub(r"\btrue\b", "True", s)
     s = re.sub(r"\bfalse\b", "False", s)
     s = re.sub(r"\bnull\b", "None", s)

@@ -222,3 +222,22 @@ def test_reference_events(case):
         got.append(norm(entry))
     want = [norm(r) for r in case["res"]]
     assert got == want, case["title"]
+
+
+# ---------------------------------------------------------------------------
+# algorithms (test/extract-algorithms.js)
+# ---------------------------------------------------------------------------
+
+ALGO_CASES = load_js_tests(f"{REF}/extract-algorithms.js")
+
+
+@pytest.mark.skipif(not ALGO_CASES, reason="reference tables unavailable")
+@pytest.mark.parametrize("case", ALGO_CASES, ids=_ids(ALGO_CASES))
+def test_reference_algorithms(case):
+    rows = ex.extract_algorithms(_batch(case["html"], case.get("spec"))).to_pylist()
+    got = []
+    for r in rows:
+        entry = {k: v for k, v in r.items() if k not in ("doc_id", "steps_json")}
+        entry.update(json.loads(r["steps_json"]))
+        got.append(norm(entry))
+    assert got == [norm(r) for r in case["algorithms"]], case["title"]
