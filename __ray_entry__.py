@@ -575,11 +575,13 @@ def q_merge_crawl(sf_dir: str):
 
 
 def q_cssmerge(sf_dir: str):
-    """A4 merge_css: css extract rows for doc_id % 8 == 0 (category
-    'properties', name p<doc_id % 20>, payload value v<doc_id % 4> +
-    newValues n<doc_id % 5>), series version 1 + doc_id % 3; the merge
-    picks the highest-version base and unions newValues into the value
-    syntax."""
+    """A4 merge_css (faithful cssmerge.js consolidation): every
+    doc_id % 8 == 0 doc is a spec defining property p<doc_id % 20>;
+    docs with doc_id % 16 == 0 carry the base definition (value
+    v<(doc_id//16) % 5>), the others extend it (newValues
+    n<doc_id % 5>). Specs of one property share a series; the base is
+    the latest level, newValues union in crawl order with extension
+    hrefs recorded under `extended`."""
     import json
 
     import pandas as pd
@@ -589,38 +591,36 @@ def q_cssmerge(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def build(b: pd.DataFrame) -> pd.DataFrame:
-        ids = [i for i in b["doc_id"].to_numpy() if i % 8 == 0]
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([str(i) for i in ids], dtype="object"),
-                "category": pd.Series(["properties"] * len(ids), dtype="object"),
-                "name": pd.Series([f"p{i % 20}" for i in ids], dtype="object"),
-                "payload_json": pd.Series(
-                    [
-                        json.dumps(
-                            {"newValues": f"n{i % 5}", "value": f"v{i % 4}"},
-                            sort_keys=True,
-                        )
-                        for i in ids
-                    ],
-                    dtype="object",
-                ),
-            }
-        )
-
-    css = docs.map_batches(build, batch_format="pandas")
-    ids = [str(i) for i in docs.to_pandas()["doc_id"] if i % 8 == 0]
-    seeds = pa.table(
-        {
-            "shortname": pa.array(ids, pa.string()),
-            "series_version": pa.array(
-                [str(1 + int(i) % 3) for i in ids], pa.string()
-            ),
+        out = {
+            "doc_id": [], "crawl_rank": [], "css_json": [], "shortname": [],
+            "series_shortname": [], "series_version": [], "crawled": [],
+            "url": [],
         }
-    )
-    out = merge_css(css, seeds).to_pandas()
-    out["defined_in"] = out["defined_in"].map(",".join)
-    return out
+        for i in b["doc_id"].to_numpy():
+            i = int(i)
+            if i % 8 != 0:
+                continue
+            href = f"https://corpus.example.org/doc-{i}/#propdef-p{i}"
+            prop = {"name": f"p{i % 20}", "href": href}
+            if i % 16 == 0:
+                prop["value"] = f"v{(i // 16) % 5}"
+            else:
+                prop["newValues"] = f"n{i % 5}"
+            out["doc_id"].append(str(i))
+            out["crawl_rank"].append(i)
+            out["css_json"].append(json.dumps({
+                "properties": [prop], "atrules": [], "selectors": [],
+                "values": [],
+            }))
+            out["shortname"].append(f"doc-{i}")
+            out["series_shortname"].append(f"ser-p{i % 20}")
+            out["series_version"].append(str(1 + i % 3))
+            out["crawled"].append(f"https://corpus.example.org/doc-{i}/")
+            out["url"].append(f"https://corpus.example.org/doc-{i}/")
+        return pd.DataFrame(out)
+
+    specs = docs.map_batches(build, batch_format="pandas")
+    return merge_css(specs).to_pandas()
 
 
 def q_events_consolidated(sf_dir: str):
@@ -1299,36 +1299,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cssmerge": """
             WITH rows AS (
-              SELECT CAST(doc_id AS VARCHAR) AS d,
+              SELECT doc_id,
                      'p' || CAST(doc_id % 20 AS VARCHAR) AS name,
-                     1 + doc_id % 3 AS v_num,
-                     'v' || CAST(doc_id % 4 AS VARCHAR) AS val,
+                     CAST(1 + doc_id % 3 AS VARCHAR) AS v,
+                     'https://corpus.example.org/doc-' || CAST(doc_id AS VARCHAR)
+                       || '/#propdef-p' || CAST(doc_id AS VARCHAR) AS href,
+                     (doc_id % 16 = 0) AS is_base,
+                     'v' || CAST((doc_id // 16) % 5 AS VARCHAR) AS val,
                      'n' || CAST(doc_id % 5 AS VARCHAR) AS nv
               FROM documents WHERE doc_id % 8 = 0
-            ), ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY name ORDER BY v_num DESC, d ASC) AS rn
-              FROM rows
             ), base AS (
-              SELECT name, val AS base_val, nv AS base_nv
-              FROM ranked WHERE rn = 1
-            ), extras AS (
-              SELECT name, nv, min(rn) AS rn_min
-              FROM ranked WHERE rn > 1 GROUP BY name, nv
-            ), agg AS (
-              SELECT name, string_agg(nv, ' | ' ORDER BY rn_min) AS extra_vals
-              FROM extras GROUP BY name
-            ), din AS (
-              SELECT name, string_agg(d, ',' ORDER BY d) AS defined_in
-              FROM rows GROUP BY name
+              SELECT name, val, href FROM (
+                SELECT name, val, href,
+                       row_number() OVER (
+                         PARTITION BY name ORDER BY v DESC, doc_id ASC) AS rn
+                FROM rows WHERE is_base)
+              WHERE rn = 1
+            ), exts AS (
+              SELECT r.* FROM rows r
+              WHERE NOT r.is_base AND NOT EXISTS (
+                SELECT 1 FROM rows r2
+                WHERE NOT r2.is_base AND r2.name = r.name
+                  AND r2.nv = r.nv AND r2.v > r.v)
+            ), ext_agg AS (
+              SELECT name,
+                     string_agg(nv, ' | ' ORDER BY doc_id) AS extra,
+                     string_agg(href, '", "' ORDER BY doc_id) AS ext_hrefs
+              FROM exts GROUP BY name
             )
             SELECT 'properties' AS category, b.name AS name,
-              '{"newValues": "' || base_nv || '", "value": "' ||
-                CASE WHEN a.extra_vals IS NULL THEN base_val
-                     ELSE base_val || ' | ' || a.extra_vals END
-              || '"}' AS payload_json,
-              din.defined_in AS defined_in
-            FROM base b LEFT JOIN agg a USING (name) JOIN din USING (name)
+              '{"extended": [' ||
+                CASE WHEN e.name IS NULL THEN ']'
+                     ELSE '"' || e.ext_hrefs || '"]' END ||
+              ', "href": "' || b.href || '", "name": "' || b.name ||
+              '", "syntax": "' ||
+                CASE WHEN e.name IS NULL THEN b.val
+                     ELSE b.val || ' | ' || e.extra END ||
+              '"}' AS payload_json
+            FROM base b LEFT JOIN ext_agg e USING (name)
         """,
         "events_consolidated": """
             SELECT 'ev' || CAST(doc_id % 7 AS VARCHAR) AS type,

@@ -181,8 +181,57 @@ def full_crawl(
             post_out["backrefs"] = br
 
         if "css" in extracts:
-            completed = complete_css(extracts["css"])
-            merged = merge_css(completed, seeds)
+            # keep the csscomplete per-row view (styleDeclaration per
+            # property) as its own extract completion
+            post_out["css_completed"] = complete_css(extracts["css"])
+            # the consolidation consumes whole per-spec css structs
+            # (css-data span) + series metadata from the seeds
+            import json as _json
+
+            import pandas as _pd
+
+            meta = {
+                row["shortname"]: row
+                for row in seeds.to_pylist()
+            }
+
+            def spec_rows(batch: _pd.DataFrame) -> _pd.DataFrame:
+                out = {
+                    "doc_id": [], "crawl_rank": [], "css_json": [],
+                    "shortname": [], "series_shortname": [],
+                    "series_version": [], "crawled": [], "url": [],
+                }
+                for _, row in batch.iterrows():
+                    spans = row["spans"]
+                    if spans is None or len(spans) == 0:
+                        continue
+                    css_json = next(
+                        (
+                            sp["text"]
+                            for sp in spans
+                            if sp["kind"] == "css-data"
+                        ),
+                        None,
+                    )
+                    if not css_json:
+                        continue
+                    m = meta.get(row["doc_id"], {})
+                    out["doc_id"].append(row["doc_id"])
+                    out["crawl_rank"].append(int(m.get("seed_rank", 0) or 0))
+                    out["css_json"].append(css_json)
+                    out["shortname"].append(row["doc_id"])
+                    out["series_shortname"].append(
+                        m.get("series_shortname") or row["doc_id"]
+                    )
+                    out["series_version"].append(
+                        str(m.get("series_version") or "")
+                    )
+                    out["crawled"].append(row.get("url") or m.get("url"))
+                    out["url"].append(m.get("url"))
+                return _pd.DataFrame(out)
+
+            spec_ds = docs.map_batches(spec_rows, batch_format="pandas")
+            merged = merge_css(spec_ds)
             import pyarrow.parquet as pq
 
             pq.write_table(merged, os.path.join(post_dir, "css.parquet"))

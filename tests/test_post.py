@@ -184,23 +184,37 @@ def test_events_extension_folding(ray_session):
 
 
 def test_cssmerge_base_and_new_values(ray_session):
-    css = rd.from_arrow(pa.Table.from_pylist([
-        {"doc_id": "css-x-1", "category": "properties", "name": "foo",
-         "payload_json": json.dumps({"name": "foo", "value": "a | b"})},
-        {"doc_id": "css-x-2", "category": "properties", "name": "foo",
-         "payload_json": json.dumps({"name": "foo", "newValues": "c"})},
+    # distributed wrapper around the faithful consolidation
+    # (test_cssmerge_reference covers every reference case driver-side)
+    specs = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": "css-x-1", "crawl_rank": 0,
+         "css_json": json.dumps({
+             "properties": [{"name": "foo",
+                             "href": "https://x.org/css-x-1/#foo",
+                             "value": "a | b"}],
+             "atrules": [], "selectors": [], "values": [],
+         }),
+         "shortname": "css-x-1", "series_shortname": "css-x",
+         "series_version": "1", "crawled": "https://x.org/css-x-1/",
+         "url": "https://x.org/css-x-1/"},
+        {"doc_id": "css-x-2", "crawl_rank": 1,
+         "css_json": json.dumps({
+             "properties": [{"name": "foo",
+                             "href": "https://x.org/css-x-2/#foo",
+                             "newValues": "c"}],
+             "atrules": [], "selectors": [], "values": [],
+         }),
+         "shortname": "css-x-2", "series_shortname": "css-x",
+         "series_version": "2", "crawled": "https://x.org/css-x-2/",
+         "url": "https://x.org/css-x-2/"},
     ]))
-    seeds = pa.table({
-        "shortname": ["css-x-1", "css-x-2"],
-        "series_version": ["1", "2"],
-    })
-    out = merge_css(css, seeds).to_pylist()
+    out = merge_css(specs).to_pylist()
     assert len(out) == 1
     payload = json.loads(out[0]["payload_json"])
-    # base = highest series version (cssmerge.js:230-241); older level's
-    # newValues appended via " | " (cssmerge.js:276-283)
-    assert out[0]["defined_in"] == ["css-x-1", "css-x-2"]
-    assert payload.get("newValues") == "c" or "c" in payload.get("value", "")
+    # base definition + newValues union with extension provenance
+    # (cssmerge.js:250-300)
+    assert payload["syntax"] == "a | b | c"
+    assert payload["extended"] == ["https://x.org/css-x-2/#foo"]
 
 
 # -- series reduction (A2) ---------------------------------------------------
