@@ -380,9 +380,19 @@ _DFN_EL_TAGS = ("dfn", "h2", "h3", "h4", "h5", "h6")
 
 
 def _iter_elements(pages, match) -> list[tuple[Node, str]]:
+    # one DOM walk per page, cached on the root (extract_css_struct
+    # filters this list ~8 times — rewalking the tree per selector
+    # dominated parse cost on large specs)
     out = []
     for page_url, root in pages:
-        for el in root.iter():
+        els = getattr(root, "_css_el_cache", None)
+        if els is None:
+            els = list(root.iter())
+            try:
+                root._css_el_cache = els
+            except AttributeError:
+                pass
+        for el in els:
             if match(el):
                 out.append((el, page_url))
     return out

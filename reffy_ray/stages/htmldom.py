@@ -37,7 +37,7 @@ _BLOCK = {
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_css_el_cache")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None, parent: "Node | None" = None):
         self.tag = tag
