@@ -15,6 +15,8 @@ from __future__ import annotations
 import json
 from urllib.parse import quote
 
+from reffy_ray.functions.webidl import parse_webidl
+
 # (label, module) in the reference's registry order
 # (src/browserlib/reffy.json)
 _METADATA_MODULES = [
@@ -31,7 +33,6 @@ _EXTRACT_MODULES = [
     ("Web IDL", "idl"),
     ("CSS", "css"),
     ("Terms", "dfns"),
-    ("Elements", "elements"),
     ("Headings", "headings"),
     ("IDs", "ids"),
     ("CDDL", "cddl"),
@@ -207,6 +208,21 @@ def generate_spec_report(
     """Markdown report for one spec. ``spec`` needs url (and optionally
     crawled/title/date/generator/revision); ``extracts`` maps module →
     that spec's extract rows."""
+    # The reference runs the idlparsed post-processing module
+    # automatically when it is absent (markdown-report.js:134-137); a
+    # string-valued spec.idlparsed means "invalid Web IDL found".
+    if idlparsed is None and not isinstance(spec.get("idlparsed"), str):
+        if isinstance(spec.get("idlparsed"), dict):
+            idlparsed = spec["idlparsed"]
+        else:
+            idl_rows = extracts.get("idl") or []
+            idl_text = spec.get("idl") if isinstance(spec.get("idl"), str) \
+                else (idl_rows[0].get("idl") if idl_rows else None)
+            if idl_text:
+                try:
+                    idlparsed = parse_webidl(idl_text)
+                except Exception:
+                    idlparsed = None
     summary: list[str] = []
     meta = dict(spec)
     title_rows = extracts.get("title") or []
