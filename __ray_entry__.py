@@ -445,14 +445,17 @@ def q_lineitem_agg(sf_dir: str):
     )
 
     def round_cols(b: pa.Table) -> pa.Table:
-        b = b.set_column(
-            b.schema.get_field_index("sum_qty"), "sum_qty",
-            pc.round(b.column("sum_qty"), ndigits=2),
-        )
-        return b.set_column(
-            b.schema.get_field_index("sum_price"), "sum_price",
-            pc.round(b.column("sum_price"), ndigits=2),
-        )
+        # cents trick: round(sum*100) → int → /100 gives a bitwise-stable
+        # double on both engines (plain round-to-2dp leaves the two sums
+        # an ulp apart when their unrounded values differ by float
+        # summation order)
+        for col in ("sum_qty", "sum_price"):
+            cents = pc.cast(pc.round(pc.multiply(b.column(col), 100.0)), pa.int64())
+            b = b.set_column(
+                b.schema.get_field_index(col), col,
+                pc.divide(pc.cast(cents, pa.float64()), 100.0),
+            )
+        return b
 
     return out.map_batches(round_cols, batch_format="pyarrow")
 
@@ -512,7 +515,9 @@ def q_events_window(sf_dir: str):
                 "event_type": [g["event_type"].iloc[0]],
                 "day": [g["day"].iloc[0]],
                 "n": [int(g["n"].sum())],
-                "sum_value": [round(float(g["sum_value"].sum()), 4)],
+                # scaled-integer snap (see q_lineitem_agg): bitwise-stable
+                # 4-dp double on both engines
+                "sum_value": [round(float(g["sum_value"].sum()) * 1e4) / 1e4],
             }
         )
 
@@ -1216,8 +1221,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_price,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) / 100.0 AS sum_qty,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT) / 100.0 AS sum_price,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -1247,7 +1252,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_window": """
             SELECT event_type, date_trunc('day', ts) AS day,
-                   count(*) AS n, round(sum(value), 4) AS sum_value
+                   count(*) AS n,
+                   CAST(round(sum(value) * 10000) AS BIGINT) / 10000.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('day', ts)
         """,
         "annotate_links_sf": """
