@@ -223,6 +223,52 @@ def q_minhash_pairs(sf_dir: str):
     )
 
 
+def q_doc_freq(sf_dir: str):
+    from reffy_ray.ops.text import doc_freq
+
+    return doc_freq(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_top_terms(sf_dir: str):
+    from reffy_ray.ops.text import top_terms
+
+    return top_terms(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        n=5,
+        max_df_frac=0.8,
+    )
+
+
+def q_sample_split(sf_dir: str):
+    from reffy_ray.ops.sampling import hash_split
+
+    return hash_split(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    )
+
+
+def q_source_cap(sf_dir: str):
+    from reffy_ray.ops.sampling import source_cap
+
+    return source_cap(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ),
+        cap=20,
+    )
+
+
+def q_near_dup_clusters(sf_dir: str):
+    from reffy_ray.ops.sampling import near_dup_clusters
+
+    return near_dup_clusters(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        jaccard_threshold=0.5,
+    )
+
+
 def q_embedding_near_dups(sf_dir: str):
     from reffy_ray.ops.dedup import embedding_near_dups
 
@@ -770,6 +816,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
+        "doc_freq": q_doc_freq,
+        "top_terms": q_top_terms,
+        "sample_split": q_sample_split,
+        "source_cap": q_source_cap,
+        "near_dup_clusters": q_near_dup_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1289,6 +1340,78 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "simhash": _SIMHASH_SQL,
         "minhash_pairs": _MINHASH_SQL,
+        # ops/text.doc_freq: distinct-doc count per token
+        "doc_freq": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+              FROM documents
+            )
+            SELECT tok AS token, count(DISTINCT doc_id) AS df
+            FROM toks GROUP BY tok
+        """,
+        # ops/text.top_terms(n=5, max_df_frac=0.8): per-doc top-5 tokens
+        # by (tf desc, token asc) after dropping tokens with df*5 > n*4
+        "top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+            ), df AS (
+              SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+            ), n AS (SELECT count(*) AS n FROM documents),
+            ranked AS (
+              SELECT t.doc_id, t.tok, t.tf,
+                     row_number() OVER (
+                       PARTITION BY t.doc_id ORDER BY t.tf DESC, t.tok
+                     ) AS rank
+              FROM tf t JOIN df USING (tok), n
+              WHERE df.df * 5 <= n.n * 4
+            )
+            SELECT doc_id, tok AS token, tf, rank FROM ranked WHERE rank <= 5
+        """,
+        # ops/sampling.hash_split: bucket = H(id || '|split-42') mod 10000,
+        # thresholds at the cumulative 0.8/0.1/0.1 weights
+        "sample_split": """
+            SELECT doc_id,
+                   CASE WHEN bkt < 8000 THEN 'train'
+                        WHEN bkt < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split-42'),
+                                     1, 16))::UBIGINT % 10000 AS bkt
+              FROM documents
+            )
+        """,
+        # ops/sampling.source_cap(cap=20): rank per source by (H(id), id)
+        "source_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 16))::UBIGINT, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 20
+        """,
+        # ops/sampling.near_dup_clusters: transitive closure over the
+        # minhash pair set (same params as minhash_pairs), rep = min id
+        "near_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT a, b FROM (""" + _MINHASH_SQL + """) q
+            ), edges AS (
+              SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT a AS n FROM edges
+            ), reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            )
+            SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n
+        """,
         "embedding_near_dups": _EMB_NEAR_DUP_SQL,
         # post-stage oracles over the derived inputs (see the q_* docstrings)
         "merge_crawl": """

@@ -310,3 +310,95 @@ def sessionize_events(ds, gap_minutes: int = 30):
         return out[["user_id", "session_start", "n_events"]]
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Document frequency / salient terms (tf-df curation ops)
+# ---------------------------------------------------------------------------
+
+_TOK = re.compile(r"\w+")
+
+
+def doc_freq_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial document frequencies: each document
+    contributes at most 1 per distinct token, so one (token, df) row
+    per distinct token per batch leaves the task (combiner pattern —
+    the global groupby shuffles partials, not token occurrences)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        counts.update(set(_TOK.findall((text or "").lower())))
+    toks = sorted(counts)
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "df": pa.array([counts[t] for t in toks], pa.int64()),
+        }
+    )
+
+
+def doc_freq(ds) -> "object":
+    """Corpus document-frequency table (token, df)."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(doc_freq_partials, batch_format="pyarrow")
+    return partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+
+
+def top_terms(ds, n: int = 5, max_df_frac: float = 0.5):
+    """Per-document salient terms: the ``n`` highest-tf tokens after
+    dropping corpus-stopwords (tokens in more than ``max_df_frac`` of
+    documents). All-integer ranking (tf desc, token asc) — the kept
+    set and order are exactly SQL-restatable with no float drift.
+
+    Scale shape: the df pass is the combiner above; only the tiny
+    high-df stopword set is collected and broadcast (``ray.put`` once,
+    read per worker) — per-doc ranking then needs no shuffle at all."""
+    import ray
+
+    n_docs = ds.count()
+    df_tbl = doc_freq(ds)
+    # stopwords: df * 2 > n for the default 0.5 — keep integer math
+    stop = {
+        r["token"]
+        for r in df_tbl.filter(
+            expr=f"df > {int(max_df_frac * n_docs)}"
+        ).take_all()
+    }
+    stop_ref = ray.put(stop)
+
+    _cache: dict = {}
+
+    def rank_terms(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        key = stop_ref.hex()
+        s = _cache.get(key)
+        if s is None:
+            s = ray.get(stop_ref)
+            _cache[key] = s
+        out_doc, out_tok, out_tf, out_rank = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tf = Counter(_TOK.findall((text or "").lower()))
+            ranked = sorted(
+                ((t, c) for t, c in tf.items() if t not in s),
+                key=lambda tc: (-tc[1], tc[0]),
+            )[:n]
+            for rank, (t, c) in enumerate(ranked, start=1):
+                out_doc.append(doc_id)
+                out_tok.append(t)
+                out_tf.append(c)
+                out_rank.append(rank)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, batch.column("doc_id").type),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rank_terms, batch_format="pyarrow")

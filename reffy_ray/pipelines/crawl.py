@@ -339,7 +339,12 @@ def _politeness_admission(
         )
         for row in totals
     }
-    budgets = {o: (ray.get(ref), total) for o, (ref, total) in refs.items()}
+    # one batched ray.get for ALL origin RPCs (a per-origin get in a
+    # loop pays one driver round-trip per origin — minutes per round at
+    # 10^5 origins)
+    ordered = list(refs.items())
+    grants = ray.get([ref for _, (ref, _) in ordered])
+    budgets = {o: (k, total) for (o, (_, total)), k in zip(ordered, grants)}
     constrained = {o: k for o, (k, total) in budgets.items() if k < total}
 
     state_idx_cols = ("origin", "seed_rank", "depth", "url")

@@ -1,0 +1,155 @@
+"""Corpus-curation sampling ops: hash split, source quota, near-dup
+clustering / dedup-by-representative."""
+
+import hashlib
+
+import pyarrow as pa
+import ray.data as rd
+
+from reffy_ray.ops.sampling import (
+    hash_split,
+    near_dedup,
+    near_dup_clusters,
+    source_cap,
+)
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find some food for the long cold winter"
+)
+
+
+# -- hash_split --------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_complete(ray_session):
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(500))}))
+    out = hash_split(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 500
+    assert set(out["split"]) == {"train", "val", "test"}
+    # exact expected assignment from the documented hash rule
+    for i, row in out.head(50).iterrows():
+        b = _h64(f"{row['doc_id']}|split-42") % 10_000
+        want = "train" if b < 8000 else ("val" if b < 9000 else "test")
+        assert row["split"] == want
+    # proportions near the weights (hash-uniformity sanity)
+    frac = (out["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
+    # second run identical (order-independent determinism)
+    again = hash_split(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out["split"] == again["split"]).all()
+
+
+def test_hash_split_custom_weights(ray_session):
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(100))}))
+    out = hash_split(ds, splits=(("a", 0.5), ("b", 0.5))).to_pandas()
+    assert set(out["split"]) <= {"a", "b"}
+    assert len(out) == 100
+
+
+# -- source_cap --------------------------------------------------------------
+
+
+def test_source_cap_enforces_quota(ray_session):
+    rows = [
+        {"doc_id": i, "source": "hot" if i < 80 else f"s{i % 5}"}
+        for i in range(100)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = source_cap(ds, cap=10).to_pandas()
+    counts = out.groupby("source").size()
+    assert counts["hot"] == 10
+    assert (counts <= 10).all()
+    # every row that belonged to an under-quota source survives
+    small = [r["doc_id"] for r in rows if r["source"] != "hot"]
+    assert set(small) <= set(out["doc_id"])
+
+
+def test_source_cap_deterministic_priority(ray_session):
+    rows = [{"doc_id": i, "source": "x"} for i in range(50)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    kept = sorted(source_cap(ds, cap=5).to_pandas()["doc_id"])
+    want = sorted(sorted(range(50), key=lambda i: (_h64(str(i)), i))[:5])
+    assert kept == want
+    # stable under different block layout
+    ds2 = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(7)
+    kept2 = sorted(source_cap(ds2, cap=5).to_pandas()["doc_id"])
+    assert kept2 == want
+
+
+# -- near-dup clustering -----------------------------------------------------
+
+
+def _planted_corpus():
+    texts = []
+    for i in range(8):
+        # disjoint vocabulary per doc — genuinely unique (no shared shingles)
+        texts.append(" ".join(f"tok{i}x{j}" for j in range(30)))
+    # one cluster of three near-identical docs (ids 8, 9, 10)
+    texts.append(BASE)
+    texts.append(BASE + " extra")
+    texts.append(BASE + " other tail words")
+    # one pair (ids 11, 12)
+    alt = "completely different words " * 8
+    texts.append(alt)
+    texts.append(alt + " ending")
+    return rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+
+def test_near_dup_clusters_components(ray_session):
+    out = near_dup_clusters(_planted_corpus(), jaccard_threshold=0.5).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got.get(8) == 8 and got.get(9) == 8 and got.get(10) == 8
+    assert got.get(11) == 11 and got.get(12) == 11
+    # no unique doc appears in any cluster
+    assert all(d >= 8 for d in got)
+
+
+def test_near_dedup_keeps_reps_and_singletons(ray_session):
+    kept = sorted(near_dedup(_planted_corpus()).to_pandas()["doc_id"])
+    assert kept == [0, 1, 2, 3, 4, 5, 6, 7, 8, 11]
+
+
+# -- doc_freq / top_terms ----------------------------------------------------
+
+
+def test_doc_freq_counts_docs_not_occurrences(ray_session):
+    from reffy_ray.ops.text import doc_freq
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": ["a a a b", "a c", "c c d"]})
+    )
+    out = doc_freq(ds).to_pandas().set_index("token")["df"].to_dict()
+    assert out == {"a": 2, "b": 1, "c": 2, "d": 1}
+
+
+def test_top_terms_rank_and_stopword_filter(ray_session):
+    from reffy_ray.ops.text import top_terms
+
+    # 'the' appears in every doc -> dropped at max_df_frac=0.5
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the cat cat cat dog",
+                    "the dog dog fish",
+                    "the fish",
+                    "the bird bird",
+                ],
+            }
+        )
+    )
+    out = top_terms(ds, n=2, max_df_frac=0.5).to_pandas()
+    assert "the" not in set(out["token"])
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    assert d1["token"].tolist() == ["cat", "dog"]
+    assert d1["tf"].tolist() == [3, 1]
+    assert d1["rank"].tolist() == [1, 2]
