@@ -269,6 +269,18 @@ def q_near_dup_clusters(sf_dir: str):
     )
 
 
+def q_near_dedup(sf_dir: str):
+    """Corpus filtered to near-dup cluster representatives + singletons
+    (ops/sampling.near_dedup over the same LSH pair set as
+    near_dup_clusters)."""
+    from reffy_ray.ops.sampling import near_dedup
+
+    return near_dedup(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        jaccard_threshold=0.5,
+    ).select_columns(["doc_id"])
+
+
 def q_embedding_near_dups(sf_dir: str):
     from reffy_ray.ops.dedup import embedding_near_dups
 
@@ -821,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": q_sample_split,
         "source_cap": q_source_cap,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dedup": q_near_dedup,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1411,6 +1424,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
             )
             SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n
+        """,
+        # ops/sampling.near_dedup: drop cluster members whose id is not
+        # the component minimum (same closure as near_dup_clusters)
+        "near_dedup": """
+            WITH RECURSIVE pairs AS (
+              SELECT a, b FROM (""" + _MINHASH_SQL + """) q
+            ), edges AS (
+              SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT a AS n FROM edges
+            ), reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            ), clusters AS (
+              SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n
+            )
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN clusters c ON d.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id
         """,
         "embedding_near_dups": _EMB_NEAR_DUP_SQL,
         # post-stage oracles over the derived inputs (see the q_* docstrings)

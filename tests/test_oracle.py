@@ -68,7 +68,7 @@ ORACLE_KEYS = [
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "word_counts", "sessionize",
     "fingerprint", "simhash", "minhash_pairs", "embedding_near_dups",
-    "sample_split", "source_cap", "near_dup_clusters",
+    "sample_split", "source_cap", "near_dup_clusters", "near_dedup",
     "doc_freq", "top_terms",
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
 ]
