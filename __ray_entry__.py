@@ -281,6 +281,58 @@ def q_near_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (ops/joins.asof_join): each purchase event matched to
+    the same user's most recent click at-or-before it (DuckDB
+    ``ASOF LEFT JOIN`` semantics)."""
+    from reffy_ray.ops.joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    return asof_join(purchases, clicks, on="ts", by="user_id").select_columns(
+        ["event_id", "user_id", "ts", "ts_r", "event_id_r"]
+    )
+
+
+def q_range_join(sf_dir: str):
+    """Range join (ops/joins.range_join): line items that shipped
+    within 90 days of their order's date (interval containment within
+    the shared order key)."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.joins import range_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+    )
+    odr = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def add_end(b: pa.Table) -> pa.Table:
+        end = pc.add(
+            b.column("o_orderdate"),
+            pa.scalar(90 * 86_400_000_000, pa.duration("us")),
+        )
+        b = b.append_column("o_end", end)
+        return b.rename_columns(["l_orderkey", "o_orderdate", "o_end"])
+
+    odr = odr.map_batches(add_end, batch_format="pyarrow")
+    return range_join(
+        li, odr, by="l_orderkey", left_on="l_shipdate", lo="o_orderdate", hi="o_end"
+    ).select_columns(
+        ["l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate", "o_end"]
+    )
+
+
 def q_embedding_near_dups(sf_dir: str):
     from reffy_ray.ops.dedup import embedding_near_dups
 
@@ -834,6 +886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": q_source_cap,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dedup": q_near_dedup,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1444,6 +1498,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             LEFT JOIN clusters c ON d.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id
+        """,
+        # ops/joins.asof_join: purchases × most recent prior click per user
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS ts_r, r.event_id AS event_id_r
+            FROM (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN
+                 (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'click') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # ops/joins.range_join: line items shipped within 90 days of order
+        "range_join": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+                   o.o_orderdate, o.o_orderdate + INTERVAL 90 DAY AS o_end
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= o.o_orderdate
+              AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
         """,
         "embedding_near_dups": _EMB_NEAR_DUP_SQL,
         # post-stage oracles over the derived inputs (see the q_* docstrings)

