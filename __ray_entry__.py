@@ -333,6 +333,27 @@ def q_range_join(sf_dir: str):
     )
 
 
+def q_rolling_window(sf_dir: str):
+    """Trailing 7-day per-user rolling count/sum (ops/window.rolling_agg)
+    — SQL RANGE-frame semantics; the summed value is integer cents so
+    the result is bitwise stable across engines."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.window import rolling_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        return b.drop_columns(["value"]).append_column("cents", cents)
+
+    ev = ev.map_batches(to_cents, batch_format="pyarrow")
+    out = rolling_agg(ev, by="user_id", ts="ts", value="cents", window="7 days")
+    return out.select_columns(["event_id", "user_id", "ts", "w_count", "w_sum"])
+
+
 def q_embedding_near_dups(sf_dir: str):
     from reffy_ray.ops.dedup import embedding_near_dups
 
@@ -888,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup": q_near_dedup,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "rolling_window": q_rolling_window,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1509,6 +1531,17 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT event_id, ts, user_id FROM events
                   WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # ops/window.rolling_agg: trailing 7-day RANGE frame per user
+        "rolling_window": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER w AS w_count,
+                   sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS w_sum
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+            )
         """,
         # ops/joins.range_join: line items shipped within 90 days of order
         "range_join": """

@@ -1,0 +1,88 @@
+"""Rolling time-window aggregate (ops/window.rolling_agg)."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from reffy_ray.ops.window import rolling_agg
+
+
+def test_rolling_numeric_ts_boundaries(ray_session):
+    # window = 5 (numeric ts): frame is [t-5, t] inclusive both ends
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 1, 1],
+                "t": [0, 5, 6, 20],
+                "v": [1, 10, 100, 1000],
+            }
+        )
+    )
+    out = (
+        rolling_agg(ds, by="k", ts="t", value="v", window=5)
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    # t=5: includes t=0 (exactly t-5) and itself
+    assert out["w_sum"].tolist() == [1, 11, 110, 1000]
+    assert out["w_count"].tolist() == [1, 2, 2, 1]
+
+
+def test_rolling_ts_peers_included(ray_session):
+    # RANGE frame: rows sharing the current ts are all in the frame,
+    # regardless of sort position
+    ds = rd.from_arrow(
+        pa.table({"k": [1, 1, 1], "t": [3, 3, 3], "v": [1, 2, 4]})
+    )
+    out = rolling_agg(ds, by="k", ts="t", value="v", window=10).to_pandas()
+    assert out["w_sum"].tolist() == [7, 7, 7]
+    assert out["w_count"].tolist() == [3, 3, 3]
+
+
+def test_rolling_timestamp_window(ray_session):
+    base = pd.Timestamp("2026-01-01")
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 1],
+                "t": pa.array(
+                    [base, base + pd.Timedelta(days=3), base + pd.Timedelta(days=9)]
+                ),
+                "v": [1, 10, 100],
+            }
+        )
+    )
+    out = (
+        rolling_agg(ds, by="k", ts="t", value="v", window="7 days")
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    # day 9 window [day2, day9] excludes day 0, includes day 3
+    assert out["w_sum"].tolist() == [1, 11, 110]
+
+
+def test_rolling_stable_under_block_layout(ray_session):
+    rows = pa.table(
+        {
+            "k": [i % 3 for i in range(60)],
+            "t": [(i * 7) % 50 for i in range(60)],
+            "v": list(range(60)),
+        }
+    )
+    a = (
+        rolling_agg(rd.from_arrow(rows), by="k", ts="t", value="v", window=10)
+        .to_pandas()
+        .sort_values(["k", "t", "v"])
+        .reset_index(drop=True)
+    )
+    b = (
+        rolling_agg(
+            rd.from_arrow(rows).repartition(7), by="k", ts="t", value="v", window=10
+        )
+        .to_pandas()
+        .sort_values(["k", "t", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
