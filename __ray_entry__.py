@@ -354,6 +354,18 @@ def q_rolling_window(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts", "w_count", "w_sum"])
 
 
+def q_group_quantiles(sf_dir: str):
+    """Exact discrete quantiles of extended price per return flag
+    (ops/stats.group_quantiles, percentile_disc semantics — returned
+    values are actual data elements, bitwise engine-independent)."""
+    from reffy_ray.ops.stats import group_quantiles
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    return group_quantiles(li, by="l_returnflag", value="l_extendedprice")
+
+
 def q_embedding_near_dups(sf_dir: str):
     from reffy_ray.ops.dedup import embedding_near_dups
 
@@ -910,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
+        "group_quantiles": q_group_quantiles,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1531,6 +1544,15 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT event_id, ts, user_id FROM events
                   WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # ops/stats.group_quantiles: percentile_disc per return flag
+        "group_quantiles": """
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.25) AS q25,
+                   quantile_disc(l_extendedprice, 0.5)  AS q50,
+                   quantile_disc(l_extendedprice, 0.75) AS q75,
+                   quantile_disc(l_extendedprice, 0.9)  AS q90
+            FROM lineitem GROUP BY l_returnflag
         """,
         # ops/window.rolling_agg: trailing 7-day RANGE frame per user
         "rolling_window": """

@@ -1,0 +1,43 @@
+"""Grouped exact quantiles (ops/stats.group_quantiles)."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from reffy_ray.ops.stats import group_quantiles
+
+
+def test_percentile_disc_semantics(ray_session):
+    # n=4: q90 -> sorted[ceil(0.9*4)-1] = sorted[3] (NOT numpy 'lower')
+    ds = rd.from_arrow(
+        pa.table({"k": ["a"] * 4, "v": [10.0, 20.0, 30.0, 40.0]})
+    )
+    out = group_quantiles(ds, by="k", value="v", qs=(0.25, 0.5, 0.9)).to_pandas()
+    assert out.iloc[0]["q25"] == 10.0
+    assert out.iloc[0]["q50"] == 20.0
+    assert out.iloc[0]["q90"] == 40.0
+
+
+def test_values_are_data_elements_and_layout_stable(ray_session):
+    rows = pa.table(
+        {
+            "k": [f"g{i % 3}" for i in range(61)],
+            "v": [float((i * 37) % 101) for i in range(61)],
+        }
+    )
+    a = (
+        group_quantiles(rd.from_arrow(rows), by="k", value="v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    b = (
+        group_quantiles(rd.from_arrow(rows).repartition(9), by="k", value="v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    vals = set(rows.column("v").to_pylist())
+    for c in ["q25", "q50", "q75", "q90"]:
+        assert set(a[c]) <= vals
