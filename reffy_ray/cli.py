@@ -106,7 +106,7 @@ def cmd_post_process(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from .functions.webidl import IdlParser
+    from .functions.webidl import parse_idl_batch
     from .post.backrefs import backrefs
     from .post.idlnames import idlnames
 
@@ -123,9 +123,8 @@ def cmd_post_process(args) -> int:
         import pyarrow.parquet as pq
 
         idl = rd.read_parquet(os.path.join(extracts_dir, "idl"))
-        parsed = idl.map_batches(
-            IdlParser, batch_format="pyarrow", concurrency=2, num_cpus=0.5
-        )
+        # plain task pool — scales elastically, no actor-pool churn
+        parsed = idl.map_batches(parse_idl_batch, batch_format="pyarrow")
 
         def add_rank(batch: pa.Table) -> pa.Table:
             return batch.append_column(

@@ -18,6 +18,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+_MIXIN_CACHE: dict[str, dict] = {}
+
 
 def build_mixin_map(idlparsed_ds: rd.Dataset) -> dict[str, list[str]]:
     """mixin name → list of including interfaces (events.js:15-37)."""
@@ -59,28 +61,32 @@ def consolidate_events(
     )
     mixins_ref = ray.put(mixins)
 
-    class ExpandMixins:
-        def __init__(self):
-            self.mixins = ray.get(mixins_ref)
+    def expand_mixins(batch: pd.DataFrame) -> pd.DataFrame:
+        # plain tasks + per-worker broadcast cache (one zero-copy
+        # ray.get per worker process) — no actor pool to churn/starve
+        mx = _MIXIN_CACHE.get(mixins_ref.hex())
+        if mx is None:
+            mx = ray.get(mixins_ref)
+            _MIXIN_CACHE.clear()
+            _MIXIN_CACHE[mixins_ref.hex()] = mx
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            def expand(targets):
-                if targets is None or (isinstance(targets, float) and pd.isna(targets)):
-                    return targets
-                out, has_mixin = [], False
-                for t in targets:
-                    if t in self.mixins:
-                        has_mixin = True
-                        out.extend(self.mixins[t])
-                    else:
-                        out.append(t)
-                return out if (out and has_mixin) else targets
+        def expand(targets):
+            if targets is None or (isinstance(targets, float) and pd.isna(targets)):
+                return targets
+            out, has_mixin = [], False
+            for t in targets:
+                if t in mx:
+                    has_mixin = True
+                    out.extend(mx[t])
+                else:
+                    out.append(t)
+            return out if (out and has_mixin) else targets
 
-            batch = batch.copy()
-            batch["targets"] = batch["targets"].map(expand)
-            return batch
+        batch = batch.copy()
+        batch["targets"] = batch["targets"].map(expand)
+        return batch
 
-    expanded = events.map_batches(ExpandMixins, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    expanded = events.map_batches(expand_mixins, batch_format="pandas")
 
     # fold extension events into the original they extend: extensions
     # carry the ORIGINAL's href (their type cell links to the defining
