@@ -366,6 +366,15 @@ def q_group_quantiles(sf_dir: str):
     return group_quantiles(li, by="l_returnflag", value="l_extendedprice")
 
 
+def q_global_quantiles(sf_dir: str):
+    """Exact global quantiles without a global sort
+    (ops/stats.global_quantiles: histogram-CDF + bucket refinement)."""
+    from reffy_ray.ops.stats import global_quantiles
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return global_quantiles(li, value="l_extendedprice", qs=(0.5, 0.9, 0.99))
+
+
 def q_embedding_near_dups(sf_dir: str):
     from reffy_ray.ops.dedup import embedding_near_dups
 
@@ -923,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
         "group_quantiles": q_group_quantiles,
+        "global_quantiles": q_global_quantiles,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1553,6 +1563,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_extendedprice, 0.75) AS q75,
                    quantile_disc(l_extendedprice, 0.9)  AS q90
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # ops/stats.global_quantiles: exact quantile_disc, no global sort
+        "global_quantiles": """
+            SELECT quantile_disc(l_extendedprice, 0.5)  AS q50,
+                   quantile_disc(l_extendedprice, 0.9)  AS q90,
+                   quantile_disc(l_extendedprice, 0.99) AS q99
+            FROM lineitem
         """,
         # ops/window.rolling_agg: trailing 7-day RANGE frame per user
         "rolling_window": """

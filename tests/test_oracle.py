@@ -70,6 +70,7 @@ ORACLE_KEYS = [
     "fingerprint", "simhash", "minhash_pairs", "embedding_near_dups",
     "sample_split", "source_cap", "near_dup_clusters", "near_dedup",
     "asof_join", "range_join", "rolling_window", "group_quantiles",
+    "global_quantiles",
     "doc_freq", "top_terms",
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
 ]

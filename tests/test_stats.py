@@ -41,3 +41,25 @@ def test_values_are_data_elements_and_layout_stable(ray_session):
     vals = set(rows.column("v").to_pylist())
     for c in ["q25", "q50", "q75", "q90"]:
         assert set(a[c]) <= vals
+
+
+def test_global_quantiles_match_sorted_rank(ray_session):
+    from reffy_ray.ops.stats import global_quantiles
+
+    import math
+
+    vals = [float((i * 193) % 1009) for i in range(2000)]
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    out = global_quantiles(ds, value="v", qs=(0.1, 0.5, 0.99), bins=64).to_pandas()
+    s = sorted(vals)
+    n = len(vals)
+    for q, name in [(0.1, "q10"), (0.5, "q50"), (0.99, "q99")]:
+        assert out.iloc[0][name] == s[max(math.ceil(q * n), 1) - 1]
+
+
+def test_global_quantiles_degenerate(ray_session):
+    from reffy_ray.ops.stats import global_quantiles
+
+    ds = rd.from_arrow(pa.table({"v": [7.0] * 10}))
+    out = global_quantiles(ds, value="v", qs=(0.5,)).to_pandas()
+    assert out.iloc[0]["q50"] == 7.0
