@@ -26,6 +26,14 @@ import ray.data as rd
 # ---------------------------------------------------------------------------
 
 
+def _pa_mod(col, m: int):
+    """Arrow has no modulo kernel; non-negative ints only (truncating
+    integer divide == floor there)."""
+    import pyarrow.compute as pc
+
+    return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+
 _SPAN_CACHE: dict[str, rd.Dataset] = {}
 
 
@@ -279,6 +287,106 @@ def q_near_dedup(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
         jaccard_threshold=0.5,
     ).select_columns(["doc_id"])
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (ops/curation.decontaminate): corpus
+    docs sharing any exact word 4-gram with the held-out benchmark
+    partition (doc_id % 41 == 0) are dropped; the benchmark n-gram set
+    is broadcast once, the corpus streams."""
+    from reffy_ray.ops.curation import decontaminate
+
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def part(is_bench: bool):
+        def split(batch: pa.Table) -> pa.Table:
+            m = pc.equal(_pa_mod(batch.column("doc_id"), 41), 0)
+            return batch.filter(m if is_bench else pc.invert(m))
+
+        return split
+
+    bench = docs.map_batches(part(True), batch_format="pyarrow")
+    train = docs.map_batches(part(False), batch_format="pyarrow")
+    return decontaminate(train, bench, n=4)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (ops/curation.pii_redact) over deterministically
+    PII-laced text (the synthetic corpus contains none, so the query
+    plants one email/IP/phone per doc — identically in the oracle)."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.curation import pii_redact
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def lace(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        octet = pc.cast(pc.bit_wise_and(batch.column("doc_id"), 255), pa.string())
+        text = pc.binary_join_element_wise(
+            batch.column("text"),
+            " contact user", ids, "@example.com from 10.0.0.", octet,
+            " call 555-123-4567.",
+            "",  # element-wise separator (last positional arg)
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": text})
+
+    return pii_redact(docs.map_batches(lace, batch_format="pyarrow"))
+
+
+def q_gopher_quality(sf_dir: str):
+    from reffy_ray.ops.curation import gopher_quality
+
+    return gopher_quality(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        min_words=24,
+    )
+
+
+def q_normalize_text(sf_dir: str):
+    """Whitespace/case normalization over deterministically messed-up
+    input (upper-cased, padded) so the kernels are actually exercised."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.curation import normalize_text
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def mess(batch: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            "  ",
+            pc.utf8_upper(batch.column("text")),
+            "   TAIL x  ",
+            "",  # element-wise separator (last positional arg)
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": text})
+
+    return normalize_text(docs.map_batches(mess, batch_format="pyarrow"))
+
+
+def q_top_k_per_group(sf_dir: str):
+    from reffy_ray.ops.sampling import top_k_per_group
+
+    return top_k_per_group(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ),
+        k=10,
+    )
+
+
+def q_knn_join(sf_dir: str):
+    from reffy_ray.ops.similarity import knn_join
+
+    return knn_join(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), k=3)
 
 
 def q_asof_join(sf_dir: str):
@@ -928,6 +1036,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": q_source_cap,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dedup": q_near_dedup,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "gopher_quality": q_gopher_quality,
+        "normalize_text": q_normalize_text,
+        "top_k_per_group": q_top_k_per_group,
+        "knn_join": q_knn_join,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
@@ -1507,6 +1621,104 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM documents
             ) WHERE rn <= 20
+        """,
+        # ops/curation.decontaminate(n=4): drop train docs (doc_id%41!=0)
+        # sharing any exact lower-cased word 4-gram with the benchmark
+        # partition (doc_id%41==0); tokens = regexp_extract_all '\w+'
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+              FROM toks,
+                   LATERAL unnest(generate_series(1, greatest(len(t)-3, 0))) AS u(i)
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0
+            )
+            SELECT d.doc_id, d.source FROM toks d
+            WHERE d.doc_id % 41 != 0
+              AND NOT EXISTS (
+                SELECT 1 FROM grams x JOIN bench b ON x.g = b.g
+                WHERE x.doc_id = d.doc_id)
+        """,
+        # ops/curation.pii_redact over the same deterministically
+        # PII-laced text the query builds; same regex chain, same order
+        "pii_redact": r"""
+            WITH laced AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || ' call 555-123-4567.' AS text
+              FROM documents
+            ), stage1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g') AS text
+              FROM laced
+            ), stage2 AS (
+              SELECT doc_id, n_email,
+                len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                               '<IP>', 'g') AS text
+              FROM stage1
+            )
+            SELECT doc_id, n_email, n_ip,
+                   len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+                   regexp_replace(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                                  '<PHONE>', 'g') AS text
+            FROM stage2
+        """,
+        # ops/curation.gopher_quality(min_words=24): word-count and
+        # mean-word-length (integer ppm, floor) gates
+        "gopher_quality": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\w+')) AS n_words,
+                     length(regexp_replace(text, '\W+', '', 'g')) AS wc
+              FROM documents
+            )
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0
+                        THEN (wc * 1000000) // n_words ELSE 0 END AS mean_word_len_ppm,
+                   CASE WHEN n_words >= 24 AND n_words <= 1048576
+                         AND (wc * 1000000) // n_words BETWEEN 2000000 AND 12000000
+                        THEN 1 ELSE 0 END AS keep
+            FROM m
+        """,
+        # ops/curation.normalize_text over the query's messed-up input
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     lower(' ' || ' ' || upper(text) || ' ' || '  TAIL x  '),
+                     '\s+', ' ', 'g')) AS text
+            FROM documents
+        """,
+        # ops/sampling.top_k_per_group(k=10, order=n_chars desc, id asc)
+        "top_k_per_group": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 10
+        """,
+        # ops/similarity.knn_join(k=3): exact cosine 3-NN self-join,
+        # self-match excluded, ties by ascending neighbor id
+        "knn_join": """
+            SELECT vec_id, neighbor_id, rank FROM (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                b.vec_id ASC
+                     ) - 1 AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            ) WHERE rank < 3
         """,
         # ops/sampling.near_dup_clusters: transitive closure over the
         # minhash pair set (same params as minhash_pairs), rep = min id

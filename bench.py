@@ -70,7 +70,12 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
     from reffy_ray.stages.extract import EXTRACTORS
 
     seeds = scaled_seeds(n_seeds or CRAWL_SEEDS)
-    pool = max(2, NUM_CPUS - 2)
+    # fetch+parse is cache/bandwidth-bound: >~16 concurrent parsers on
+    # one box REDUCE aggregate rows/s (see CrawlConfig.fetch_num_cpus).
+    # Weight the task at 2 CPUs on large sessions so Ray schedules the
+    # stage at its measured sweet spot.
+    fetch_cpus = float(os.environ.get("GRAFT_FETCH_NUM_CPUS", "2" if NUM_CPUS > 16 else "1"))
+    pool = max(2, int(NUM_CPUS / fetch_cpus) - 1)
 
     # untimed warm-up: spins up Ray workers + the seen/gate state actors
     # (reused by the timed run) + page cache, so the timed run measures
@@ -87,7 +92,7 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
         CrawlConfig(
             mode="synth", checkpoint_dir=warm_ckpt, max_depth=0, max_rounds=1,
             round_ms=float("inf"), fetch_concurrency=pool, parse_concurrency=pool,
-            exact_seen=False,
+            fetch_num_cpus=fetch_cpus, exact_seen=False,
         ),
         seen=seen,
         gates=gates,
@@ -107,6 +112,7 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
         num_gates=4,
         fetch_concurrency=pool,
         parse_concurrency=pool,
+        fetch_num_cpus=fetch_cpus,
         batch_size=64,
         exact_seen=False,  # pure cuckoo filters at bench scale
     )

@@ -1,0 +1,228 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The stages a 100 TB pre-training corpus goes through between raw text
+and the tokenizer: benchmark decontamination (exact n-gram overlap,
+GPT-3/PaLM style), PII redaction, Gopher-style heuristic quality
+gates, and text normalization. Each is a vectorized ``map_batches``
+stage over a ``(doc_id, text)`` table with an exact DuckDB oracle
+(``__ray_entry__.oracle_sql``).
+
+Scale notes (100 TB):
+- ``decontaminate``: the benchmark side is the SMALL side — its n-gram
+  hash set is built once, deduplicated, and broadcast via ``ray.put``
+  (read once per worker process, never re-shipped per batch); the
+  corpus side streams. No shuffle at all.
+- ``pii_redact`` / ``gopher_quality`` / ``normalize_text``: pure
+  per-batch Arrow RE2 kernels — embarrassingly parallel, zero-copy in,
+  zero shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+# Tokenization contract shared with ops/text.doc_freq and the SQL
+# oracles: tokens = regexp_extract_all(lower(text), '\w+').
+_TOKEN_RE = re.compile(r"\w+")
+
+# Horner-fold base for n-gram hashes (same convention as the
+# fingerprint kernel: mod-2^64 arithmetic, md5[:8] token hashes).
+_P = np.uint64(1099511628211)
+
+
+def _token_hash(tok: str, memo: dict) -> np.uint64:
+    h = memo.get(tok)
+    if h is None:
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        )
+        if len(memo) < (1 << 20):  # bound actor memory on open vocabularies
+            memo[tok] = h
+    return h
+
+
+def _gram_hashes(texts, n: int, memo: dict) -> tuple[np.ndarray, np.ndarray]:
+    """All n-gram fold-hashes for a batch of texts.
+
+    Returns (grams, doc_idx): one uint64 per n-gram occurrence and the
+    row index it came from. Fully vectorized after per-row tokenize:
+    one sliding-window multiply-accumulate over the concatenated
+    token-hash array (uint64 wraparound == mod 2^64), with windows that
+    cross a document boundary masked out.
+    """
+    tok_lists = [_TOKEN_RE.findall(t.lower()) if t else [] for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    total = int(lens.sum())
+    if total < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    flat = np.empty(total, np.uint64)
+    pos = 0
+    for toks in tok_lists:
+        for t in toks:
+            flat[pos] = _token_hash(t, memo)
+            pos += 1
+    powers = _P ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(flat, n)
+    grams = (win * powers).sum(axis=1, dtype=np.uint64)
+    # window starting at global position s belongs to doc d iff it lies
+    # fully inside d's token span
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ends = starts + lens  # exclusive
+    doc_of_start = np.repeat(np.arange(len(lens)), lens)[: grams.shape[0]]
+    gstart = np.arange(grams.shape[0])
+    valid = gstart + n <= ends[doc_of_start]
+    return grams[valid], doc_of_start[valid]
+
+
+def bench_ngram_set(bench: rd.Dataset, n: int = 4, text_col: str = "text") -> np.ndarray:
+    """Sorted unique n-gram hash array of the benchmark corpus (the
+    small side). Per-batch hashing + dedup happens in tasks; only
+    already-unique uint64 arrays reach the driver."""
+
+    def grams_fn(batch: pa.Table) -> pa.Table:
+        memo: dict = {}
+        g, _ = _gram_hashes(batch.column(text_col).to_pylist(), n, memo)
+        return pa.table({"gram": pa.array(np.unique(g), pa.uint64())})
+
+    parts = bench.map_batches(grams_fn, batch_format="pyarrow")
+    seen: set = set()
+    for b in parts.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        seen.update(b.column("gram").to_numpy(zero_copy_only=False).tolist())
+    return np.sort(np.fromiter(seen, dtype=np.uint64, count=len(seen)))
+
+
+def decontaminate(
+    ds: rd.Dataset,
+    bench: rd.Dataset,
+    n: int = 4,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id", "source"),
+) -> rd.Dataset:
+    """Drop every document sharing an exact word n-gram with the
+    benchmark corpus (GPT-3 §C / PaLM-style exact-overlap
+    decontamination). The benchmark n-gram set is broadcast once via
+    ``ray.put``; the corpus streams through a stateless filter."""
+    bench_ref = ray.put(bench_ngram_set(bench, n=n, text_col=text_col))
+
+    class Decontaminator:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)  # once per actor
+            self.memo: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            grams, doc_idx = _gram_hashes(
+                batch.column(text_col).to_pylist(), n, self.memo
+            )
+            dirty = np.zeros(batch.num_rows, bool)
+            if grams.size:
+                hit = np.isin(grams, self.bench)
+                np.bitwise_or.at(dirty, doc_idx[hit], True)
+            return batch.select(list(keep_cols)).filter(pa.array(~dirty))
+
+    from reffy_ray.util import pool_size
+
+    return ds.map_batches(
+        Decontaminator, batch_format="pyarrow", concurrency=pool_size(0.5)
+    )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# RE2-compatible patterns (verified char-for-char equal semantics in
+# Python re, Arrow RE2 and DuckDB RE2 — no lookarounds, no backrefs).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Mask emails / IPv4s / US-style phone numbers, emitting the
+    redacted text plus per-kind match counts. Order matters (emails
+    are masked before the IP pattern can eat a dotted hostname), so
+    the oracle applies the same chain."""
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        cols = {"doc_id": batch.column("doc_id")}
+        for name, pat, repl in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            )
+            text = pc.replace_substring_regex(text, pattern=pat, replacement=repl)
+        cols["text"] = text
+        return pa.table(cols)
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+# --- Gopher-style quality gate --------------------------------------------
+
+
+def gopher_quality(
+    ds: rd.Dataset,
+    min_words: int = 16,
+    max_words: int = 1 << 20,
+    min_mean_len_ppm: int = 2_000_000,
+    max_mean_len_ppm: int = 12_000_000,
+) -> rd.Dataset:
+    """Gopher/C4-style heuristic gates over plain text: word count
+    bounds and mean-word-length bounds. Ratios are integer ppm (floor)
+    so the DuckDB oracle hash-matches exactly. Emits the flags, not a
+    filtered corpus — downstream pipelines choose their own cut."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_words = pc.cast(pc.count_substring_regex(text, r"\w+"), pa.int64())
+        word_chars = pc.cast(
+            pc.utf8_length(
+                pc.replace_substring_regex(text, pattern=r"\W+", replacement="")
+            ),
+            pa.int64(),
+        )
+        nw = n_words.to_numpy(zero_copy_only=False)
+        wc = word_chars.to_numpy(zero_copy_only=False)
+        mean_ppm = np.zeros(len(nw), np.int64)
+        nz = nw > 0
+        mean_ppm[nz] = wc[nz] * 1_000_000 // nw[nz]
+        keep = (
+            (nw >= min_words)
+            & (nw <= max_words)
+            & (mean_ppm >= min_mean_len_ppm)
+            & (mean_ppm <= max_mean_len_ppm)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": n_words,
+                "mean_word_len_ppm": pa.array(mean_ppm, pa.int64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- Normalization ---------------------------------------------------------
+
+
+def normalize_text(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Canonical text form: lowercase, collapse whitespace runs to a
+    single space, trim. Pure Arrow kernels."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch.column(text_col))
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch.column("doc_id"), "text": t})
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -210,3 +210,35 @@ def near_dedup(
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def top_k_per_group(
+    ds: rd.Dataset,
+    k: int,
+    key_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Keep the ``k`` highest-``order_col`` rows per ``key_col`` (ties
+    broken by ascending id — fully deterministic). Same two-level shape
+    as ``source_cap``: partial top-k inside each batch bounds what the
+    per-key shuffle group can receive to k rows per input block, so a
+    hot key never concentrates more than k·num_blocks rows in one task.
+    """
+    cols = [id_col, key_col, order_col]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values([order_col, id_col], ascending=[False, True])
+            .groupby(key_col, sort=False, as_index=False)
+            .head(k)[cols]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            [order_col, id_col], ascending=[False, True]
+        ).head(k)[cols]
+
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")

@@ -323,3 +323,67 @@ def _ivf_worker_centroids(cref) -> np.ndarray:
         c = np.asarray(ray.get(cref), dtype=np.float64)
         _IVF_WORKER_CENTROIDS[key] = c
     return c
+
+
+def knn_join(ds: rd.Dataset, k: int = 1, max_rows: int = 100_000) -> pa.Table:
+    """Exact k-nearest-neighbor self-join: for every vector, its k
+    nearest OTHER vectors by cosine (ties by ascending vec_id).
+
+    Exact self-join is inherently O(n²) — this implementation is the
+    verification tier for corpora up to ~10⁵ vectors: the full matrix
+    is broadcast ONCE via ``ray.put`` (hit per worker process, not per
+    batch) and every streamed batch scores against it with one matmul,
+    keeping a per-batch partial top-k. At 100 TB scale use the IVF
+    inverted-list index (``IVFIndex``) or ``embedding_near_dups``
+    (hyperplane-LSH bucketing) instead — the ``max_rows`` guard makes
+    that switch explicit rather than letting a quadratic job sail.
+    """
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"knn_join is the exact O(n²) tier ({n} rows > {max_rows}); "
+            "use IVFIndex / embedding_near_dups at this scale"
+        )
+    ref = ds.to_pandas().sort_values("vec_id")
+    ids = ref["vec_id"].to_numpy()
+    mat = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids_ref = ray.put(ids)
+    mat_ref = ray.put(mat)
+
+    _cache: dict = {}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        key = mat_ref.hex()
+        got = _cache.get(key)
+        if got is None:
+            got = (ray.get(ids_ref), ray.get(mat_ref))
+            _cache[key] = got
+        ref_ids, ref_mat = got
+        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        sims = emb @ ref_mat.T  # (batch, n)
+        bids = batch["vec_id"].to_numpy()
+        # exclude self-matches
+        self_pos = np.searchsorted(ref_ids, bids)
+        rows = np.arange(len(bids))
+        hit = (self_pos < len(ref_ids)) & (ref_ids[np.minimum(self_pos, len(ref_ids) - 1)] == bids)
+        sims[rows[hit], self_pos[hit]] = -np.inf
+        kk = min(k, sims.shape[1] - 1)
+        # deterministic top-k: sort by (-sim, ref_id)
+        order = np.lexsort((np.broadcast_to(ref_ids, sims.shape), -sims), axis=1)[:, :kk]
+        out_sim = np.take_along_axis(sims, order, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(bids, kk),
+                "neighbor_id": ref_ids[order].ravel(),
+                "rank": np.tile(np.arange(kk), len(bids)),
+                "cosine": out_sim.ravel(),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["vec_id", "neighbor_id", "rank"]], preserve_index=False
+    )

@@ -1,0 +1,153 @@
+"""Unit tests for ops/curation (decontaminate, pii_redact,
+gopher_quality, normalize_text) and the new sampling/similarity ops
+(top_k_per_group, knn_join) on planted inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_decontaminate_drops_exact_ngram_overlap(ray_session):
+    from reffy_ray.ops.curation import decontaminate
+
+    bench = _ds(
+        [{"doc_id": 100, "source": "b", "text": "the quick brown fox jumps over"}]
+    )
+    train = _ds(
+        [
+            # contains "quick brown fox jumps" (4-gram of the bench doc)
+            {"doc_id": 1, "source": "s", "text": "a quick brown fox jumps away"},
+            # shares only a trigram ("quick brown fox" then "dog") — clean at n=4
+            {"doc_id": 2, "source": "s", "text": "a quick brown fox dog here now"},
+            {"doc_id": 3, "source": "s", "text": "entirely different words appear here today"},
+            # case/punctuation-insensitive: tokens lowercased, \w+ split
+            {"doc_id": 4, "source": "s", "text": "The QUICK, brown FOX jumps!"},
+        ]
+    )
+    out = decontaminate(train, bench, n=4).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3]
+    assert list(out.columns) == ["doc_id", "source"]
+
+
+def test_decontaminate_short_docs_pass(ray_session):
+    from reffy_ray.ops.curation import decontaminate
+
+    bench = _ds([{"doc_id": 9, "source": "b", "text": "one two three four"}])
+    train = _ds(
+        [
+            {"doc_id": 1, "source": "s", "text": "one two three"},  # < n tokens
+            {"doc_id": 2, "source": "s", "text": ""},
+            {"doc_id": 3, "source": "s", "text": "one two three four"},  # exact
+        ]
+    )
+    out = decontaminate(train, bench, n=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_pii_redact_masks_and_counts(ray_session):
+    from reffy_ray.ops.curation import pii_redact
+
+    ds = _ds(
+        [
+            {
+                "doc_id": 1,
+                "text": "mail bob.smith+x@corp-mail.co.uk or 10.2.3.44 or 555-123-4567 ok",
+            },
+            {"doc_id": 2, "text": "no pii here"},
+        ]
+    )
+    out = pii_redact(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "text"] == "mail <EMAIL> or <IP> or <PHONE> ok"
+    assert (
+        out.loc[0, ["n_email", "n_ip", "n_phone"]].tolist() == [1, 1, 1]
+    )
+    assert out.loc[1, "text"] == "no pii here"
+    assert out.loc[1, ["n_email", "n_ip", "n_phone"]].tolist() == [0, 0, 0]
+
+
+def test_gopher_quality_gates(ray_session):
+    from reffy_ray.ops.curation import gopher_quality
+
+    long_ok = " ".join(["word"] * 30)
+    too_short = "only three words"
+    weird_len = " ".join(["a"] * 40)  # mean word len 1 < 2.0
+    out = (
+        gopher_quality(
+            _ds(
+                [
+                    {"doc_id": 1, "text": long_ok},
+                    {"doc_id": 2, "text": too_short},
+                    {"doc_id": 3, "text": weird_len},
+                    {"doc_id": 4, "text": ""},
+                ]
+            ),
+            min_words=16,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "keep"] == 1
+    assert out.loc[1, "n_words"] == 30
+    assert out.loc[1, "mean_word_len_ppm"] == 4_000_000
+    assert out.loc[2, "keep"] == 0
+    assert out.loc[3, "keep"] == 0
+    assert out.loc[4, "keep"] == 0 and out.loc[4, "n_words"] == 0
+
+
+def test_normalize_text(ray_session):
+    from reffy_ray.ops.curation import normalize_text
+
+    out = (
+        normalize_text(_ds([{"doc_id": 1, "text": "  Hello\t WORLD  \n x "}]))
+        .to_pandas()
+    )
+    assert out.loc[0, "text"] == "hello world x"
+
+
+def test_top_k_per_group_deterministic_ties(ray_session):
+    from reffy_ray.ops.sampling import top_k_per_group
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 2}", "n_chars": 10 * (i % 3)}
+        for i in range(12)
+    ]
+    out = (
+        top_k_per_group(_ds(rows), k=2)
+        .to_pandas()
+        .sort_values(["source", "n_chars", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # s0: ids 0,2,4,6,8,10 with n_chars 0,20,10,0,20,10 → top2 = 2,8 (20)
+    # s1: ids 1,3,5,7,9,11 with n_chars 10,0,20,10,0,20 → top2 = 5,11 (20)
+    assert out[out.source == "s0"]["doc_id"].tolist() == [2, 8]
+    assert out[out.source == "s1"]["doc_id"].tolist() == [5, 11]
+
+
+def test_knn_join_exact_neighbors(ray_session):
+    from reffy_ray.ops.similarity import knn_join
+
+    # four unit vectors: 0/1 nearly parallel, 2 orthogonal, 3 anti
+    emb = [
+        [1.0, 0.0],
+        [0.999, 0.045],
+        [0.0, 1.0],
+        [-1.0, 0.0],
+    ]
+    ds = _ds([{"vec_id": i, "embedding": e} for i, e in enumerate(emb)])
+    out = knn_join(ds, k=1).to_pandas().sort_values("vec_id")
+    assert out["neighbor_id"].tolist() == [1, 0, 1, 2]
+
+
+def test_knn_join_guard(ray_session):
+    from reffy_ray.ops.similarity import knn_join
+
+    ds = _ds([{"vec_id": i, "embedding": [1.0, 0.0]} for i in range(10)])
+    with pytest.raises(ValueError, match="exact"):
+        knn_join(ds, k=1, max_rows=5)

@@ -72,6 +72,8 @@ ORACLE_KEYS = [
     "asof_join", "range_join", "rolling_window", "group_quantiles",
     "global_quantiles",
     "doc_freq", "top_terms",
+    "decontaminate", "pii_redact", "gopher_quality", "normalize_text",
+    "top_k_per_group", "knn_join",
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
 ]
 
