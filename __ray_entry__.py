@@ -389,6 +389,77 @@ def q_knn_join(sf_dir: str):
     return knn_join(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), k=3)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher repetition gates (ops/curation.repetition_stats) over
+    deterministically line-structured input: a newline after every 5
+    words, and docs with doc_id % 3 == 0 duplicated wholesale (planting
+    a ~0.5 duplicate-line fraction) — identically in the oracle."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.curation import repetition_stats
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def lace(batch: pa.Table) -> pa.Table:
+        lined = pc.replace_substring_regex(
+            batch.column("text"),
+            pattern=r"(\w+ \w+ \w+ \w+ \w+) ",
+            replacement="\\1\n",
+        )
+        dup = pc.binary_join_element_wise(lined, lined, "\n")
+        mask = pc.equal(_pa_mod(batch.column("doc_id"), 3), 0)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pc.if_else(mask, dup, lined)}
+        )
+
+    return repetition_stats(docs.map_batches(lace, batch_format="pyarrow"))
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Fixed-window token chunking (ops/curation.chunk_tokens) with
+    overlapping windows (window=16, stride=12)."""
+    from reffy_ray.ops.curation import chunk_tokens
+
+    return chunk_tokens(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        window=16,
+        stride=12,
+    )
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature source mixing (ops/sampling.temperature_mix,
+    alpha=0.5 exact-integer path) over a deterministically skewed
+    source remap (60% of docs in one 'hot' source) — the synthetic
+    table's sources are uniform, so the query plants the skew the
+    operator exists to flatten, identically in the oracle."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.sampling import temperature_mix
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def remap(batch: pa.Table) -> pa.Table:
+        hot = pc.less(_pa_mod(batch.column("doc_id"), 10), 6)
+        cold = pc.binary_join_element_wise(
+            "src", pc.cast(_pa_mod(batch.column("doc_id"), 4), pa.string()), ""
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": pc.if_else(hot, pa.scalar("hot"), cold),
+            }
+        )
+
+    return temperature_mix(
+        docs.map_batches(remap, batch_format="pyarrow"), alpha=0.5, keep_frac=0.5
+    )
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (ops/joins.asof_join): each purchase event matched to
     the same user's most recent click at-or-before it (DuckDB
@@ -1042,6 +1113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "top_k_per_group": q_top_k_per_group,
         "knn_join": q_knn_join,
+        "repetition_stats": q_repetition_stats,
+        "chunk_tokens": q_chunk_tokens,
+        "temperature_mix": q_temperature_mix,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
@@ -1719,6 +1793,121 @@ def oracle_sql() -> dict[str, str]:
                      ) - 1 AS rank
               FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
             ) WHERE rank < 3
+        """,
+        # ops/curation.repetition_stats over the query's laced input
+        # (newline per 5 words; doc_id%3==0 duplicated wholesale):
+        # Gopher dup-line / dup-line-char / top-bigram-char fractions,
+        # integer ppm floor, keep gates 0.30/0.20/0.18
+        "repetition_stats": r"""
+            WITH laced0 AS (
+              SELECT doc_id,
+                     regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ',
+                                    '\1' || chr(10), 'g') AS text
+              FROM documents
+            ), laced AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || chr(10) || text ELSE text END AS text
+              FROM laced0
+            ), lines AS (
+              SELECT doc_id, l
+              FROM laced, LATERAL unnest(string_split(text, chr(10))) AS u(l)
+              WHERE l != ''
+            ), per_line AS (
+              SELECT doc_id, l, count(*) AS c, length(l) AS ln
+              FROM lines GROUP BY doc_id, l
+            ), line_stats AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_lines,
+                     CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+                     CAST(sum(c * ln) AS BIGINT) AS tot_chars,
+                     CAST(sum((c - 1) * ln) AS BIGINT) AS dup_chars
+              FROM per_line GROUP BY doc_id
+            ), toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t,
+                     length(regexp_replace(lower(text), '\W+', '', 'g')) AS denom
+              FROM laced
+            ), grams AS (
+              SELECT doc_id, length(t[i]) + length(t[i+1]) AS chars,
+                     t[i] AS g1, t[i+1] AS g2
+              FROM toks,
+                   LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ), best AS (
+              SELECT doc_id, max(cnt * chars) AS best FROM (
+                SELECT doc_id, g1, g2, chars, count(*) AS cnt
+                FROM grams GROUP BY doc_id, g1, g2, chars
+              ) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(ls.n_lines, 0) AS n_lines,
+                   CASE WHEN coalesce(ls.n_lines, 0) > 0
+                        THEN ls.n_dup * 1000000 // ls.n_lines ELSE 0 END
+                     AS dup_line_frac_ppm,
+                   CASE WHEN coalesce(ls.tot_chars, 0) > 0
+                        THEN ls.dup_chars * 1000000 // ls.tot_chars ELSE 0 END
+                     AS dup_line_char_frac_ppm,
+                   CASE WHEN coalesce(b.best, 0) > 0 AND tk.denom > 0
+                        THEN b.best * 1000000 // tk.denom ELSE 0 END
+                     AS top_bigram_frac_ppm,
+                   CASE WHEN coalesce(ls.n_lines, 0) > 0
+                         AND (CASE WHEN ls.n_lines > 0
+                              THEN ls.n_dup * 1000000 // ls.n_lines ELSE 0 END) <= 300000
+                         AND (CASE WHEN ls.tot_chars > 0
+                              THEN ls.dup_chars * 1000000 // ls.tot_chars ELSE 0 END) <= 200000
+                         AND (CASE WHEN coalesce(b.best, 0) > 0 AND tk.denom > 0
+                              THEN b.best * 1000000 // tk.denom ELSE 0 END) <= 180000
+                        THEN 1 ELSE 0 END AS keep
+            FROM laced d
+            LEFT JOIN line_stats ls USING (doc_id)
+            LEFT JOIN toks tk USING (doc_id)
+            LEFT JOIN best b USING (doc_id)
+        """,
+        # ops/curation.chunk_tokens(window=16, stride=12): overlapping
+        # fixed token windows, case preserved, final partial kept
+        "chunk_tokens": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\w+') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   (i - 1) // 12 AS chunk_id,
+                   least(16, len(t) - i + 1) AS n_tokens,
+                   array_to_string(t[i:i+15], ' ') AS chunk_text
+            FROM toks,
+                 LATERAL unnest(generate_series(1, len(t), 12)) AS u(i)
+        """,
+        # ops/sampling.temperature_mix(alpha=0.5, keep_frac=0.5) over
+        # the query's skewed remap (doc_id%10<6 -> 'hot'): exact
+        # integer rates, md5-hash row selection (shared convention)
+        "temperature_mix": r"""
+            WITH remap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 6 THEN 'hot'
+                          ELSE 'src' || CAST(doc_id % 4 AS VARCHAR)
+                     END AS source
+              FROM documents
+            ), counts AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS c
+              FROM remap GROUP BY source
+            ), w AS (
+              SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS w
+              FROM counts
+            ), tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS total,
+                     CAST(sum(w) AS BIGINT) AS wsum
+              FROM w
+            ), rates AS (
+              SELECT source,
+                     least(1000000,
+                           ((CAST(floor(total * 0.5) AS BIGINT) * w) // wsum)
+                             * 1000000 // c) AS rate_ppm
+              FROM w, tot
+            )
+            SELECT r.doc_id, r.source
+            FROM remap r JOIN rates t USING (source)
+            WHERE ('0x' || substr(md5(CAST(r.doc_id AS VARCHAR) || '|mix-42'), 1, 16))::UBIGINT
+                    % 1000000 < t.rate_ppm
         """,
         # ops/sampling.near_dup_clusters: transitive closure over the
         # minhash pair set (same params as minhash_pairs), rep = min id

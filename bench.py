@@ -70,11 +70,11 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
     from reffy_ray.stages.extract import EXTRACTORS
 
     seeds = scaled_seeds(n_seeds or CRAWL_SEEDS)
-    # fetch+parse is cache/bandwidth-bound: >~16 concurrent parsers on
-    # one box REDUCE aggregate rows/s (see CrawlConfig.fetch_num_cpus).
-    # Weight the task at 2 CPUs on large sessions so Ray schedules the
-    # stage at its measured sweet spot.
-    fetch_cpus = float(os.environ.get("GRAFT_FETCH_NUM_CPUS", "2" if NUM_CPUS > 16 else "1"))
+    # CrawlConfig.fetch_num_cpus weights the fetch+parse task; an A/B
+    # at 32 CPUs (2026-08-17 evening) showed 1.0 (31 workers) at 1.7x
+    # the steady URLs/s of 2.0 (15 workers), so full-width is the
+    # default — the knob stays for bandwidth-constrained hosts.
+    fetch_cpus = float(os.environ.get("GRAFT_FETCH_NUM_CPUS", "1"))
     pool = max(2, int(NUM_CPUS / fetch_cpus) - 1)
 
     # untimed warm-up: spins up Ray workers + the seen/gate state actors

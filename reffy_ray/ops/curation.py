@@ -226,3 +226,130 @@ def normalize_text(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return pa.table({"doc_id": batch.column("doc_id"), "text": t})
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+# --- Gopher repetition filters ---------------------------------------------
+
+
+def repetition_stats(
+    ds: rd.Dataset,
+    max_dup_line_frac_ppm: int = 300_000,
+    max_dup_line_char_frac_ppm: int = 200_000,
+    max_top_bigram_frac_ppm: int = 180_000,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1): duplicate
+    line fraction, duplicate-line character fraction, and the fraction
+    of word characters covered by the most frequent word bigram.
+
+    Exact integer-ppm (floor) definitions so the DuckDB oracle
+    hash-matches bit-for-bit:
+
+    * lines = non-empty ``'\\n'``-separated segments;
+      ``dup_line_frac = (n_lines - n_distinct_lines) / n_lines``
+    * ``dup_line_char_frac`` = chars in line occurrences beyond each
+      line's first / total line chars
+    * bigram tokens = ``\\w+`` over ``lower(text)``;
+      ``top_bigram_frac = max over bigrams of
+      count * (len(tok1)+len(tok2)) / total word chars``
+
+    Per-doc Counter over lines/bigrams — inherently per-document string
+    work (C-speed dict hashing), embarrassingly parallel, no shuffle.
+    Emits flags (``keep``), not a filtered corpus.
+    """
+    from collections import Counter
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n_lines_c, dlf, dlcf, tbf, keep = [], [], [], [], []
+        for t in texts:
+            t = t or ""
+            lines = [l for l in t.split("\n") if l != ""]
+            n = len(lines)
+            if n:
+                cnt = Counter(lines)
+                dup = n - len(cnt)
+                tot_chars = sum(len(l) for l in lines)
+                dup_chars = sum((c - 1) * len(l) for l, c in cnt.items())
+                f_line = dup * 1_000_000 // n
+                f_char = dup_chars * 1_000_000 // tot_chars if tot_chars else 0
+            else:
+                f_line = f_char = 0
+            toks = _TOKEN_RE.findall(t.lower())
+            denom = sum(len(x) for x in toks)
+            if len(toks) >= 2 and denom:
+                bg = Counter(zip(toks, toks[1:]))
+                best = max(c * (len(a) + len(b)) for (a, b), c in bg.items())
+                f_bg = best * 1_000_000 // denom
+            else:
+                f_bg = 0
+            n_lines_c.append(n)
+            dlf.append(f_line)
+            dlcf.append(f_char)
+            tbf.append(f_bg)
+            keep.append(
+                int(
+                    n > 0
+                    and f_line <= max_dup_line_frac_ppm
+                    and f_char <= max_dup_line_char_frac_ppm
+                    and f_bg <= max_top_bigram_frac_ppm
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(n_lines_c, pa.int64()),
+                "dup_line_frac_ppm": pa.array(dlf, pa.int64()),
+                "dup_line_char_frac_ppm": pa.array(dlcf, pa.int64()),
+                "top_bigram_frac_ppm": pa.array(tbf, pa.int64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- Fixed-window token chunking -------------------------------------------
+
+
+def chunk_tokens(
+    ds: rd.Dataset,
+    window: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Split each document's token stream into fixed-size windows (the
+    pre-packing step of a training pipeline): tokens = ``\\w+`` (case
+    preserved), chunk ``j`` covers tokens ``[j*stride, j*stride+window)``,
+    the final partial window is kept. ``stride < window`` gives
+    overlapping context windows.
+
+    Pure per-doc expansion inside ``map_batches`` (a flat_map in
+    effect) — no shuffle; output rows carry (doc_id, chunk_id,
+    n_tokens, chunk_text).
+    """
+    stride = stride or window
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_chunk, out_n, out_text = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = _TOKEN_RE.findall(t) if t else []
+            for j, start in enumerate(range(0, len(toks), stride)):
+                w = toks[start : start + window]
+                out_id.append(did)
+                out_chunk.append(j)
+                out_n.append(len(w))
+                out_text.append(" ".join(w))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id),
+                "chunk_id": pa.array(out_chunk, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

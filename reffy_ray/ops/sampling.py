@@ -242,3 +242,61 @@ def top_k_per_group(
         ).head(k)[cols]
 
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def temperature_mix(
+    ds: rd.Dataset,
+    alpha: float = 0.5,
+    keep_frac: float = 0.5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-42",
+) -> rd.Dataset:
+    """Temperature-based source rebalancing (the multilingual /
+    multi-corpus mixing rule: sample source *s* proportional to
+    ``count_s ** alpha``), materialized as a deterministic static
+    subsample: per-source keep rate ``min(1, K·w_s / (W·c_s))`` with
+    ``w_s = c_s**alpha``, ``W = Σw``, ``K = floor(total·keep_frac)``,
+    and row selection by the shared id-hash convention
+    (``H(id|salt) % 1e6 < rate_ppm``) — stable across runs, cluster
+    sizes and row order.
+
+    For ``alpha = 0.5`` every quantity is exact integer math
+    (``isqrt``; valid for counts < 2^52 where IEEE ``floor(sqrt(c))``
+    agrees), so the DuckDB oracle hash-matches exactly. Other alphas
+    take the float path (documented as not oracle-exact).
+
+    Scale shape: one tiny ``groupby(key_col).count()`` (cardinality =
+    #sources), rates broadcast in the task closure, then a stateless
+    streaming filter — no corpus shuffle.
+    """
+    import math
+
+    counts = {
+        r[key_col]: r["count()"] for r in ds.groupby(key_col).count().take_all()
+    }
+    total = sum(counts.values())
+    k_budget = int(total * keep_frac)
+    if alpha == 0.5:
+        weights = {s: math.isqrt(c) for s, c in counts.items()}
+    else:
+        weights = {s: c**alpha for s, c in counts.items()}
+    w_sum = sum(weights.values())
+    rate_ppm = {
+        s: min(1_000_000, (k_budget * weights[s] // w_sum if alpha == 0.5
+                           else int(k_budget * weights[s] / w_sum)) * 1_000_000 // c)
+        for s, c in counts.items()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        srcs = batch.column(key_col).to_pylist()
+        mask = pa.array(
+            [
+                _h64(f"{i}|{salt}") % 1_000_000 < rate_ppm[s]
+                for i, s in zip(ids, srcs)
+            ]
+        )
+        return batch.select([id_col, key_col]).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -61,13 +61,13 @@ class CrawlConfig:
     fetch_concurrency: int = 4
     parse_concurrency: int = 4
     # CPU slots a fetch+parse task reserves. The fused stage is
-    # allocation/cache-heavy (DOM build per page), so beyond ~half the
-    # cores of one box concurrent parsers thrash shared cache/memory
-    # bandwidth and AGGREGATE throughput drops (measured: 32 workers =
-    # 0.75× the rows/s of 16 on a 32-vCPU node). Declaring the true
-    # resource weight lets Ray schedule the stage at its sweet spot —
-    # on a multi-node cluster each node brings its own bandwidth, so
-    # this scales out cleanly per node.
+    # allocation-heavy (DOM build per page); on hosts where shared
+    # cache/memory bandwidth saturates before the cores do, weighting
+    # the task >1 schedules fewer concurrent parsers and can raise
+    # aggregate rows/s. Phase-dependent on the shared bench host (an
+    # A/B showed 1.0 beating 2.0 by 1.7x in one phase and the reverse
+    # in another), so the default stays full-width; on a dedicated
+    # cluster each node brings its own bandwidth.
     fetch_num_cpus: float = 1.0
     batch_size: int = 128
     synth_links: int = 8

@@ -151,3 +151,84 @@ def test_knn_join_guard(ray_session):
     ds = _ds([{"vec_id": i, "embedding": [1.0, 0.0]} for i in range(10)])
     with pytest.raises(ValueError, match="exact"):
         knn_join(ds, k=1, max_rows=5)
+
+
+def test_repetition_stats_planted(ray_session):
+    from reffy_ray.ops.curation import repetition_stats
+
+    ds = _ds(
+        [
+            # 4 lines, "dup dup" twice -> 2 distinct, dup frac 0.5
+            {"doc_id": 1, "text": "dup dup\nunique line\ndup dup\nother text"},
+            # no repetition at all; long enough that the top bigram
+            # (delta epsilon, 12 chars of 86) stays under the 18% gate
+            {
+                "doc_id": 2,
+                "text": "alpha beta\ngamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau upsilon",
+            },
+            # dominant bigram: "x y" repeated
+            {"doc_id": 3, "text": "x y x y x y x y"},
+            {"doc_id": 4, "text": ""},
+        ]
+    )
+    out = repetition_stats(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_lines"] == 4
+    assert out.loc[1, "dup_line_frac_ppm"] == 250_000  # (4-3)/4
+    # dup chars: one extra "dup dup" (7 chars) / 7+11+7+10 = 35
+    assert out.loc[1, "dup_line_char_frac_ppm"] == 7 * 1_000_000 // 35
+    assert out.loc[2, "dup_line_frac_ppm"] == 0
+    assert out.loc[2, "keep"] == 1
+    # doc 3: bigrams (x,y)x4, (y,x)x3 -> best 4*2=8, denom 8 -> 1.0
+    assert out.loc[3, "top_bigram_frac_ppm"] == 1_000_000
+    assert out.loc[3, "keep"] == 0
+    assert out.loc[4, "n_lines"] == 0 and out.loc[4, "keep"] == 0
+
+
+def test_chunk_tokens_windows(ray_session):
+    from reffy_ray.ops.curation import chunk_tokens
+
+    text = " ".join(f"w{i}" for i in range(10))
+    out = (
+        chunk_tokens(_ds([{"doc_id": 1, "text": text}]), window=4, stride=3)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    # starts 0,3,6,9 -> windows [0:4],[3:7],[6:10],[9:10]
+    assert out["chunk_id"].tolist() == [0, 1, 2, 3]
+    assert out["n_tokens"].tolist() == [4, 4, 4, 1]
+    assert out.loc[0, "chunk_text"] == "w0 w1 w2 w3"
+    assert out.loc[3, "chunk_text"] == "w9"
+
+
+def test_chunk_tokens_empty_doc(ray_session):
+    from reffy_ray.ops.curation import chunk_tokens
+
+    out = chunk_tokens(
+        _ds([{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": "a b"}]), window=8
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [2]
+
+
+def test_temperature_mix_flattens_skew(ray_session):
+    import math
+
+    from reffy_ray.ops.sampling import temperature_mix
+
+    # 320 hot docs, 4 cold sources of 20 each
+    rows = [{"doc_id": i, "source": "hot"} for i in range(320)] + [
+        {"doc_id": 1000 + i, "source": f"c{i % 4}"} for i in range(80)
+    ]
+    out = temperature_mix(_ds(rows), alpha=0.5, keep_frac=0.5).to_pandas()
+    got = out.groupby("source").size()
+    # exact expected rates: K=200, w=isqrt(c): hot 17, cold 4 each
+    w_sum = math.isqrt(320) + 4 * math.isqrt(20)
+    hot_rate = min(1.0, (200 * math.isqrt(320) // w_sum) * 1e6 // 320 / 1e6)
+    cold_rate = min(1.0, (200 * math.isqrt(20) // w_sum) * 1e6 // 20 / 1e6)
+    # hot is downsampled much harder than cold
+    assert hot_rate < cold_rate
+    assert got["hot"] / 320 < 0.55 * (got[["c0", "c1", "c2", "c3"]].sum() / 80)
+    # determinism: same output on a second run
+    out2 = temperature_mix(_ds(rows), alpha=0.5, keep_frac=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])

@@ -74,6 +74,7 @@ ORACLE_KEYS = [
     "doc_freq", "top_terms",
     "decontaminate", "pii_redact", "gopher_quality", "normalize_text",
     "top_k_per_group", "knn_join",
+    "repetition_stats", "chunk_tokens", "temperature_mix",
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
 ]
 
