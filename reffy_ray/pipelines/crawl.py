@@ -199,7 +199,7 @@ _FETCH_PARSE_CACHE: dict[str, "FetchParse"] = {}
 
 def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
                       cache_info_ref, synth_links: int, fallback_ref,
-                      gates) -> pa.Table:
+                      gates, checkpoint_dir: str | None = None) -> pa.Table:
     fp = _FETCH_PARSE_CACHE.get(crawl_id)
     if fp is None:
         # hot parse workers run without the cyclic GC: the parser breaks
@@ -212,7 +212,26 @@ def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
         fp = FetchParse(mode, cache_info_ref, synth_links, fallback_ref, gates)
         _FETCH_PARSE_CACHE.clear()  # drop stale crawls' state
         _FETCH_PARSE_CACHE[crawl_id] = fp
-    return fp(batch)
+    out = fp(batch)
+    if checkpoint_dir is not None and out.num_rows:
+        # write-through checkpoint: each task persists its own zstd part
+        # file, overlapping checkpoint I/O with fetch+parse compute
+        # across the pool instead of a serial driver-coordinated
+        # write_parquet pass after materialize (measured: that pass was
+        # ~25% of the round at 32 CPUs). Filename = content hash of the
+        # batch's URLs, so a Ray task retry overwrites its own file
+        # (idempotent) rather than duplicating rows in the checkpoint.
+        import hashlib as _hl
+
+        part = _hl.md5(
+            "\n".join(out.column("url").to_pylist()).encode()
+        ).hexdigest()[:24]
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        pq.write_table(
+            out, os.path.join(checkpoint_dir, f"part-{part}.parquet"),
+            compression="zstd",
+        )
+    return out
 
 
 def _seed_frontier(seeds: pa.Table) -> pa.Table:
@@ -701,6 +720,7 @@ def crawl(
         open_budget = not cfg.politeness or _math.isinf(cfg.round_ms)
         import functools
 
+        round_dir = os.path.join(docs_dir, f"round={r}")
         parsed = admitted.map_batches(
             functools.partial(
                 _fetch_parse_task,
@@ -710,23 +730,27 @@ def crawl(
                 synth_links=cfg.synth_links,
                 fallback_ref=fallback_ref,
                 gates=gates if (cfg.politeness and open_budget) else None,
+                checkpoint_dir=round_dir,
             ),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             num_cpus=cfg.fetch_num_cpus,
         )
-        round_dir = os.path.join(docs_dir, f"round={r}")
-        # materialize once (single fetch+parse execution), then write the
-        # checkpoint from the in-memory blocks; the materialized dataset
-        # is also handed to downstream extract stages so they stream the
-        # object-store blocks instead of re-reading the parquet.
-        # zstd: span text compresses ~4×; trades scalable worker CPU for
-        # the non-scaling disk-write floor
+        # one execution: fetch+parse tasks write their own zstd part
+        # files (write-through, overlapped with compute — see
+        # _fetch_parse_task) and the materialized blocks are handed to
+        # downstream extract stages so they stream the object-store
+        # blocks instead of re-reading the parquet. zstd: span text
+        # compresses ~4×; trades scalable worker CPU for the
+        # non-scaling disk-write floor
         parsed = parsed.materialize()
         _t1b = _time.perf_counter()
         if os.environ.get("GRAFT_CRAWL_STATS"):
             print(f"=== round {r} stats ===\n{parsed.stats()}", flush=True)
-        parsed.write_parquet(round_dir, compression="zstd")
+        if not os.path.isdir(round_dir) or not os.listdir(round_dir):
+            # empty round (every admitted URL errored out to zero rows):
+            # keep the checkpoint directory readable for resume/sinks
+            parsed.write_parquet(round_dir, compression="zstd")
         round_datasets.append(parsed)
         parsed_ds = parsed
         _t2 = _time.perf_counter()
@@ -775,6 +799,8 @@ def crawl(
         )
         gate_stats = gates.stats()
         seen_stats = seen.stats()
+        _t5 = _time.perf_counter()
+        phase_times[-1]["gate_seen_stats"] = round(_t5 - _t4, 2)
         counters_rows.append(
             {
                 "partition": r,
@@ -814,6 +840,7 @@ def crawl(
                 },
                 f,
             )
+        phase_times[-1]["checkpoint"] = round(_time.perf_counter() - _t5, 2)
 
     counters = (
         pa.Table.from_pylist(counters_rows)
