@@ -389,6 +389,14 @@ def q_knn_join(sf_dir: str):
     return knn_join(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), k=3)
 
 
+def q_group_centroids(sf_dir: str):
+    """Per-label embedding centroids (ops/similarity.group_centroids),
+    long-form (label, dim, centroid) rounded to 6 decimals."""
+    from reffy_ray.ops.similarity import group_centroids
+
+    return group_centroids(rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher repetition gates (ops/curation.repetition_stats) over
     deterministically line-structured input: a newline after every 5
@@ -1113,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "top_k_per_group": q_top_k_per_group,
         "knn_join": q_knn_join,
+        "group_centroids": q_group_centroids,
         "repetition_stats": q_repetition_stats,
         "chunk_tokens": q_chunk_tokens,
         "temperature_mix": q_temperature_mix,
@@ -1793,6 +1802,16 @@ def oracle_sql() -> dict[str, str]:
                      ) - 1 AS rank
               FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
             ) WHERE rank < 3
+        """,
+        # ops/similarity.group_centroids: per-label mean embedding,
+        # long form, rounded at emission (matching convention w/ ann)
+        "group_centroids": """
+            SELECT label,
+                   i - 1 AS dim,
+                   round(avg(embedding[i]), 6) AS centroid
+            FROM embeddings,
+                 LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+            GROUP BY label, i
         """,
         # ops/curation.repetition_stats over the query's laced input
         # (newline per 5 words; doc_id%3==0 duplicated wholesale):

@@ -387,3 +387,43 @@ def knn_join(ds: rd.Dataset, k: int = 1, max_rows: int = 100_000) -> pa.Table:
     return pa.Table.from_pandas(
         out[["vec_id", "neighbor_id", "rank"]], preserve_index=False
     )
+
+
+def group_centroids(
+    ds: rd.Dataset,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> rd.Dataset:
+    """Per-group embedding centroid (class prototypes / IVF seed
+    centroids): mean vector per ``key_col``, emitted long-form as
+    (key, dim, centroid) so the result is flat-hashable.
+
+    Combiner pattern: each batch reduces to one (key, sum-vector,
+    count) row per key it sees, so the ``groupby(key)`` merge moves
+    #keys × #blocks tiny rows — never the corpus. Rounded to
+    ``ndigits`` at emission only (summation-order float drift is
+    ~1e-15 relative; the 1e-6 grid buries it for the DuckDB oracle).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in batch.groupby(key_col, sort=False):
+            mat = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+            rows.append({key_col: key, "vsum": mat.sum(axis=0), "n": len(grp)})
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        s = np.stack(group["vsum"].to_numpy()).sum(axis=0)
+        c = s / int(group["n"].sum())
+        return pd.DataFrame(
+            {
+                key_col: group[key_col].iloc[0],
+                "dim": np.arange(len(c), dtype=np.int64),
+                "centroid": np.round(c, ndigits),
+            }
+        )
+
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")

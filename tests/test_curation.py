@@ -232,3 +232,21 @@ def test_temperature_mix_flattens_skew(ray_session):
     # determinism: same output on a second run
     out2 = temperature_mix(_ds(rows), alpha=0.5, keep_frac=0.5).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_group_centroids_exact(ray_session):
+    from reffy_ray.ops.similarity import group_centroids
+
+    rows = [
+        {"label": 0, "embedding": [1.0, 2.0]},
+        {"label": 0, "embedding": [3.0, 6.0]},
+        {"label": 1, "embedding": [10.0, 0.0]},
+    ]
+    out = (
+        group_centroids(_ds(rows))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    assert out["centroid"].tolist() == [2.0, 4.0, 10.0, 0.0]
+    assert out["dim"].tolist() == [0, 1, 0, 1]
