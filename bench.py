@@ -93,6 +93,7 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
             mode="synth", checkpoint_dir=warm_ckpt, max_depth=0, max_rounds=1,
             round_ms=float("inf"), fetch_concurrency=pool, parse_concurrency=pool,
             fetch_num_cpus=fetch_cpus, exact_seen=False,
+            extract_modules=tuple(EXTRACTORS), fused_drop_spans=True,
         ),
         seen=seen,
         gates=gates,
@@ -115,31 +116,35 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
         fetch_num_cpus=fetch_cpus,
         batch_size=64,
         exact_seen=False,  # pure cuckoo filters at bench scale
+        # fused extraction: all 13 modules run INSIDE the fetch+parse
+        # task on the span table it just built and write their own
+        # extract parquet — the reference's in-page-module shape. No
+        # second pass, no plasma re-stream; with drop_spans the heavy
+        # spans column never leaves the worker (the docs checkpoint
+        # parquet keeps it).
+        extract_modules=tuple(EXTRACTORS),
+        fused_drop_spans=True,
     )
     t0 = time.perf_counter()
     res = crawl(seeds, cfg, seen=seen, gates=gates)
     # per-round counters already carry the fetched totals — no extra
     # metadata pass over the output files
     n_docs = sum(c["fetched"] for c in res.counters.to_pylist())
-
-    # extraction pass: ONE streamed execution applying all 13 modules
-    # per batch (13 separate dataset runs would pay 13 startup costs)
     crawl_sec = time.perf_counter() - t0
-    from reffy_ray.stages.extract import extract_all
 
-    def extract_counts_fn(batch: pa.Table) -> pa.Table:
-        tables = extract_all(batch)  # single spans decode for all modules
-        return pa.table(
-            {k: pa.array([len(t)], pa.int64()) for k, t in tables.items()}
+    # extract totals from parquet footers only (no data read)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    extract_counts = {
+        m: sum(
+            _pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(ckpt, "extracts", m, "*.parquet"))
         )
-
-    # stream the materialized crawl output (object-store blocks) — no
-    # parquet re-read/decompress between the two stages
-    docs = res.documents()
-    extract_counts = docs.map_batches(
-        extract_counts_fn, batch_format="pyarrow", batch_size=64
-    ).sum(list(EXTRACTORS.keys()))
-    assert extract_counts is not None
+        for m in EXTRACTORS
+    }
+    assert extract_counts["headings"] > 0 and extract_counts["links"] > 0
 
     dt = time.perf_counter() - t0
 

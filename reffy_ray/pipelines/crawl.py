@@ -60,6 +60,18 @@ class CrawlConfig:
     resume: bool = False
     fetch_concurrency: int = 4
     parse_concurrency: int = 4
+    # Fused extraction (the reference's own shape: browser modules run
+    # in-page during the crawl — src/lib/specs-crawler.js): the named
+    # extract modules run inside the fetch+parse task on the span table
+    # it just built (zero extra object-store traffic) and each task
+    # writes its module rows straight to the partitioned extract layout
+    # (checkpoint_dir/extracts/<module>/part-*.parquet). With
+    # fused_drop_spans the heavy spans column is dropped from the
+    # RETURNED blocks (the docs checkpoint parquet keeps it), so a
+    # crawl whose consumers only need extracts + frontier columns moves
+    # ~10% of the bytes through plasma.
+    extract_modules: tuple[str, ...] | None = None
+    fused_drop_spans: bool = False
     # CPU slots a fetch+parse task reserves. The fused stage is
     # allocation-heavy (DOM build per page); on hosts where shared
     # cache/memory bandwidth saturates before the cores do, weighting
@@ -199,7 +211,10 @@ _FETCH_PARSE_CACHE: dict[str, "FetchParse"] = {}
 
 def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
                       cache_info_ref, synth_links: int, fallback_ref,
-                      gates, checkpoint_dir: str | None = None) -> pa.Table:
+                      gates, checkpoint_dir: str | None = None,
+                      extract_modules: tuple[str, ...] | None = None,
+                      extracts_dir: str | None = None,
+                      drop_spans: bool = False) -> pa.Table:
     fp = _FETCH_PARSE_CACHE.get(crawl_id)
     if fp is None:
         # hot parse workers run without the cyclic GC: the parser breaks
@@ -231,6 +246,26 @@ def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
             out, os.path.join(checkpoint_dir, f"part-{part}.parquet"),
             compression="zstd",
         )
+        if extract_modules and out.num_rows:
+            # fused extraction: the span table is already in this
+            # worker's heap — run the modules here and write their rows
+            # out directly (same content-hash idempotency as above)
+            # instead of re-streaming every block for a second pass
+            from ..stages.extract import EXTRACTORS, extract_all
+
+            tables = extract_all(
+                out, {m: EXTRACTORS[m] for m in extract_modules}
+            )
+            for name, tbl in tables.items():
+                if len(tbl):
+                    mdir = os.path.join(extracts_dir, name)
+                    os.makedirs(mdir, exist_ok=True)
+                    pq.write_table(
+                        tbl, os.path.join(mdir, f"part-{part}.parquet"),
+                        compression="zstd",
+                    )
+            if drop_spans:
+                out = out.drop_columns(["spans"])
     return out
 
 
@@ -731,6 +766,9 @@ def crawl(
                 fallback_ref=fallback_ref,
                 gates=gates if (cfg.politeness and open_budget) else None,
                 checkpoint_dir=round_dir,
+                extract_modules=cfg.extract_modules,
+                extracts_dir=os.path.join(ckpt, "extracts"),
+                drop_spans=cfg.fused_drop_spans,
             ),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
