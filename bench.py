@@ -140,7 +140,9 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
     extract_counts = {
         m: sum(
             _pq.read_metadata(f).num_rows
-            for f in _glob.glob(os.path.join(ckpt, "extracts", m, "*.parquet"))
+            for f in _glob.glob(
+                os.path.join(ckpt, "extracts", m, "round=*", "*.parquet")
+            )
         )
         for m in EXTRACTORS
     }

@@ -72,6 +72,11 @@ class CrawlConfig:
     # ~10% of the bytes through plasma.
     extract_modules: tuple[str, ...] | None = None
     fused_drop_spans: bool = False
+    # where fused extract parquet lands (default checkpoint_dir/extracts);
+    # layout is <extracts_dir>/<module>/round=<r>/part-*.parquet so the
+    # resume path can wipe partially-written rounds exactly like the
+    # documents checkpoint
+    extracts_dir: str | None = None
     # CPU slots a fetch+parse task reserves. The fused stage is
     # allocation-heavy (DOM build per page); on hosts where shared
     # cache/memory bandwidth saturates before the cores do, weighting
@@ -214,6 +219,7 @@ def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
                       gates, checkpoint_dir: str | None = None,
                       extract_modules: tuple[str, ...] | None = None,
                       extracts_dir: str | None = None,
+                      extracts_round: str = "round=0",
                       drop_spans: bool = False) -> pa.Table:
     fp = _FETCH_PARSE_CACHE.get(crawl_id)
     if fp is None:
@@ -258,7 +264,7 @@ def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
             )
             for name, tbl in tables.items():
                 if len(tbl):
-                    mdir = os.path.join(extracts_dir, name)
+                    mdir = os.path.join(extracts_dir, name, extracts_round)
                     os.makedirs(mdir, exist_ok=True)
                     pq.write_table(
                         tbl, os.path.join(mdir, f"part-{part}.parquet"),
@@ -600,6 +606,8 @@ def crawl(
     import re as _re
     import shutil as _shutil
 
+    ex_dir = cfg.extracts_dir or os.path.join(ckpt, "extracts")
+
     def _wipe_checkpoint():
         for sub in ("documents", "frontier", "seen", "counters.parquet",
                     "manifest.json"):
@@ -608,6 +616,8 @@ def crawl(
                 _shutil.rmtree(path, ignore_errors=True)
             elif os.path.exists(path):
                 os.remove(path)
+        if cfg.extract_modules and os.path.isdir(ex_dir):
+            _shutil.rmtree(ex_dir, ignore_errors=True)
 
     # A resume is only valid against a manifest from the same crawler
     # version AND the same seen-set geometry: with a different shard
@@ -675,6 +685,18 @@ def crawl(
                 m = _re.match(r"round=(\d+)$", name)
                 if m and int(m.group(1)) >= start_round:
                     _shutil.rmtree(os.path.join(seen_dir, name), ignore_errors=True)
+        # fused extracts mirror the documents layout per round — a
+        # re-executed round may re-batch differently, so stale round
+        # dirs would otherwise leave duplicate extract rows behind
+        if cfg.extract_modules and os.path.isdir(ex_dir):
+            for mod in os.listdir(ex_dir):
+                mdir = os.path.join(ex_dir, mod)
+                if not os.path.isdir(mdir):
+                    continue
+                for name in os.listdir(mdir):
+                    m = _re.match(r"round=(\d+)$", name)
+                    if m and int(m.group(1)) >= start_round:
+                        _shutil.rmtree(os.path.join(mdir, name), ignore_errors=True)
 
     import uuid
 
@@ -767,7 +789,8 @@ def crawl(
                 gates=gates if (cfg.politeness and open_budget) else None,
                 checkpoint_dir=round_dir,
                 extract_modules=cfg.extract_modules,
-                extracts_dir=os.path.join(ckpt, "extracts"),
+                extracts_dir=cfg.extracts_dir or os.path.join(ckpt, "extracts"),
+                extracts_round=f"round={r}",
                 drop_spans=cfg.fused_drop_spans,
             ),
             batch_format="pyarrow",

@@ -97,6 +97,20 @@ def full_crawl(
     if cfg.checkpoint_dir is None:
         cfg.checkpoint_dir = os.path.join(out_dir, "crawl")
     modules = modules or default_modules()
+    extracts_dir = os.path.join(out_dir, "extracts")
+
+    # fused extraction (the reference's in-page-module shape): when
+    # every module is a stock extractor, run them INSIDE the crawl's
+    # fetch+parse tasks — the span table is already in each worker's
+    # heap, so the separate extract pass (a full re-stream of the
+    # corpus through the object store) disappears. Custom module fns
+    # fall back to the streamed extract_and_write pass.
+    stock = cfg.extract_modules is None and all(
+        EXTRACTORS.get(m.name) is m.fn for m in modules
+    )
+    if stock:
+        cfg.extract_modules = tuple(m.name for m in modules)
+        cfg.extracts_dir = extracts_dir
 
     res = crawl(seeds, cfg, fallback_spans=fallback_spans, cache_info=cache_info)
     # stream the crawl output: in-memory round blocks when fresh, the
@@ -104,15 +118,32 @@ def full_crawl(
     # of the full corpus (at 100 TB the extract passes must stream)
     docs = res.documents()
 
-    # single streamed pass: all modules extracted per batch (one spans
-    # decode) and written straight to the partitioned extract layout;
-    # post stages then read the (much smaller) extract parquet back
-    extracts_dir = os.path.join(out_dir, "extracts")
-    counts = extract_and_write(
-        docs, {m.name: m.fn for m in modules}, extracts_dir
-    )
+    if stock:
+        # totals from parquet footers only — the rows are already on disk
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        counts = {
+            m.name: sum(
+                _pq.read_metadata(f).num_rows
+                for f in _glob.glob(
+                    os.path.join(extracts_dir, m.name, "round=*", "*.parquet")
+                )
+            )
+            for m in modules
+        }
+    else:
+        # single streamed pass: all modules extracted per batch (one
+        # spans decode) and written straight to the partitioned layout
+        counts = extract_and_write(
+            docs, {m.name: m.fn for m in modules}, extracts_dir
+        )
     extracts: dict[str, rd.Dataset] = {
-        name: rd.read_parquet(os.path.join(extracts_dir, name))
+        # partitioning=None: the fused layout nests round=N dirs purely
+        # for resume bookkeeping — hive inference would otherwise add a
+        # spurious 'round' column to every extract schema
+        name: rd.read_parquet(os.path.join(extracts_dir, name), partitioning=None)
         for name, n in counts.items()
         if n > 0
     }

@@ -257,3 +257,51 @@ def test_politeness_real_sleep(ray_session):
     assert k == 2
     assert dt >= 0.15  # 2 × 100 ms default interval
     _ray.kill(gate)
+
+
+def test_resume_mid_crawl_fused_extracts(ray_session, tmp_path):
+    """Fused-extract resume: extract round dirs >= start_round are wiped
+    on resume (a re-executed round may re-batch differently, so stale
+    part files would duplicate extract rows), while finished rounds'
+    extracts are preserved and the resumed totals equal a from-scratch
+    fused crawl's."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from reffy_ray.sources.corpus import scaled_seeds
+    from reffy_ray.stages.extract import EXTRACTORS
+
+    ckpt = str(tmp_path / "ck")
+    base = dict(mode="synth", checkpoint_dir=ckpt, max_depth=1,
+                expand_links=True, round_ms=float("inf"), synth_links=3,
+                num_seen_shards=4, extract_modules=tuple(EXTRACTORS))
+
+    def counts(c):
+        return {
+            m: sum(pq.read_metadata(f).num_rows for f in
+                   glob.glob(f"{c}/extracts/{m}/round=*/*.parquet"))
+            for m in EXTRACTORS
+        }
+
+    crawl(scaled_seeds(8), CrawlConfig(**base, max_rounds=1))
+    round0 = counts(ckpt)
+    assert round0["headings"] > 0
+    # plant a stale part as if round 1 had crashed mid-write
+    stale_dir = f"{ckpt}/extracts/headings/round=1"
+    os.makedirs(stale_dir, exist_ok=True)
+    stale = f"{stale_dir}/part-deadbeef.parquet"
+    pq.write_table(
+        pq.read_table(glob.glob(f"{ckpt}/extracts/headings/round=0/*.parquet")[0]),
+        stale,
+    )
+    res = crawl(scaled_seeds(8), CrawlConfig(**base, max_rounds=6, resume=True))
+    assert not os.path.exists(stale)  # stale round-1 part wiped
+
+    # reference: the same crawl from scratch in one go
+    ckpt2 = str(tmp_path / "ck2")
+    base2 = dict(base, checkpoint_dir=ckpt2)
+    crawl(scaled_seeds(8), CrawlConfig(**base2, max_rounds=6))
+    assert counts(ckpt) == counts(ckpt2)
+    assert res.documents().count() > 8
