@@ -411,6 +411,13 @@ def group_centroids(
         for key, grp in batch.groupby(key_col, sort=False):
             mat = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
             rows.append({key_col: key, "vsum": mat.sum(axis=0), "n": len(grp)})
+        if not rows:
+            # keep the schema on empty blocks (a filtered-out batch
+            # would otherwise emit a column-less frame and break the
+            # downstream groupby)
+            return batch.iloc[:0][[key_col]].assign(
+                vsum=pd.Series([], dtype=object), n=pd.Series([], dtype="int64")
+            )
         return pd.DataFrame(rows)
 
     partials = ds.map_batches(partial, batch_format="pandas")

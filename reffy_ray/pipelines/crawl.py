@@ -607,6 +607,17 @@ def crawl(
     import shutil as _shutil
 
     ex_dir = cfg.extracts_dir or os.path.join(ckpt, "extracts")
+    if cfg.extract_modules:
+        # fail fast on unknown module names — a typo would otherwise
+        # surface as an opaque KeyError inside a remote task after the
+        # fetch/parse work is already done
+        from ..stages.extract import EXTRACTORS as _EX
+
+        unknown = [m for m in cfg.extract_modules if m not in _EX]
+        if unknown:
+            raise ValueError(
+                f"unknown extract_modules {unknown}; known: {sorted(_EX)}"
+            )
 
     def _wipe_checkpoint():
         for sub in ("documents", "frontier", "seen", "counters.parquet",
@@ -616,7 +627,11 @@ def crawl(
                 _shutil.rmtree(path, ignore_errors=True)
             elif os.path.exists(path):
                 os.remove(path)
-        if cfg.extract_modules and os.path.isdir(ex_dir):
+        # always clear the extracts dir on a fresh start, fused or not:
+        # stale part files from a previous run (different module set,
+        # different batching) would otherwise be read back alongside
+        # the new ones by anything globbing the layout
+        if os.path.isdir(ex_dir):
             _shutil.rmtree(ex_dir, ignore_errors=True)
 
     # A resume is only valid against a manifest from the same crawler
@@ -634,11 +649,13 @@ def crawl(
             and manifest.get("num_seen_shards") == cfg.num_seen_shards
             and manifest.get("exact_seen") == cfg.exact_seen
         )
-    if not resume_ok and os.path.isdir(ckpt):
+    if not resume_ok:
         # fresh start (explicit, or resume with a missing/invalid
         # manifest): stale round parquet would otherwise be APPENDED to
         # by write_parquet, doubling every document — wipe first
-        # (resetCache analog, reference README.md:136-139)
+        # (resetCache analog, reference README.md:136-139). Not gated
+        # on the ckpt dir existing: a custom extracts_dir can hold
+        # stale content even when the checkpoint itself was deleted.
         _wipe_checkpoint()
     os.makedirs(docs_dir, exist_ok=True)
 
@@ -789,7 +806,7 @@ def crawl(
                 gates=gates if (cfg.politeness and open_budget) else None,
                 checkpoint_dir=round_dir,
                 extract_modules=cfg.extract_modules,
-                extracts_dir=cfg.extracts_dir or os.path.join(ckpt, "extracts"),
+                extracts_dir=ex_dir,
                 extracts_round=f"round={r}",
                 drop_spans=cfg.fused_drop_spans,
             ),

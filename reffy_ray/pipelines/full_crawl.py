@@ -93,11 +93,28 @@ def full_crawl(
     """Crawl the seeds, extract every module, run post-processing,
     write everything under ``out_dir`` (documents/, extracts/<module>/,
     post/<name>/, index.json)."""
-    cfg = cfg or CrawlConfig()
+    from dataclasses import replace as _replace
+
+    # private copy: this function tunes checkpoint/extract fields, and
+    # mutating the caller's config would poison its reuse (a second
+    # full_crawl with the same cfg would see extract_modules set and
+    # extracts_dir pointing at the FIRST run's output)
+    cfg = _replace(cfg) if cfg is not None else CrawlConfig()
     if cfg.checkpoint_dir is None:
         cfg.checkpoint_dir = os.path.join(out_dir, "crawl")
     modules = modules or default_modules()
     extracts_dir = os.path.join(out_dir, "extracts")
+    if cfg.fused_drop_spans:
+        raise ValueError(
+            "full_crawl needs the spans column downstream (css "
+            "consolidation, custom extract passes) — fused_drop_spans "
+            "is for spans-free consumers driving crawl() directly"
+        )
+    # this pipeline owns out_dir/extracts: crawl()'s fresh-start wipe
+    # clears it (stale part files from a previous run with a different
+    # module set or batching would otherwise be read back alongside the
+    # new ones); pointing the crawl at it covers the non-fused path too
+    cfg.extracts_dir = extracts_dir
 
     # fused extraction (the reference's in-page-module shape): when
     # every module is a stock extractor, run them INSIDE the crawl's
@@ -110,7 +127,6 @@ def full_crawl(
     )
     if stock:
         cfg.extract_modules = tuple(m.name for m in modules)
-        cfg.extracts_dir = extracts_dir
 
     res = crawl(seeds, cfg, fallback_spans=fallback_spans, cache_info=cache_info)
     # stream the crawl output: in-memory round blocks when fresh, the
@@ -348,7 +364,9 @@ def markdown_report(
             path = os.path.join(extracts_dir, mod)
             if not os.path.isdir(path):
                 continue
-            for row in rd.read_parquet(path).iter_rows():
+            # partitioning=None: fused layout nests round= bookkeeping
+            # dirs — hive inference would inject a spurious column
+            for row in rd.read_parquet(path, partitioning=None).iter_rows():
                 by_doc.setdefault(row["doc_id"], {}).setdefault(mod, []).append(row)
         for r in doc_rows:
             lines.append("")

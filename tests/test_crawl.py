@@ -305,3 +305,15 @@ def test_resume_mid_crawl_fused_extracts(ray_session, tmp_path):
     crawl(scaled_seeds(8), CrawlConfig(**base2, max_rounds=6))
     assert counts(ckpt) == counts(ckpt2)
     assert res.documents().count() > 8
+
+
+def test_unknown_extract_module_fails_fast(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from reffy_ray.sources.corpus import scaled_seeds
+
+    with _pytest.raises(ValueError, match="unknown extract_modules"):
+        crawl(scaled_seeds(2), CrawlConfig(
+            mode="synth", checkpoint_dir=str(tmp_path / "ck"),
+            extract_modules=("headngs",),
+        ))

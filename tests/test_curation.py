@@ -250,3 +250,13 @@ def test_group_centroids_exact(ray_session):
     )
     assert out["centroid"].tolist() == [2.0, 4.0, 10.0, 0.0]
     assert out["dim"].tolist() == [0, 1, 0, 1]
+
+
+def test_group_centroids_empty_blocks(ray_session):
+    from reffy_ray.ops.similarity import group_centroids
+
+    rows = [{"label": i % 2, "embedding": [float(i), 1.0]} for i in range(8)]
+    ds = _ds(rows).filter(lambda r: r["label"] == 1)  # some blocks empty
+    out = group_centroids(ds).to_pandas()
+    assert sorted(out["label"].unique()) == [1]
+    assert out[out.dim == 0]["centroid"].iloc[0] == 4.0  # mean of 1,3,5,7

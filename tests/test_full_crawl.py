@@ -182,3 +182,63 @@ def test_generate_spec_report_idl_details():
     assert "1 extended Web IDL name" in md
     assert "1 explicitly exported term" in md
     assert "- interface `Foo` ([xref search]" in md
+
+
+def test_full_crawl_does_not_mutate_caller_cfg(ray_session, tmp_path):
+    from reffy_ray.pipelines.crawl import CrawlConfig
+    from reffy_ray.pipelines.full_crawl import full_crawl
+    from reffy_ray.sources.corpus import fixture_seeds
+
+    cfg = CrawlConfig(mode="fixture")
+    full_crawl(fixture_seeds(), str(tmp_path / "o1"), cfg, run_post=False)
+    assert cfg.extract_modules is None
+    assert cfg.extracts_dir is None
+    assert cfg.checkpoint_dir is None
+    # same cfg reused into a second out_dir: both runs complete and the
+    # second run's extracts land in ITS OWN tree
+    res2 = full_crawl(fixture_seeds(), str(tmp_path / "o2"), cfg, run_post=False)
+    assert res2.counts["headings"] > 0
+    import os
+
+    assert os.path.isdir(str(tmp_path / "o2" / "extracts" / "headings"))
+
+
+def test_full_crawl_rejects_drop_spans(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from reffy_ray.pipelines.crawl import CrawlConfig
+    from reffy_ray.pipelines.full_crawl import full_crawl
+    from reffy_ray.sources.corpus import fixture_seeds
+
+    with _pytest.raises(ValueError, match="fused_drop_spans"):
+        full_crawl(fixture_seeds(), str(tmp_path / "o"),
+                   CrawlConfig(mode="fixture", fused_drop_spans=True))
+
+
+def test_full_crawl_module_set_switch_no_stale_extracts(ray_session, tmp_path):
+    """Re-running into the same out_dir with a different module set must
+    not read back the previous run's extract part files."""
+    from reffy_ray.pipelines.crawl import CrawlConfig
+    from reffy_ray.pipelines.full_crawl import ExtractorModule, full_crawl
+    from reffy_ray.sources.corpus import fixture_seeds
+    from reffy_ray.stages.extract import EXTRACTORS
+
+    out = str(tmp_path / "same_out")
+    r1 = full_crawl(fixture_seeds(), out, CrawlConfig(mode="fixture"),
+                    run_post=False)
+    assert r1.counts["headings"] > 0
+
+    # custom (non-stock) single-module run into the SAME out_dir
+    custom = [ExtractorModule("headings", EXTRACTORS["headings"])]
+
+    def wrapped(docs):
+        return EXTRACTORS["headings"](docs)
+
+    custom = [ExtractorModule("headings", wrapped)]  # non-stock fn
+    r2 = full_crawl(fixture_seeds(), out, CrawlConfig(mode="fixture"),
+                    modules=custom, run_post=False)
+    # counts must equal a single clean run, not doubled by stale parts
+    assert r2.counts["headings"] == r1.counts["headings"]
+    import os
+
+    assert not os.path.isdir(os.path.join(out, "extracts", "dfns"))
