@@ -437,6 +437,21 @@ def q_chunk_tokens(sf_dir: str):
     )
 
 
+def q_pack_chunks(sf_dir: str):
+    """Sequence packing (ops/curation.pack_chunks) over the
+    chunk_tokens output: 16 hash shards, 128-token training bins."""
+    from reffy_ray.ops.curation import chunk_tokens, pack_chunks
+
+    chunks = chunk_tokens(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        window=16,
+        stride=12,
+    )
+    return pack_chunks(chunks, budget=128, n_shards=16).select_columns(
+        ["doc_id", "chunk_id", "shard", "n_tokens", "bin", "bin_pos"]
+    )
+
+
 def q_temperature_mix(sf_dir: str):
     """Temperature source mixing (ops/sampling.temperature_mix,
     alpha=0.5 exact-integer path) over a deterministically skewed
@@ -1125,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "chunk_tokens": q_chunk_tokens,
         "temperature_mix": q_temperature_mix,
+        "pack_chunks": q_pack_chunks,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
@@ -1895,6 +1911,37 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[i:i+15], ' ') AS chunk_text
             FROM toks,
                  LATERAL unnest(generate_series(1, len(t), 12)) AS u(i)
+        """,
+        # ops/curation.pack_chunks(budget=128, n_shards=16) over the
+        # chunk_tokens(16,12) output: shard = md5-hash of doc_id,
+        # offset = window cumsum within shard in (doc_id, chunk_id)
+        # order, bin/bin_pos by integer division
+        "pack_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\w+') AS t
+              FROM documents
+            ), chunks AS (
+              SELECT doc_id,
+                     (i - 1) // 12 AS chunk_id,
+                     least(16, len(t) - i + 1) AS n_tokens
+              FROM toks,
+                   LATERAL unnest(generate_series(1, len(t), 12)) AS u(i)
+            ), sharded AS (
+              SELECT doc_id, chunk_id, n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack-42'), 1, 16))::UBIGINT
+                          % 16 AS BIGINT) AS shard
+              FROM chunks
+            ), packed AS (
+              SELECT doc_id, chunk_id, shard, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS off
+              FROM sharded
+            )
+            SELECT doc_id, chunk_id, shard, n_tokens,
+                   off // 128 AS bin, off % 128 AS bin_pos
+            FROM packed
         """,
         # ops/sampling.temperature_mix(alpha=0.5, keep_frac=0.5) over
         # the query's skewed remap (doc_id%10<6 -> 'hot'): exact

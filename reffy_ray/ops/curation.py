@@ -353,3 +353,60 @@ def chunk_tokens(
         )
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+# --- Sequence packing --------------------------------------------------------
+
+
+def pack_chunks(
+    ds: rd.Dataset,
+    budget: int = 2048,
+    n_shards: int = 64,
+    salt: str = "pack-42",
+) -> rd.Dataset:
+    """Pack token chunks into fixed-budget training sequences — the
+    concat-and-split-at-context-boundary packing every pretraining run
+    does between chunking and batching. Each chunk (from
+    ``chunk_tokens``: doc_id, chunk_id, n_tokens, …) is assigned a
+    deterministic shard by id hash, laid out within its shard in
+    (doc_id, chunk_id) order, and placed at token offset
+    ``cumsum(previous n_tokens)``; ``bin = offset // budget`` and
+    ``bin_pos = offset % budget`` name its training sequence and
+    position (chunks may straddle a boundary — exactly the concat
+    semantics).
+
+    Scale shape: one ``groupby(shard)`` over hash shards (uniform by
+    construction — no hot keys), per-shard numpy cumsum. Sequential
+    state never crosses a shard, so shards scale out freely; the
+    assignment is stable across runs, cluster sizes and row order.
+    """
+
+    def shard_of(batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        sh = [
+            int.from_bytes(
+                _hl.md5(f"{i}|{salt}".encode()).digest()[:8], "big"
+            ) % n_shards
+            for i in batch.column("doc_id").to_pylist()
+        ]
+        return batch.append_column("shard", pa.array(sh, pa.int64()))
+
+    sharded = ds.map_batches(shard_of, batch_format="pyarrow")
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        off = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "chunk_id": g["chunk_id"],
+                "shard": g["shard"],
+                "n_tokens": g["n_tokens"],
+                "bin": off // budget,
+                "bin_pos": off % budget,
+            }
+        )
+
+    return sharded.groupby("shard").map_groups(pack, batch_format="pandas")

@@ -260,3 +260,38 @@ def test_group_centroids_empty_blocks(ray_session):
     out = group_centroids(ds).to_pandas()
     assert sorted(out["label"].unique()) == [1]
     assert out[out.dim == 0]["centroid"].iloc[0] == 4.0  # mean of 1,3,5,7
+
+
+def test_pack_chunks_concat_semantics(ray_session):
+    from reffy_ray.ops.curation import pack_chunks
+
+    # one shard (n_shards=1): chunks of 10 tokens into budget-16 bins
+    rows = [
+        {"doc_id": d, "chunk_id": c, "n_tokens": 10}
+        for d in (1, 2) for c in (0, 1)
+    ]
+    out = (
+        pack_chunks(_ds(rows), budget=16, n_shards=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # offsets 0,10,20,30 -> bins 0,0,1,1 ; positions 0,10,4,14
+    assert out["bin"].tolist() == [0, 0, 1, 1]
+    assert out["bin_pos"].tolist() == [0, 10, 4, 14]
+    assert out["shard"].nunique() == 1
+
+
+def test_pack_chunks_deterministic_across_runs(ray_session):
+    from reffy_ray.ops.curation import pack_chunks
+
+    rows = [
+        {"doc_id": d, "chunk_id": c, "n_tokens": 5 + (d % 7)}
+        for d in range(30) for c in range(2)
+    ]
+    a = pack_chunks(_ds(rows), budget=32, n_shards=4).to_pandas()
+    b = pack_chunks(_ds(list(reversed(rows))), budget=32, n_shards=4).to_pandas()
+    key = ["doc_id", "chunk_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)  # row order of the input is irrelevant
