@@ -295,3 +295,50 @@ def test_pack_chunks_deterministic_across_runs(ray_session):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)  # row order of the input is irrelevant
+
+
+def test_pack_chunks_invariants_property(ray_session):
+    """Property check over a randomized-shape (but seeded) corpus:
+    bin_pos < budget always; within a shard, offsets reconstruct the
+    exact concat order (no token lost or double-counted)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        {"doc_id": int(d), "chunk_id": int(c), "n_tokens": int(rng.randint(1, 40))}
+        for d in range(60)
+        for c in range(rng.randint(1, 4))
+    ]
+    from reffy_ray.ops.curation import pack_chunks
+
+    budget = 64
+    out = pack_chunks(_ds(rows), budget=budget, n_shards=8).to_pandas()
+    assert (out["bin_pos"] < budget).all()
+    assert len(out) == len(rows)
+    for _, grp in out.groupby("shard"):
+        g = grp.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        offs = (g["bin"] * budget + g["bin_pos"]).to_numpy()
+        expect = np.concatenate(([0], np.cumsum(g["n_tokens"].to_numpy())[:-1]))
+        assert (offs == expect).all()
+
+
+def test_chunk_tokens_roundtrip_property(ray_session):
+    """Non-overlapping chunking partitions the token stream exactly:
+    concatenating chunk_text over chunk_id order reproduces the
+    tokenized document."""
+    import re
+
+    from reffy_ray.ops.curation import chunk_tokens
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog " * 7,
+        2: "a b",
+        3: "one-token",
+    }
+    ds = _ds([{"doc_id": k, "text": v} for k, v in texts.items()])
+    out = chunk_tokens(ds, window=5).to_pandas()
+    for did, text in texts.items():
+        g = out[out.doc_id == did].sort_values("chunk_id")
+        joined = " ".join(g["chunk_text"])
+        assert joined.split(" ") == re.findall(r"\w+", text)
+        assert g["n_tokens"].sum() == len(re.findall(r"\w+", text))
