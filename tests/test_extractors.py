@@ -365,3 +365,27 @@ def test_event_dfn_completes_table_event():
     assert e["interface"] is None
     assert e["targets"] == ["Example"]
     assert e["src_format"] == "dfn"
+
+
+def test_spans_from_html_hostile_inputs():
+    """Adversarial parser inputs must come back as span lists (possibly
+    empty), never raise — the htmldom MAX_DEPTH cap bounds recursion
+    (stages/htmldom.py:135) and the tokenizer tolerates truncation."""
+    from reffy_ray.stages.parse import spans_from_html
+
+    hostile = [
+        "<table><tr><th>Name:<td>" * 1000,
+        "<div>" * 500 + "text" + "</div>" * 120,
+        "<dl><dt>" * 300,
+        "<p <span<<>><b>" * 200,
+        "<!doctype html><html><body>" + "&amp;" * 5000,
+        "\x00\x01<h1>x</h1>\xff",
+        "<script>" + "a<b" * 1000,  # unterminated script
+        "",
+    ]
+    for html in hostile:
+        spans = spans_from_html(html, "https://x.example/")
+        assert isinstance(spans, list)
+    # deep-but-valid doc still yields its heading
+    ok = spans_from_html("<div>" * 100 + "<h2 id=a>Deep</h2>", "https://x.example/")
+    assert any(s.get("kind") == "heading" for s in ok)
