@@ -28,10 +28,11 @@ CRAWL_SEEDS = int(os.environ.get("GRAFT_CRAWL_SEEDS", "3000"))
 # --scaling uses a larger corpus so per-URL compute (parse+extract,
 # ~11 ms/URL) dominates fixed round orchestration at both CPU levels
 SCALING_SEEDS = int(os.environ.get("GRAFT_SCALING_SEEDS", "8000"))
-# N vs 4N levels for the scaling protocol. 4→16 rather than 8→32: this
-# host's all-core turbo throttling caps ANY workload's 8→32 speedup at
-# ~2.2× (measured with plain multiprocessing, no Ray), while 4→16
-# preserves ~3.5× — the 4/16 pair measures the engine, not the silicon.
+# Hardware-calibration pair, run IN ADDITION to the mandated 8v32
+# pair (run_scaling measures both): this host's all-core turbo +
+# co-tenant bandwidth caps any 8→32 speedup at ~2.2-3.3× (measured
+# with plain multiprocessing, no Ray), while 4→16 preserves ~3.5× —
+# the 4/16 pair measures the engine below the silicon ceiling.
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 
