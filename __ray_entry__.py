@@ -437,6 +437,45 @@ def q_chunk_tokens(sf_dir: str):
     )
 
 
+def q_boilerplate(sf_dir: str):
+    """Cross-document boilerplate removal
+    (ops/curation.remove_boilerplate_lines): line-structured input with
+    a footer planted in every doc and a second one in every even doc —
+    both must be stripped corpus-wide (doc-frequency >= 3), natural
+    lines survive."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.curation import remove_boilerplate_lines
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def lace(batch: pa.Table) -> pa.Table:
+        lined = pc.replace_substring_regex(
+            batch.column("text"),
+            pattern=r"(\w+ \w+ \w+ \w+ \w+) ",
+            replacement="\\1\n",
+        )
+        with_footer = pc.binary_join_element_wise(
+            lined, "all rights reserved footer", "\n"
+        )
+        extra = pc.binary_join_element_wise(
+            with_footer, "subscribe to newsletter", "\n"
+        )
+        even = pc.equal(_pa_mod(batch.column("doc_id"), 2), 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.if_else(even, extra, with_footer),
+            }
+        )
+
+    return remove_boilerplate_lines(
+        docs.map_batches(lace, batch_format="pyarrow"), min_count=3
+    )
+
+
 def q_pack_chunks(sf_dir: str):
     """Sequence packing (ops/curation.pack_chunks) over the
     chunk_tokens output: 16 hash shards, 128-token training bins."""
@@ -1141,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_tokens": q_chunk_tokens,
         "temperature_mix": q_temperature_mix,
         "pack_chunks": q_pack_chunks,
+        "boilerplate": q_boilerplate,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
@@ -1911,6 +1951,42 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[i:i+15], ' ') AS chunk_text
             FROM toks,
                  LATERAL unnest(generate_series(1, len(t), 12)) AS u(i)
+        """,
+        # ops/curation.remove_boilerplate_lines(min_count=3) over the
+        # query's laced input (5-word lines + one footer in every doc,
+        # a second in even docs): lines with doc-frequency >= 3 are
+        # stripped everywhere; survivors rejoined by \n in order
+        "boilerplate": r"""
+            WITH laced0 AS (
+              SELECT doc_id,
+                     regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ',
+                                    '\1' || chr(10), 'g')
+                       || chr(10) || 'all rights reserved footer' AS text
+              FROM documents
+            ), laced AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN text || chr(10) || 'subscribe to newsletter'
+                          ELSE text END AS text
+              FROM laced0
+            ), split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM laced
+            ), lines AS (
+              SELECT doc_id, i, ls[i] AS l
+              FROM split, LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+            ), boiler AS (
+              SELECT l FROM lines WHERE l != ''
+              GROUP BY l HAVING count(DISTINCT doc_id) >= 3
+            ), kept AS (
+              SELECT doc_id, i, l FROM lines
+              WHERE l = '' OR l NOT IN (SELECT l FROM boiler)
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.l, chr(10) ORDER BY k.i), '') AS text,
+                   (SELECT count(*) FROM lines x WHERE x.doc_id = d.doc_id)
+                     - count(k.l) AS n_removed
+            FROM laced d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
         """,
         # ops/curation.pack_chunks(budget=128, n_shards=16) over the
         # chunk_tokens(16,12) output: shard = md5-hash of doc_id,

@@ -410,3 +410,85 @@ def pack_chunks(
         )
 
     return sharded.groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+# --- Cross-document boilerplate removal -------------------------------------
+
+
+def remove_boilerplate_lines(
+    ds: rd.Dataset,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """C4-style boilerplate removal: a line occurring in ``min_count``
+    or more documents across the corpus (cookie banners, nav footers,
+    "click here") is deleted from every document. Emits (doc_id, text,
+    n_removed) with surviving lines rejoined by ``'\\n'`` in original
+    order.
+
+    Two stages, both scale-shaped:
+    1. line -> doc-count via the combiner pattern (per-batch partial
+       counts of DISTINCT lines per doc, then one groupby-sum whose
+       cardinality is the distinct-line count, not the corpus);
+       frequent lines are COLLECTED (small by construction — they are
+       the repeated ones) and broadcast via ``ray.put``.
+    2. stateless per-batch filter against the broadcast set.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            # count each line once per document (doc-frequency)
+            for line in set((t or "").split("\n")):
+                if line:
+                    cnt[line] += 1
+        return pa.table(
+            {
+                "line": pa.array(list(cnt.keys()), pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("line")
+        .sum("n")
+    )
+
+    def frequent(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch.column("sum(n)"), min_count)
+        return batch.filter(mask).select(["line"])
+
+    boiler = [
+        l
+        for b in totals.map_batches(frequent, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        for l in b.column("line").to_pylist()
+    ]
+    boiler_ref = ray.put(frozenset(boiler))
+    _cache: dict = {}
+
+    def clean(batch: pa.Table) -> pa.Table:
+        key = boiler_ref.hex()
+        bl = _cache.get(key)
+        if bl is None:
+            bl = ray.get(boiler_ref)
+            _cache.clear()
+            _cache[key] = bl
+        texts, removed = [], []
+        for t in batch.column(text_col).to_pylist():
+            lines = (t or "").split("\n")
+            keep = [l for l in lines if l == "" or l not in bl]
+            texts.append("\n".join(keep))
+            removed.append(len(lines) - len(keep))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(texts, pa.string()),
+                "n_removed": pa.array(removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -342,3 +342,47 @@ def test_chunk_tokens_roundtrip_property(ray_session):
         joined = " ".join(g["chunk_text"])
         assert joined.split(" ") == re.findall(r"\w+", text)
         assert g["n_tokens"].sum() == len(re.findall(r"\w+", text))
+
+
+def test_remove_boilerplate_lines(ray_session):
+    from reffy_ray.ops.curation import remove_boilerplate_lines
+
+    footer = "all rights reserved"
+    rows = [
+        {"doc_id": 1, "text": f"unique one\n{footer}\nkeep me"},
+        {"doc_id": 2, "text": f"{footer}\ndifferent body"},
+        {"doc_id": 3, "text": f"third doc\n{footer}"},
+        {"doc_id": 4, "text": "no boilerplate at all"},
+        # footer twice in ONE doc still counts doc-frequency once
+        {"doc_id": 5, "text": f"{footer}\n{footer}\nreal line"},
+    ]
+    out = (
+        remove_boilerplate_lines(_ds(rows), min_count=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # footer doc-frequency = 4 (docs 1,2,3,5) >= 4 -> removed everywhere
+    assert out.loc[1, "text"] == "unique one\nkeep me"
+    assert out.loc[1, "n_removed"] == 1
+    assert out.loc[2, "text"] == "different body"
+    assert out.loc[3, "text"] == "third doc"
+    assert out.loc[4, "text"] == "no boilerplate at all"
+    assert out.loc[4, "n_removed"] == 0
+    assert out.loc[5, "text"] == "real line"
+    assert out.loc[5, "n_removed"] == 2  # both occurrences stripped
+
+
+def test_remove_boilerplate_threshold(ray_session):
+    from reffy_ray.ops.curation import remove_boilerplate_lines
+
+    rows = [
+        {"doc_id": i, "text": "shared twice\nbody %d" % i} for i in (1, 2)
+    ] + [{"doc_id": 3, "text": "solo"}]
+    out = (
+        remove_boilerplate_lines(_ds(rows), min_count=3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc-frequency 2 < 3: the shared line survives
+    assert out.loc[1, "text"] == "shared twice\nbody 1"
+    assert (out["n_removed"] == 0).all()

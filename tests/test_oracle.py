@@ -75,7 +75,7 @@ ORACLE_KEYS = [
     "decontaminate", "pii_redact", "gopher_quality", "normalize_text",
     "top_k_per_group", "knn_join",
     "repetition_stats", "chunk_tokens", "temperature_mix",
-    "group_centroids", "pack_chunks",
+    "group_centroids", "pack_chunks", "boilerplate",
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
 ]
 
