@@ -525,7 +525,12 @@ def q_temperature_mix(sf_dir: str):
 def q_asof_join(sf_dir: str):
     """As-of join (ops/joins.asof_join): each purchase event matched to
     the same user's most recent click at-or-before it (DuckDB
-    ``ASOF LEFT JOIN`` semantics)."""
+    ``ASOF LEFT JOIN`` semantics). Unmatched rows are coalesced to
+    sentinels (epoch / -1) on BOTH sides so the emission is type-stable
+    — DuckDB materializes NULL-bearing BIGINT as float64, which breaks
+    the value hash even when every value matches."""
+    import pyarrow.compute as pc
+
     from reffy_ray.ops.joins import asof_join
 
     ev = rd.read_parquet(
@@ -537,9 +542,26 @@ def q_asof_join(sf_dir: str):
     clicks = ev.filter(expr="event_type == 'click'").select_columns(
         ["event_id", "ts", "user_id"]
     )
-    return asof_join(purchases, clicks, on="ts", by="user_id").select_columns(
+    out = asof_join(purchases, clicks, on="ts", by="user_id").select_columns(
         ["event_id", "user_id", "ts", "ts_r", "event_id_r"]
     )
+
+    def fill_sentinels(b: pa.Table) -> pa.Table:
+        ts_r = pc.fill_null(b.column("ts_r"), pa.scalar(0, b.column("ts_r").type))
+        eid = pc.fill_null(
+            pc.cast(b.column("event_id_r"), pa.int64()), pa.scalar(-1, pa.int64())
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "ts_r": ts_r,
+                "event_id_r": eid,
+            }
+        )
+
+    return out.map_batches(fill_sentinels, batch_format="pyarrow")
 
 
 def q_range_join(sf_dir: str):
@@ -2090,7 +2112,8 @@ def oracle_sql() -> dict[str, str]:
         # ops/joins.asof_join: purchases × most recent prior click per user
         "asof_join": """
             SELECT l.event_id, l.user_id, l.ts,
-                   r.ts AS ts_r, r.event_id AS event_id_r
+                   COALESCE(r.ts, TIMESTAMP '1970-01-01') AS ts_r,
+                   COALESCE(r.event_id, -1) AS event_id_r
             FROM (SELECT event_id, ts, user_id FROM events
                   WHERE event_type = 'purchase') l
             ASOF LEFT JOIN
@@ -2118,7 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_window": """
             SELECT event_id, user_id, ts,
                    count(*) OVER w AS w_count,
-                   sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS w_sum
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS w_sum
             FROM events
             WINDOW w AS (
               PARTITION BY user_id ORDER BY ts
