@@ -113,11 +113,29 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     k: int = 3,
+    group_cap: int = 4096,
 ) -> rd.Dataset:
     """Near-dup candidate pairs via banded LSH, verified by signature
     Jaccard. Stages: minhash (actor pool) → explode (band_id,
     band_hash) rows → groupby band bucket → pairs → per-pair verify.
-    The shuffle key is the banded hash (SURVEY.md §2.7 pattern)."""
+    The shuffle key is the banded hash (SURVEY.md §2.7 pattern).
+
+    Bucket verification is blockwise-vectorized (512-row signature
+    tiles, bool-equality mean per tile — bounded memory regardless of
+    bucket size), and emission is exactly-once WITHOUT a pair-dedup
+    shuffle: fully-identical signatures co-bucket in every band, so
+    identical pairs (est=1.0) are emitted from band 0 only and without
+    any comparison work; non-identical qualifying pairs are emitted
+    only from their first matching band (cheap vectorized band check on
+    the few surviving pairs). That removes both the old O(bucket²)
+    Python loop and the former ``groupby((a,b))`` dedup stage whose
+    group count equaled the pair count — the worst shuffle in the op.
+
+    Buckets above ``group_cap`` distinct docs are sub-split by full
+    signature (identical mass-dups stay together and still emit).
+    Documented recall trade (same as ``embedding_near_dups``): a
+    non-identical pair inside an oversized bucket is only found via its
+    other, non-oversized matching bands."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         minhash_batch_fn(num_perm=num_perm, k=k), batch_format="pyarrow"
@@ -142,34 +160,98 @@ def minhash_lsh_pairs(
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids0 = group["doc_id"].iloc[:0]
+        empty = pd.DataFrame(
+            {"a": ids0, "b": ids0, "est_jaccard": pd.Series([], dtype="float64")}
+        )
         if len(group) < 2:
-            ids0 = group["doc_id"].iloc[:0]
-            return pd.DataFrame(
-                {"a": ids0, "b": ids0,
-                 "est_jaccard": pd.Series([], dtype="float64")}
-            )
+            return empty
+        b_band = int(group["band"].iloc[0])
         g = group.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = list(g["doc_id"])
-        sigs_ = [np.frombuffer(x, dtype=np.uint64) for x in g["minhash"]]
-        a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs_[i] == sigs_[j]).mean())
-                if est >= jaccard_threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(est)
-        return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": j_out})
+        if len(g) < 2:
+            return empty
+        outs = [empty]
+        # collapse to unique signatures — est_jaccard depends only on
+        # the signature pair, so a mass-duplicated template doc costs
+        # ONE compute row however many copies exist
+        members_by_sig = {
+            sig: sub["doc_id"].to_numpy()
+            for sig, sub in g.groupby("minhash", sort=False)
+        }
+        # 1) identical-signature pairs: est=1.0 by construction, and
+        #    identical signatures co-bucket in EVERY band — emit from
+        #    band 0 only (exactly-once, zero compares)
+        if b_band == 0:
+            for members in members_by_sig.values():
+                if len(members) > 1:
+                    iu = np.triu_indices(len(members), k=1)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "a": members[iu[0]],
+                                "b": members[iu[1]],
+                                "est_jaccard": np.ones(len(iu[0]), dtype=np.float64),
+                            }
+                        )
+                    )
+        usigs = sorted(members_by_sig)
+        if len(usigs) < 2:
+            return pd.concat(outs, ignore_index=True)
+        # 2) cross-signature pairs: blockwise-vectorized verify over
+        #    UNIQUE signatures; group_cap bounds the quadratic work per
+        #    deterministic signature-sorted chunk (recall trade — pairs
+        #    straddling chunks of one >cap-distinct-sig bucket rely on
+        #    their other bands; mass-dups never trigger this, they
+        #    collapse to one signature above)
+        block = 512
+        for c0 in range(0, len(usigs), group_cap):
+            chunk = usigs[c0 : c0 + group_cap]
+            if len(chunk) < 2:
+                continue
+            S = np.frombuffer(b"".join(chunk), dtype=np.uint64).reshape(
+                len(chunk), -1
+            )
+            for i0 in range(0, len(chunk), block):
+                bi = S[i0 : i0 + block]
+                for j0 in range(i0, len(chunk), block):
+                    est = (bi[:, None, :] == S[None, j0 : j0 + block, :]).mean(
+                        axis=2
+                    )
+                    ii, jj = np.where(est >= jaccard_threshold)
+                    keep = (j0 + jj) > (i0 + ii)
+                    ka, kb = i0 + ii[keep], j0 + jj[keep]
+                    if len(ka) == 0:
+                        continue
+                    # exactly-once: emit only when this bucket's band is
+                    # the pair's FIRST matching band (argmax of band
+                    # equality; the pair always matches in b_band)
+                    sa = S[ka].reshape(len(ka), bands, rows_per_band)
+                    sb = S[kb].reshape(len(kb), bands, rows_per_band)
+                    first = (sa == sb).all(axis=2).argmax(axis=1)
+                    ev = est[ii[keep], jj[keep]]
+                    for x, y, e in zip(ka[first == b_band], kb[first == b_band],
+                                       ev[first == b_band]):
+                        ma, mb = members_by_sig[chunk[x]], members_by_sig[chunk[y]]
+                        aa = np.repeat(ma, len(mb))
+                        bb = np.tile(mb, len(ma))
+                        lo = np.where(aa < bb, aa, bb)
+                        hi = np.where(aa < bb, bb, aa)
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "a": lo,
+                                    "b": hi,
+                                    "est_jaccard": np.full(len(lo), e),
+                                }
+                            )
+                        )
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    # exactly-once emission per pair (band-0 / first-matching-band
+    # rules above) — no pair-dedup shuffle needed
+    return exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-
-    # candidate pairs may repeat across bands → dedup on (a, b)
-    def dedup_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return pairs.groupby(["a", "b"]).map_groups(dedup_pair, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

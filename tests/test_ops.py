@@ -60,6 +60,32 @@ def test_minhash_lsh_finds_planted_pair(ray_session):
     assert all(2 not in p for p in pairs)
 
 
+def test_minhash_lsh_degenerate_bucket_bounded(ray_session):
+    """One mass-duplicated template doc (the exact thing near-dedup
+    exists for) must not pin a task in a quadratic Python loop: with a
+    small group_cap the bucket sub-splits / tiles and completes fast,
+    emitting every identical-signature pair (est=1.0) plus the planted
+    near-pair."""
+    import time
+
+    n_dup = 2000
+    texts = [BASE] * n_dup + [BASE + " minor change", "unrelated document " * 5]
+    t0 = time.monotonic()
+    out = minhash_lsh_pairs(
+        _docs_ds(texts), jaccard_threshold=0.5, group_cap=256
+    ).to_pandas()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120, f"degenerate bucket took {elapsed:.1f}s"
+    # all C(n_dup,2) identical pairs present with est exactly 1.0
+    ident = out[(out["a"] < n_dup) & (out["b"] < n_dup)]
+    assert len(ident) == n_dup * (n_dup - 1) // 2
+    assert (ident["est_jaccard"] == 1.0).all()
+    # the planted near-pair still found (doc n_dup vs any template doc)
+    assert ((out["a"] == 0) & (out["b"] == n_dup)).any() or (
+        (out["b"] == n_dup) & (out["a"] < n_dup)
+    ).any()
+
+
 # -- simhash -----------------------------------------------------------------
 
 
