@@ -140,6 +140,55 @@ def minhash_lsh_pairs(
     sigs = ds.map_batches(
         minhash_batch_fn(num_perm=num_perm, k=k), batch_format="pyarrow"
     )
+    exploded = sigs.map_batches(
+        _band_explode_fn(bands, rows_per_band), batch_format="pandas"
+    )
+    bucket_fn = _lsh_bucket_fn(
+        bands, rows_per_band, jaccard_threshold, group_cap, star=False
+    )
+    # exactly-once emission per pair (band-0 / first-matching-band
+    # rules inside the bucket scanner) — no pair-dedup shuffle needed
+    return exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_fn, batch_format="pandas"
+    )
+
+
+def minhash_lsh_star_edges(
+    ds: rd.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    k: int = 3,
+    group_cap: int = 4096,
+) -> rd.Dataset:
+    """Linear-cardinality connectivity edges with the SAME connected
+    components as :func:`minhash_lsh_pairs`. Within each band bucket,
+    an identical-signature group of m docs emits a star (min member →
+    each other member; m−1 edges, not C(m,2)) and each qualifying
+    cross-signature pair emits ONE representative edge (min member of
+    each side) — any verified pair (x, y) is connected through
+    x − min(sig_x) − min(sig_y) − y. Edge count is
+    O(paired docs + qualifying signature pairs), so a clique of a
+    million template copies costs 10⁶ edges instead of 5·10¹¹ — this
+    is the scale path for :func:`reffy_ray.ops.sampling.near_dup_clusters`.
+    """
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        minhash_batch_fn(num_perm=num_perm, k=k), batch_format="pyarrow"
+    )
+    exploded = sigs.map_batches(
+        _band_explode_fn(bands, rows_per_band), batch_format="pandas"
+    )
+    bucket_fn = _lsh_bucket_fn(
+        bands, rows_per_band, jaccard_threshold, group_cap, star=True
+    )
+    return exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_fn, batch_format="pandas"
+    )
+
+
+def _band_explode_fn(bands: int, rows_per_band: int):
+    """(doc_id, minhash) → one row per (doc, band) with the banded key."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         out_doc, out_band, out_hash, out_sig = [], [], [], []
@@ -154,12 +203,32 @@ def minhash_lsh_pairs(
                 out_hash.append("-".join(str(int(v)) for v in band))
                 out_sig.append(blob)
         return pd.DataFrame(
-            {"doc_id": out_doc, "band": out_band, "band_hash": out_hash, "minhash": out_sig}
+            {"doc_id": out_doc, "band": out_band, "band_hash": out_hash,
+             "minhash": out_sig}
         )
 
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    return explode
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+
+def _lsh_bucket_fn(
+    bands: int,
+    rows_per_band: int,
+    jaccard_threshold: float,
+    group_cap: int,
+    star: bool,
+):
+    """Per-bucket scanner shared by pairs and star-edge emission.
+
+    Collapses the bucket to unique signatures (est_jaccard depends only
+    on the signature pair, so mass-duplication costs one compute row),
+    emits identical-signature output from band 0 only and
+    cross-signature output from the pair's first matching band —
+    exactly-once without any pair-dedup shuffle. ``group_cap`` chunks
+    bound the quadratic verify over DISTINCT signatures (documented
+    recall trade: pairs straddling chunks of one >cap-distinct-sig
+    bucket rely on their other bands; mass-dups never trigger it)."""
+
+    def bucket_fn(group: pd.DataFrame) -> pd.DataFrame:
         ids0 = group["doc_id"].iloc[:0]
         empty = pd.DataFrame(
             {"a": ids0, "b": ids0, "est_jaccard": pd.Series([], dtype="float64")}
@@ -171,38 +240,46 @@ def minhash_lsh_pairs(
         if len(g) < 2:
             return empty
         outs = [empty]
-        # collapse to unique signatures — est_jaccard depends only on
-        # the signature pair, so a mass-duplicated template doc costs
-        # ONE compute row however many copies exist
         members_by_sig = {
             sig: sub["doc_id"].to_numpy()
             for sig, sub in g.groupby("minhash", sort=False)
         }
-        # 1) identical-signature pairs: est=1.0 by construction, and
+        # 1) identical-signature groups: est=1.0 by construction, and
         #    identical signatures co-bucket in EVERY band — emit from
         #    band 0 only (exactly-once, zero compares)
         if b_band == 0:
             for members in members_by_sig.values():
                 if len(members) > 1:
-                    iu = np.triu_indices(len(members), k=1)
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "a": members[iu[0]],
-                                "b": members[iu[1]],
-                                "est_jaccard": np.ones(len(iu[0]), dtype=np.float64),
-                            }
+                    if star:
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "a": np.repeat(members[:1], len(members) - 1),
+                                    "b": members[1:],
+                                    "est_jaccard": np.ones(
+                                        len(members) - 1, dtype=np.float64
+                                    ),
+                                }
+                            )
                         )
-                    )
+                    else:
+                        iu = np.triu_indices(len(members), k=1)
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "a": members[iu[0]],
+                                    "b": members[iu[1]],
+                                    "est_jaccard": np.ones(
+                                        len(iu[0]), dtype=np.float64
+                                    ),
+                                }
+                            )
+                        )
         usigs = sorted(members_by_sig)
         if len(usigs) < 2:
             return pd.concat(outs, ignore_index=True)
         # 2) cross-signature pairs: blockwise-vectorized verify over
-        #    UNIQUE signatures; group_cap bounds the quadratic work per
-        #    deterministic signature-sorted chunk (recall trade — pairs
-        #    straddling chunks of one >cap-distinct-sig bucket rely on
-        #    their other bands; mass-dups never trigger this, they
-        #    collapse to one signature above)
+        #    UNIQUE signatures, tiled to bound memory
         block = 512
         for c0 in range(0, len(usigs), group_cap):
             chunk = usigs[c0 : c0 + group_cap]
@@ -229,11 +306,17 @@ def minhash_lsh_pairs(
                     sb = S[kb].reshape(len(kb), bands, rows_per_band)
                     first = (sa == sb).all(axis=2).argmax(axis=1)
                     ev = est[ii[keep], jj[keep]]
-                    for x, y, e in zip(ka[first == b_band], kb[first == b_band],
-                                       ev[first == b_band]):
+                    for x, y, e in zip(
+                        ka[first == b_band], kb[first == b_band],
+                        ev[first == b_band],
+                    ):
                         ma, mb = members_by_sig[chunk[x]], members_by_sig[chunk[y]]
-                        aa = np.repeat(ma, len(mb))
-                        bb = np.tile(mb, len(ma))
+                        if star:
+                            aa = np.asarray([ma[0]])
+                            bb = np.asarray([mb[0]])
+                        else:
+                            aa = np.repeat(ma, len(mb))
+                            bb = np.tile(mb, len(ma))
                         lo = np.where(aa < bb, aa, bb)
                         hi = np.where(aa < bb, bb, aa)
                         outs.append(
@@ -247,11 +330,7 @@ def minhash_lsh_pairs(
                         )
         return pd.concat(outs, ignore_index=True)
 
-    # exactly-once emission per pair (band-0 / first-matching-band
-    # rules above) — no pair-dedup shuffle needed
-    return exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    return bucket_fn
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -122,6 +123,113 @@ def source_cap(
 # ---------------------------------------------------------------------------
 
 
+def connected_components(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
+    """Distributed connected components over an (a, b) edge Dataset —
+    min-label propagation (the CCF shape: Kardes et al. 2014), entirely
+    as groupby rounds; the driver only reads a per-round scalar counter.
+
+    Each round symmetrizes the association list, reduces per node to
+    (node → min associate) and re-emits (associate → min) propagation
+    edges; converged when no reducer discovers a smaller label. Round
+    count is O(log(component diameter)) — with star edges from
+    :func:`reffy_ray.ops.dedup.minhash_lsh_star_edges` diameters are
+    tiny and 2-4 rounds suffice. Returns (doc_id, cluster_rep) for every
+    node on an edge, representative = component min."""
+
+    def sym(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [b.column("a").combine_chunks(), b.column("b").combine_chunks()]
+        )
+        v = pa.concat_arrays(
+            [b.column("b").combine_chunks(), b.column("a").combine_chunks()]
+        )
+        return pa.table({"u": u, "v": v})
+
+    def iterate(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].iloc[0]
+        vals = pd.unique(g["v"])
+        m = vals.min()
+        if m >= u:
+            # u is its neighborhood's min — nothing to propagate
+            return pd.DataFrame(
+                {"a": g["u"].iloc[:0], "b": g["v"].iloc[:0],
+                 "new": pd.Series([], dtype="int64")}
+            )
+        others = vals[vals != m]
+        return pd.DataFrame(
+            {
+                "a": np.concatenate([[u], others]),
+                "b": np.full(1 + len(others), m),
+                "new": np.concatenate([[0], np.ones(len(others), dtype=np.int64)]),
+            }
+        )
+
+    def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        # block-local dedup keeps duplicate propagation edges from
+        # compounding across rounds (exact dedup is not needed for
+        # correctness — the reducer uniques its value list)
+        return b.drop_duplicates(["a", "b"])
+
+    cur = edges.select_columns(["a", "b"]).materialize()
+    if cur.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_rep": pa.array([], pa.int64())}
+            )
+        )
+    for _ in range(max_rounds):
+        nxt = (
+            cur.map_batches(sym, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(iterate, batch_format="pandas")
+            .map_batches(local_dedup, batch_format="pandas")
+            .materialize()
+        )
+        new_count = (nxt.sum("new") or 0) if nxt.count() else 0
+        cur = nxt.drop_columns(["new"])
+        if not new_count:
+            break
+
+    # converged rows are (node → root) for every non-root node; add the
+    # roots themselves, then one exact vectorized min per node
+    def roots(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column("b"), "b": b.column("b")})
+
+    labels = cur.union(cur.map_batches(roots, batch_format="pyarrow"))
+    out = labels.groupby("a").min("b")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["doc_id", "cluster_rep"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def near_dup_cluster_labels(
+    ds: rd.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+) -> rd.Dataset:
+    """(doc_id, cluster_rep) Dataset for every document in at least one
+    MinHash-LSH near-dup pair; representative = component min doc id.
+
+    Scale shape: edges come from
+    :func:`reffy_ray.ops.dedup.minhash_lsh_star_edges` — linear in
+    paired docs even when a template is duplicated a million times
+    (same connected components as the all-pairs graph) — and the
+    closure is :func:`connected_components` groupby rounds. Nothing is
+    collected on the driver."""
+    from .dedup import minhash_lsh_star_edges
+
+    edges = minhash_lsh_star_edges(
+        ds, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold, k=k,
+    ).select_columns(["a", "b"])
+    return connected_components(edges)
+
+
 def near_dup_clusters(
     ds: rd.Dataset,
     num_perm: int = 64,
@@ -129,73 +237,70 @@ def near_dup_clusters(
     jaccard_threshold: float = 0.5,
     k: int = 3,
 ) -> pa.Table:
-    """Connected components over MinHash-LSH candidate pairs.
-
-    Returns a small Arrow table (doc_id, cluster_rep) covering every
-    document that appears in at least one near-dup pair; the
-    representative is the component's minimum doc id. Union-find runs
-    driver-side on the collected pair ids (pairs ≪ corpus)."""
-    from .dedup import minhash_lsh_pairs
-
-    pairs = minhash_lsh_pairs(
+    """Small-result wrapper over :func:`near_dup_cluster_labels`: the
+    collected (doc_id, cluster_rep) Arrow table, sorted by doc_id. The
+    label table is O(#cluster members) — the only driver-side
+    materialization in the family; use ``near_dup_cluster_labels`` to
+    keep it distributed."""
+    labels = near_dup_cluster_labels(
         ds, num_perm=num_perm, bands=bands,
         jaccard_threshold=jaccard_threshold, k=k,
-    ).select_columns(["a", "b"])
-
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(x, y):
-        parent.setdefault(x, x)
-        parent.setdefault(y, y)
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            # union by min id keeps the representative deterministic
-            lo, hi = (rx, ry) if rx < ry else (ry, rx)
-            parent[hi] = lo
-
-    for batch in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-            union(a, b)
-
-    nodes = sorted(parent)
-    reps = [find(n) for n in nodes]
-    id_type = pa.array(nodes).type if nodes else pa.int64()
-    return pa.table(
-        {
-            "doc_id": pa.array(nodes, id_type),
-            "cluster_rep": pa.array(reps, id_type),
-        }
     )
+    tbl = pa.Table.from_pandas(
+        labels.sort("doc_id").to_pandas(), preserve_index=False
+    )
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_rep": pa.array([], pa.int64())}
+        )
+    return tbl
 
 
 def near_dedup(
     ds: rd.Dataset,
     id_col: str = "doc_id",
+    broadcast_limit: int = 1_000_000,
     **cluster_kwargs,
 ) -> rd.Dataset:
     """Filter the corpus to near-dup cluster representatives plus all
-    singletons (documents in no pair). The non-representative id set is
-    broadcast (``ray.put`` once, read per worker) — it scales with the
-    duplicate count, not the corpus."""
+    singletons (documents in no pair).
+
+    The label table stays a Dataset. When the non-representative set is
+    genuinely small (≤ ``broadcast_limit`` rows) it is broadcast
+    (``ray.put`` once, read per worker) — the cheap path that avoids
+    shuffling the corpus. Past the limit it switches to Ray Data's
+    hash-partitioned ``left_outer`` join against the label table plus a
+    streaming filter (keep when unlabeled or representative), which
+    scales with the corpus instead of assuming the duplicate set fits
+    in worker heap."""
     import ray
 
-    clusters = near_dup_clusters(ds, **cluster_kwargs)
-    drop = {
-        d
-        for d, r in zip(
-            clusters.column("doc_id").to_pylist(),
-            clusters.column("cluster_rep").to_pylist(),
+    labels = near_dup_cluster_labels(ds, **cluster_kwargs).materialize()
+    n_drop = labels.filter(expr="doc_id != cluster_rep").count()
+
+    if n_drop > broadcast_limit:
+        import pyarrow.compute as pc
+
+        n_parts = max(16, ds.num_blocks())
+        joined = ds.join(
+            labels, join_type="left_outer", num_partitions=n_parts,
+            on=(id_col,), right_on=("doc_id",),
         )
-        if d != r
-    }
+
+        def keep_reps(b: pa.Table) -> pa.Table:
+            rep = b.column("cluster_rep")
+            mask = pc.or_kleene(
+                pc.is_null(rep), pc.equal(rep, b.column(id_col))
+            )
+            return b.filter(pc.fill_null(mask, True)).drop_columns(
+                ["cluster_rep"]
+            )
+
+        return joined.map_batches(keep_reps, batch_format="pyarrow")
+
+    drop_df = labels.filter(expr="doc_id != cluster_rep").to_pandas()
+    drop = set(drop_df["doc_id"]) if len(drop_df) else set()
     drop_ref = ray.put(drop)
 
     _cache: dict = {}

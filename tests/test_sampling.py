@@ -117,6 +117,57 @@ def test_near_dedup_keeps_reps_and_singletons(ray_session):
     assert kept == [0, 1, 2, 3, 4, 5, 6, 7, 8, 11]
 
 
+def test_near_dedup_anti_join_path(ray_session):
+    # broadcast_limit=0 forces the hash-partitioned left_anti join —
+    # the 100 TB path when the drop set no longer fits a worker heap
+    kept = sorted(
+        near_dedup(_planted_corpus(), broadcast_limit=0).to_pandas()["doc_id"]
+    )
+    assert kept == [0, 1, 2, 3, 4, 5, 6, 7, 8, 11]
+
+
+def test_connected_components_chain_and_clique(ray_session):
+    from reffy_ray.ops.sampling import connected_components
+
+    # chain 1-2-3-4 plus disjoint pair (10, 11) plus clique star 20-{21,22}
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": [2, 3, 4, 10, 20, 20],
+                "b": [1, 2, 3, 11, 21, 22],
+            }
+        )
+    )
+    out = connected_components(edges).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_connected_components_empty(ray_session):
+    from reffy_ray.ops.sampling import connected_components
+
+    edges = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+    assert connected_components(edges).count() == 0
+
+
+def test_star_edges_same_components_as_pairs(ray_session):
+    from reffy_ray.ops.dedup import minhash_lsh_pairs, minhash_lsh_star_edges
+
+    ds = _planted_corpus()
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
+    stars = minhash_lsh_star_edges(ds, jaccard_threshold=0.5).to_pandas()
+    # star edges are never more numerous and touch the same node set
+    assert len(stars) <= len(pairs)
+    nodes = set(pairs["a"]) | set(pairs["b"])
+    snodes = set(stars["a"]) | set(stars["b"])
+    assert snodes == nodes
+
+
 # -- doc_freq / top_terms ----------------------------------------------------
 
 
