@@ -59,12 +59,14 @@ def _pool() -> int:
     return max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
 
 
-def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
+    # every current consumer is a (doc_id, text) op — prune at the read
+    # so nothing decodes the unused source/lang/n_chars columns
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
-def _embeddings(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+def _embeddings(sf_dir: str, columns=("vec_id", "embedding")) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=list(columns))
 
 
 # ---------------------------------------------------------------------------

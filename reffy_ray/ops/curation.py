@@ -419,6 +419,7 @@ def remove_boilerplate_lines(
     ds: rd.Dataset,
     min_count: int = 3,
     text_col: str = "text",
+    broadcast_limit: int = 1_000_000,
 ) -> rd.Dataset:
     """C4-style boilerplate removal: a line occurring in ``min_count``
     or more documents across the corpus (cookie banners, nav footers,
@@ -426,13 +427,22 @@ def remove_boilerplate_lines(
     n_removed) with surviving lines rejoined by ``'\\n'`` in original
     order.
 
-    Two stages, both scale-shaped:
-    1. line -> doc-count via the combiner pattern (per-batch partial
-       counts of DISTINCT lines per doc, then one groupby-sum whose
-       cardinality is the distinct-line count, not the corpus);
-       frequent lines are COLLECTED (small by construction — they are
-       the repeated ones) and broadcast via ``ray.put``.
-    2. stateless per-batch filter against the broadcast set.
+    Stage 1 is always the combiner pattern: per-batch partial counts of
+    DISTINCT lines per doc, then one groupby-sum whose cardinality is
+    the distinct-line count, not the corpus. What happens to the
+    frequent-line set then depends on its size — at 100 TB, lines
+    repeated ≥3× number in the billions, so broadcastability cannot be
+    assumed:
+
+    * ≤ ``broadcast_limit`` frequent lines: collected once, ``ray.put``
+      broadcast, stateless per-batch filter (no extra shuffle).
+    * above the limit: documents explode to (doc_id, line_no, line)
+      rows, a hash-partitioned ``left_anti`` join against the
+      frequent-line Dataset drops boilerplate rows, and a per-doc
+      groupby rebuilds the surviving text in original line order — the
+      frequent set never leaves the cluster. A per-doc anchor row
+      (null line, never joinable) guarantees fully-boilerplate docs
+      still emit with empty text.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -459,12 +469,67 @@ def remove_boilerplate_lines(
 
     def frequent(batch: pa.Table) -> pa.Table:
         mask = pc.greater_equal(batch.column("sum(n)"), min_count)
-        return batch.filter(mask).select(["line"])
+        return pa.table({"line": batch.filter(mask).column("line")})
+
+    freq_ds = totals.map_batches(frequent, batch_format="pyarrow").materialize()
+    n_freq = freq_ds.count()
+
+    if n_freq > broadcast_limit:
+        n_lines_t = pa.int64()
+
+        def explode(batch: pa.Table) -> pa.Table:
+            doc_ids, line_nos, lines, n_lines = [], [], [], []
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column(text_col).to_pylist(),
+            ):
+                ls = (t or "").split("\n")
+                # anchor row: null line never matches the join, so a
+                # fully-boilerplate doc still reaches the rebuild stage
+                doc_ids.append(d)
+                line_nos.append(-1)
+                lines.append(None)
+                n_lines.append(len(ls))
+                for i, l in enumerate(ls):
+                    doc_ids.append(d)
+                    line_nos.append(i)
+                    lines.append(l)
+                    n_lines.append(len(ls))
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids),
+                    "line_no": pa.array(line_nos, pa.int64()),
+                    "line": pa.array(lines, pa.string()),
+                    "n_lines": pa.array(n_lines, n_lines_t),
+                }
+            )
+
+        exploded = ds.map_batches(explode, batch_format="pyarrow")
+        surviving = exploded.join(
+            freq_ds,
+            join_type="left_anti",
+            num_partitions=max(16, ds.num_blocks()),
+            on=("line",),
+        )
+
+        def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+            kept = g[g["line_no"] >= 0].sort_values("line_no")
+            total = int(g["n_lines"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "doc_id": [g["doc_id"].iloc[0]],
+                    "text": ["\n".join(kept["line"])],
+                    "n_removed": [total - len(kept)],
+                }
+            )
+
+        return surviving.groupby("doc_id").map_groups(
+            rebuild, batch_format="pandas"
+        )
 
     boiler = [
         l
-        for b in totals.map_batches(frequent, batch_format="pyarrow")
-        .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        for b in freq_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow")
         for l in b.column("line").to_pylist()
     ]
     boiler_ref = ray.put(frozenset(boiler))

@@ -372,6 +372,36 @@ def test_remove_boilerplate_lines(ray_session):
     assert out.loc[5, "n_removed"] == 2  # both occurrences stripped
 
 
+def test_remove_boilerplate_join_path_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the explode→anti-join→rebuild path (the
+    100 TB shape where the frequent-line set can't be broadcast); it
+    must produce byte-identical output to the broadcast path, including
+    a fully-boilerplate doc collapsing to empty text."""
+    from reffy_ray.ops.curation import remove_boilerplate_lines
+
+    footer = "all rights reserved"
+    rows = [
+        {"doc_id": 1, "text": f"unique one\n{footer}\nkeep me"},
+        {"doc_id": 2, "text": f"{footer}\ndifferent body"},
+        {"doc_id": 3, "text": footer},  # fully boilerplate
+        {"doc_id": 4, "text": "no boilerplate at all"},
+        {"doc_id": 5, "text": f"{footer}\n\nwith empty line"},
+    ]
+    kw = dict(min_count=3)
+    bcast = (
+        remove_boilerplate_lines(_ds(rows), **kw)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    joined = (
+        remove_boilerplate_lines(_ds(rows), broadcast_limit=0, **kw)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert bcast.to_dict("records") == joined.to_dict("records")
+    assert joined.set_index("doc_id").loc[3, "text"] == ""
+    # empty line inside doc 5 survives both paths
+    assert joined.set_index("doc_id").loc[5, "text"] == "\nwith empty line"
+
+
 def test_remove_boilerplate_threshold(ray_session):
     from reffy_ray.ops.curation import remove_boilerplate_lines
 
