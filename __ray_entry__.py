@@ -1151,6 +1151,54 @@ def q_media_features(sf_dir: str):
     ).select_columns(["media_id", "kind", "decode_status"])
 
 
+def q_patch_dfns(sf_dir: str):
+    """Spec-level dfn patching (post/patch_dfns, reference
+    patch-dfns.js:13-51) over a deterministic dfn fixture derived from
+    documents.doc_id: doc_id%8 picks the spec URL (6 patched patterns +
+    2 unpatched), doc_id%3 the linking-text list, doc_id%5==0 adds a
+    PermissionState `for` entry."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.post.patch_dfns import patch_dfns
+
+    bases = pa.array([
+        "https://w3c.github.io/deviceorientation/",
+        "https://www.w3.org/TR/orientation-event/",
+        "https://wicg.github.io/portals/",
+        "https://www.w3.org/TR/WebCryptoAPI/",
+        "https://www.w3.org/TR/pub-manifest/",
+        "https://www.w3.org/TR/audiobooks/",
+        "https://example.org/spec-a/",
+        "https://example.org/spec-b/",
+    ])
+    lt_opts = pa.array(
+        [["PermissionState"], ["MessageEventSource", "other"], ["term"]],
+        pa.list_(pa.string()),
+    )
+    for_opts = pa.array([[], ["PermissionState"]], pa.list_(pa.string()))
+
+    def fixture(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        href = pc.binary_join_element_wise(
+            pc.take(bases, _pa_mod(ids, 8)),
+            pc.cast(ids, pa.string()),
+            "#d",
+        )
+        return pa.table({
+            "doc_id": ids,
+            "href": href,
+            "linking_text": pc.take(lt_opts, _pa_mod(ids, 3)),
+            "for": pc.take(for_opts,
+                           pc.cast(pc.equal(_pa_mod(ids, 5), 0), pa.int8())),
+            "access": pa.nulls(batch.num_rows, pa.string()).fill_null("public"),
+        })
+
+    dfns = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        fixture, batch_format="pyarrow"
+    )
+    return patch_dfns(dfns).select_columns(["doc_id", "href", "access"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1228,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "crawl_fixture": q_crawl_fixture,
         "media_features": q_media_features,
+        "patch_dfns": q_patch_dfns,
     }
 
 
@@ -1389,6 +1438,31 @@ def oracle_sql() -> dict[str, str]:
                    'Section ' || CAST(doc_id % 5 AS VARCHAR) AS title,
                    CAST(doc_id % 5 AS VARCHAR) AS number
             FROM documents
+        """,
+        "patch_dfns": """
+            WITH f AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'https://w3c.github.io/deviceorientation/'
+                  WHEN 1 THEN 'https://www.w3.org/TR/orientation-event/'
+                  WHEN 2 THEN 'https://wicg.github.io/portals/'
+                  WHEN 3 THEN 'https://www.w3.org/TR/WebCryptoAPI/'
+                  WHEN 4 THEN 'https://www.w3.org/TR/pub-manifest/'
+                  WHEN 5 THEN 'https://www.w3.org/TR/audiobooks/'
+                  WHEN 6 THEN 'https://example.org/spec-a/'
+                  ELSE 'https://example.org/spec-b/'
+                END || '#d' || CAST(doc_id AS VARCHAR) AS href,
+                (doc_id % 3 = 0) AS lt_ps,
+                (doc_id % 3 = 1) AS lt0_mes,
+                (doc_id % 5 = 0) AS for_ps
+              FROM documents
+            )
+            SELECT doc_id, href,
+              CASE WHEN doc_id % 8 IN (3, 4, 5)
+                   THEN 'private' ELSE 'public' END AS access
+            FROM f
+            WHERE NOT (doc_id % 8 IN (0, 1) AND (lt_ps OR for_ps))
+              AND NOT (doc_id % 8 = 2 AND lt0_mes)
         """,
         "dfns_from_text": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -177,6 +177,15 @@ def full_crawl(
         post_dir = os.path.join(out_dir, "post")
         os.makedirs(post_dir, exist_ok=True)
 
+        if "dfns" in extracts:
+            # spec-level dfn patches (patch-dfns.js:13-51) run FIRST so
+            # every downstream dfns consumer (idl_dfn_links, backrefs)
+            # sees the patched view — lazy stage, near-free when no
+            # patched spec is in the crawl
+            from ..post.patch_dfns import patch_dfns
+
+            extracts["dfns"] = patch_dfns(extracts["dfns"])
+
         if "links" in extracts:
             annotated = annotate_links(extracts["links"], seeds)
             annotated.write_parquet(os.path.join(post_dir, "annotated_links"))

@@ -379,3 +379,85 @@ def test_events_tree_bubbling(ray_session):
     assert out[0]["bubbles"] is False
     detail = _json.loads(out[0]["targets_detail"])
     assert detail == [{"target": "IDBRequest", "bubbles": False}]
+
+
+# -- patch-dfns (spec-level dfn patches, patch-dfns.js:13-51) -----------------
+
+
+def _dfn_batch(rows):
+    return pa.table({
+        "doc_id": pa.array([r.get("doc_id", "d") for r in rows]),
+        "href": pa.array([r["href"] for r in rows]),
+        "linking_text": pa.array(
+            [r.get("lt", []) for r in rows], pa.list_(pa.string())),
+        "for": pa.array([r.get("for", []) for r in rows],
+                        pa.list_(pa.string())),
+        "access": pa.array([r.get("access", "public") for r in rows]),
+    })
+
+
+def test_patch_dfns_orientation_event_drop():
+    from reffy_ray.post.patch_dfns import patch_dfns_batch
+
+    batch = _dfn_batch([
+        # dropped: linkingText includes PermissionState
+        {"href": "https://w3c.github.io/deviceorientation/#ps",
+         "lt": ["PermissionState"]},
+        # dropped: for includes PermissionState
+        {"href": "https://www.w3.org/TR/orientation-event/#granted",
+         "lt": ["granted"], "for": ["PermissionState"]},
+        # kept: unrelated dfn in the same spec
+        {"href": "https://w3c.github.io/deviceorientation/#alpha",
+         "lt": ["alpha"]},
+        # kept: PermissionState dfn in an UNPATCHED spec
+        {"href": "https://w3c.github.io/permissions/#ps",
+         "lt": ["PermissionState"]},
+    ])
+    out = patch_dfns_batch(batch)
+    assert out.column("href").to_pylist() == [
+        "https://w3c.github.io/deviceorientation/#alpha",
+        "https://w3c.github.io/permissions/#ps",
+    ]
+
+
+def test_patch_dfns_portals_first_linking_text_only():
+    from reffy_ray.post.patch_dfns import patch_dfns_batch
+
+    batch = _dfn_batch([
+        # dropped: first linking text is MessageEventSource
+        {"href": "https://wicg.github.io/portals/#mes",
+         "lt": ["MessageEventSource", "other"]},
+        # kept: MessageEventSource not FIRST (reference checks [0] only)
+        {"href": "https://wicg.github.io/portals/#other",
+         "lt": ["other", "MessageEventSource"]},
+    ])
+    out = patch_dfns_batch(batch)
+    assert out.column("href").to_pylist() == [
+        "https://wicg.github.io/portals/#other"]
+
+
+def test_patch_dfns_tr_privatize_and_precedence():
+    from reffy_ray.post.patch_dfns import patch_dfns_batch
+
+    batch = _dfn_batch([
+        {"href": "https://www.w3.org/TR/WebCryptoAPI/#dfn-a", "lt": ["a"]},
+        {"href": "https://www.w3.org/TR/pub-manifest/#dfn-b", "lt": ["b"]},
+        {"href": "https://www.w3.org/TR/audiobooks/#dfn-c", "lt": ["c"]},
+        # nightly WebCrypto is NOT matched (TR-only patch)
+        {"href": "https://w3c.github.io/webcrypto/#dfn-d", "lt": ["d"]},
+    ])
+    out = patch_dfns_batch(batch)
+    assert out.num_rows == 4
+    assert out.column("access").to_pylist() == [
+        "private", "private", "private", "public"]
+
+
+def test_patch_dfns_fast_path_zero_copy(ray_session):
+    from reffy_ray.post.patch_dfns import patch_dfns, patch_dfns_batch
+
+    batch = _dfn_batch([
+        {"href": "https://example.org/spec/#x", "lt": ["x"]},
+    ])
+    assert patch_dfns_batch(batch) is batch  # unpatched specs untouched
+    out = patch_dfns(rd.from_arrow(batch)).to_pandas()
+    assert out["access"].tolist() == ["public"]
