@@ -1151,6 +1151,24 @@ def q_media_features(sf_dir: str):
     ).select_columns(["media_id", "kind", "decode_status"])
 
 
+def q_duplicated_substrings(sf_dir: str):
+    """Suffix-group substring dedup detection (ops/substr,
+    Lee et al. 2021 shape): every 32-char gram shared by ≥2 docs."""
+    from reffy_ray.ops.substr import duplicated_substrings
+
+    return duplicated_substrings(_docs(sf_dir), n=32, min_docs=2)
+
+
+def q_substring_dedup(sf_dir: str):
+    """Documents kept after substring-level dedup: drop docs ≥50%
+    covered by 32-grams shared with other documents."""
+    from reffy_ray.ops.substr import substring_dedup
+
+    return substring_dedup(
+        _docs(sf_dir), n=32, min_docs=2, max_dup_frac=0.5
+    ).select_columns(["doc_id"])
+
+
 def q_patch_dfns(sf_dir: str):
     """Spec-level dfn patching (post/patch_dfns, reference
     patch-dfns.js:13-51) over a deterministic dfn fixture derived from
@@ -1277,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fixture": q_crawl_fixture,
         "media_features": q_media_features,
         "patch_dfns": q_patch_dfns,
+        "duplicated_substrings": q_duplicated_substrings,
+        "substring_dedup": q_substring_dedup,
     }
 
 
@@ -1438,6 +1458,39 @@ def oracle_sql() -> dict[str, str]:
                    'Section ' || CAST(doc_id % 5 AS VARCHAR) AS title,
                    CAST(doc_id % 5 AS VARCHAR) AS number
             FROM documents
+        """,
+        "duplicated_substrings": """
+            WITH g AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 32) AS gram
+              FROM documents, unnest(range(1, length(text) - 30)) AS t(i)
+            ),
+            per AS (
+              SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2
+            )
+            SELECT gram, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
+            FROM per GROUP BY gram HAVING count(*) >= 2
+        """,
+        "substring_dedup": """
+            WITH g AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 32) AS gram
+              FROM documents, unnest(range(1, length(text) - 30)) AS t(i)
+            ),
+            per AS (
+              SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2
+            ),
+            dup AS (
+              SELECT gram FROM per GROUP BY gram HAVING count(*) >= 2
+            ),
+            stat AS (
+              SELECT per.doc_id,
+                     sum(CASE WHEN per.gram IN (SELECT gram FROM dup)
+                         THEN per.occ ELSE 0 END) AS dup_occ,
+                     sum(per.occ) AS total
+              FROM per GROUP BY per.doc_id
+            )
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN stat s ON s.doc_id = d.doc_id
+            WHERE s.doc_id IS NULL OR s.dup_occ < 0.5 * s.total
         """,
         "patch_dfns": """
             WITH f AS (

@@ -77,7 +77,7 @@ ORACLE_KEYS = [
     "repetition_stats", "chunk_tokens", "temperature_mix",
     "group_centroids", "pack_chunks", "boilerplate",
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
-    "patch_dfns",
+    "patch_dfns", "duplicated_substrings", "substring_dedup",
 ]
 
 

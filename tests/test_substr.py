@@ -1,0 +1,89 @@
+"""Substring-level dedup (ops/substr) — suffix-group sharding."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from reffy_ray.ops.substr import (
+    duplicated_substrings,
+    ngram_doc_table,
+    substring_dedup,
+)
+
+SHARED = "the quick brown fox jumps over the lazy dog"
+
+
+def _corpus() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    SHARED + " today",
+                    "XX " + SHARED + " YY",
+                    "completely unrelated content here with no overlap!",
+                    "tiny",
+                    "",
+                ]
+            ),
+        }
+    )
+
+
+def _brute_grams(text: str, n: int) -> list[str]:
+    return [text[i : i + n] for i in range(len(text) - n + 1)]
+
+
+def test_ngram_doc_table_matches_bruteforce():
+    tbl = _corpus()
+    out = ngram_doc_table(tbl, 16).to_pandas()
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist()):
+        grams = _brute_grams(text, 16)
+        mine = out[out["doc_id"] == doc_id]
+        expect = pd.Series(grams).value_counts()
+        assert dict(zip(mine["gram"], mine["occ"])) == expect.to_dict()
+        if grams:
+            assert set(mine["total"]) == {len(grams)}
+
+
+def test_duplicated_substrings_cross_doc_only(ray_session):
+    ds = rd.from_arrow(_corpus())
+    dup = duplicated_substrings(ds, n=16).to_pandas()
+    # every duplicated gram is a window of the shared sentence context
+    assert len(dup) > 0
+    assert (dup["n_docs"] >= 2).all()
+    for g in dup["gram"]:
+        assert g in (SHARED + " today") or g in ("XX " + SHARED + " YY")
+    # doc 3's unique grams never appear
+    assert not dup["gram"].str.contains("unrelated").any()
+
+
+def test_duplicated_substrings_hash_key_same_groups(ray_session):
+    ds = rd.from_arrow(_corpus())
+    plain = duplicated_substrings(ds, n=16).to_pandas()
+    hashed = duplicated_substrings(ds, n=16, hash_key=True).to_pandas()
+    assert len(hashed) == len(plain)
+    assert sorted(hashed["n_occ"]) == sorted(plain["n_occ"])
+
+
+def test_substring_dedup_drops_heavily_shared_docs(ray_session):
+    ds = rd.from_arrow(_corpus())
+    kept = substring_dedup(ds, n=16, max_dup_frac=0.5).to_pandas()
+    # docs 1/2 are ~85% shared windows → dropped; 3 unique, 4/5 too
+    # short for any gram → kept
+    assert sorted(kept["doc_id"]) == [3, 4, 5]
+    assert "text" in kept.columns
+
+
+def test_substring_dedup_no_dups_keeps_all(ray_session):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["aaaa bbbb cccc dddd eeee", "ffff gggg hhhh iiii jjjj"]
+            ),
+        }
+    )
+    kept = substring_dedup(rd.from_arrow(tbl), n=8).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2]
