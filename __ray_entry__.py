@@ -1169,6 +1169,102 @@ def q_substring_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_check_missing_dfns(sf_dir: str):
+    """Missing-definitions checker (post/check_dfns, reference
+    check-missing-dfns.js) over a deterministic fixture: every doc
+    defines interface I<id> with attribute a<id> and method m<id>(x),
+    plus a CSS "Missing definition" warning for --p<id> on even ids;
+    dfn coverage varies by doc_id modulus so every cascade branch
+    (exact, wrong-type fallback, wrong-args warning) is exercised."""
+    import json as _json
+
+    from reffy_ray.functions.webidl import parse_webidl
+    from reffy_ray.post.check_dfns import check_missing_dfns
+
+    def idl_fixture(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist()]
+        reports = [
+            _json.dumps(
+                parse_webidl(
+                    f"interface I{i} {{ attribute DOMString a{i}; "
+                    f"undefined m{i}(long x); }};"
+                )
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([str(i) for i in ids], pa.string()),
+                "idlparsed": pa.array(reports, pa.large_string()),
+            }
+        )
+
+    def dfns_fixture(batch: pa.Table) -> pa.Table:
+        doc, lt, for_, typ = [], [], [], []
+
+        def add(i, text, t, f=()):
+            doc.append(str(i))
+            lt.append([text])
+            for_.append(list(f))
+            typ.append(t)
+
+        for i in (int(v) for v in batch.column("doc_id").to_pylist()):
+            if i % 3 == 0:
+                add(i, f"I{i}", "interface")
+            if i % 4 == 0:
+                add(i, f"a{i}", "attribute", [f"I{i}"])
+            elif i % 4 == 1:
+                add(i, f"a{i}", "dfn", [f"I{i}"])  # wrong type → fallback
+            if i % 5 == 0:
+                add(i, f"m{i}(x)", "method", [f"I{i}"])
+            elif i % 5 == 1:
+                add(i, f"m{i}(y)", "method", [f"I{i}"])  # wrong args → warning
+            if i % 10 == 0:
+                add(i, f"--p{i}", "property")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.string()),
+                "linking_text": pa.array(lt, pa.list_(pa.string())),
+                "for": pa.array(for_, pa.list_(pa.string())),
+                "type": pa.array(typ, pa.string()),
+            }
+        )
+
+    def css_fixture(batch: pa.Table) -> pa.Table:
+        ids = [
+            int(i)
+            for i in batch.column("doc_id").to_pylist()
+            if int(i) % 2 == 0
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([str(i) for i in ids], pa.string()),
+                "category": pa.array(["warnings"] * len(ids), pa.string()),
+                "payload_json": pa.array(
+                    [
+                        _json.dumps(
+                            {
+                                "msg": "Missing definition",
+                                "name": f"--p{i}",
+                                "type": "property",
+                            }
+                        )
+                        for i in ids
+                    ],
+                    pa.large_string(),
+                ),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    out = check_missing_dfns(
+        docs.map_batches(dfns_fixture, batch_format="pyarrow"),
+        docs.map_batches(css_fixture, batch_format="pyarrow"),
+        docs.map_batches(idl_fixture, batch_format="pyarrow"),
+    )
+    return out
+
+
 def q_patch_dfns(sf_dir: str):
     """Spec-level dfn patching (post/patch_dfns, reference
     patch-dfns.js:13-51) over a deterministic dfn fixture derived from
@@ -1297,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "patch_dfns": q_patch_dfns,
         "duplicated_substrings": q_duplicated_substrings,
         "substring_dedup": q_substring_dedup,
+        "check_missing_dfns": q_check_missing_dfns,
     }
 
 
@@ -1458,6 +1555,37 @@ def oracle_sql() -> dict[str, str]:
                    'Section ' || CAST(doc_id % 5 AS VARCHAR) AS title,
                    CAST(doc_id % 5 AS VARCHAR) AS number
             FROM documents
+        """,
+        "check_missing_dfns": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'idl' AS source,
+                   'I' || CAST(doc_id AS VARCHAR) AS expected_lt,
+                   'interface' AS expected_type, '' AS expected_for,
+                   '' AS found_lt, '' AS found_type, FALSE AS warning
+            FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'idl',
+                   'a' || CAST(doc_id AS VARCHAR), 'attribute',
+                   'I' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 4 = 1
+                        THEN 'a' || CAST(doc_id AS VARCHAR) ELSE '' END,
+                   CASE WHEN doc_id % 4 = 1 THEN 'dfn' ELSE '' END,
+                   FALSE
+            FROM documents WHERE doc_id % 4 <> 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'idl',
+                   'm' || CAST(doc_id AS VARCHAR) || '(x)', 'method',
+                   'I' || CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 5 = 1
+                        THEN 'm' || CAST(doc_id AS VARCHAR) || '(y)'
+                        ELSE '' END,
+                   CASE WHEN doc_id % 5 = 1 THEN 'method' ELSE '' END,
+                   doc_id % 5 = 1
+            FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'css',
+                   '--p' || CAST(doc_id AS VARCHAR), 'property',
+                   '', '', '', FALSE
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
         """,
         "duplicated_substrings": """
             WITH g AS (
