@@ -886,22 +886,26 @@ def q_orders_by_segment(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    _cache: dict = {}
 
-    class JoinSeg:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["c_mktsegment"] = b["o_custkey"].map(self.seg)
-            return b[["o_orderkey", "c_mktsegment"]]
+    def join_seg(b: pd.DataFrame) -> pd.DataFrame:
+        # task-based broadcast lookup with a per-worker-process cache —
+        # an actor pool here only pays spin-up (round-2 perf journal)
+        key = seg_ref.hex()
+        seg = _cache.get(key)
+        if seg is None:
+            seg = ray.get(seg_ref)
+            _cache[key] = seg
+        b = b.copy()
+        b["c_mktsegment"] = b["o_custkey"].map(seg)
+        return b[["o_orderkey", "c_mktsegment"]]
 
     from ray.data.aggregate import Count
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    joined = orders.map_batches(JoinSeg, batch_format="pandas", concurrency=_pool())
+    joined = orders.map_batches(join_seg, batch_format="pandas")
     return joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
 
 

@@ -175,27 +175,34 @@ def range_join(
         if pa.types.is_integer(r_types[c])
     }
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["_side"] == 0][l_names]
-        r = group[group["_side"] == 1][out_r]
-        if len(l) == 0 or len(r) == 0:
-            li = ri = np.empty(0, dtype=np.int64)
-        else:
-            x = l[left_on].to_numpy()
-            lo_v = r[lo_c].to_numpy()
-            hi_v = r[hi_c].to_numpy()
-            # broadcast containment mask — bounded by the per-key group size
-            mask = (x[:, None] >= lo_v[None, :]) & (x[:, None] <= hi_v[None, :])
-            li, ri = np.nonzero(mask)
-        out = pd.concat(
-            [
-                l.iloc[li].reset_index(drop=True),
-                r.iloc[ri].reset_index(drop=True),
-            ],
-            axis=1,
+    # shuffle on a key-hash bucket, not the raw key: one vectorized
+    # pandas hash-merge per bucket instead of one Python map_groups
+    # call per key (thousands of calls — the round-3 profile's hot spot)
+    num_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by).to_pandas()
+        bucket = (pd.util.hash_array(keys.to_numpy()) % num_buckets).astype(
+            "int64"
         )
+        return batch.append_column("_bucket", pa.array(bucket, pa.int64()))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["_side"] == 0][l_names]
+        r = group[group["_side"] == 1][[by] + out_r]
+        merged = l.merge(r, on=by)  # all same-key pairs in the bucket
+        if len(merged):
+            m = (merged[left_on] >= merged[lo_c]) & (
+                merged[left_on] <= merged[hi_c]
+            )
+            merged = merged[m]
+        out = merged[l_names + out_r].reset_index(drop=True)
         for c in int_cols:
             out[c] = out[c].astype("Int64")
         return out
 
-    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+    return (
+        unioned.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
