@@ -487,33 +487,49 @@ def _politeness_admission(
                 batch.column("depth").to_pylist(),
             )
         ]
-        return batch.filter(pa.array(keep)).select(
-            ["origin", "seed_rank", "depth", "url", "weight"]
+        return batch.filter(pa.array(keep)).select(["origin", "url", "weight"])
+
+    # Each boundary class is a strict url-sorted prefix, so one CUTOFF
+    # url per origin carries the whole decision: the class rows never
+    # reach the driver (a hot origin's boundary class can be
+    # frontier-sized at 10^10 URLs — the round-2 verdict's watch item).
+    # One vectorized group per constrained origin computes (first
+    # rejected url, was-an-equal-url-instance-admitted) and only those
+    # O(#origins) pairs are collected and broadcast.
+    rem_by_origin = {o: b[2] for o, b in boundary.items()}
+    rem_ref = ray.put(rem_by_origin)
+
+    def origin_cutoff(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        o = g["origin"].iloc[0]
+        rem = ray.get(rem_ref).get(o, 0)
+        g = g.sort_values(["url", "weight"], kind="mergesort")
+        admitted = g["weight"].cumsum() <= rem
+        rejected = g[~admitted]
+        if rejected.empty:  # cannot happen: the class straddles rem
+            return pd.DataFrame({"origin": [], "cutoff": [], "admit_eq": []})
+        cutoff = rejected["url"].iloc[0]
+        admit_eq = bool(((g["url"] == cutoff) & admitted).any())
+        return pd.DataFrame(
+            {"origin": [o], "cutoff": [cutoff], "admit_eq": [admit_eq]}
         )
 
-    per_class: dict[tuple, list] = {}
-    for row in weighted.map_batches(
-        boundary_rows, batch_format="pyarrow"
-    ).take_all():
-        per_class.setdefault(
-            (row["origin"], row["seed_rank"], row["depth"]), []
-        ).append((row["url"], row["weight"]))
-    admitted_urls: dict[str, set] = {}
-    for key, rows in per_class.items():
-        rem = bkeys[key]
-        rows.sort()
-        acc = 0
-        for url, w in rows:
-            if acc + w > rem:
-                break
-            acc += w
-            admitted_urls.setdefault(key[0], set()).add(url)
+    import pandas as pd  # noqa: F401 (type for map_groups)
 
-    dec_ref = ray.put((cset, boundary, admitted_urls))
+    cutoffs = {
+        row["origin"]: (row["cutoff"], bool(row["admit_eq"]))
+        for row in weighted.map_batches(boundary_rows, batch_format="pyarrow")
+        .groupby("origin")
+        .map_groups(origin_cutoff, batch_format="pandas")
+        .take_all()
+    }
+
+    dec_ref = ray.put((cset, boundary, cutoffs))
 
     # 4. broadcast-lookup stamping, no shuffle
     def decide(batch: pa.Table) -> pa.Table:
-        constrained_set, bnd, aurls = ray.get(dec_ref)
+        constrained_set, bnd, cuts = ray.get(dec_ref)
         states = []
         for o, rank, depth, url in zip(
             *(batch.column(c).to_pylist() for c in state_idx_cols)
@@ -526,7 +542,9 @@ def _politeness_admission(
                 states.append("admitted")
             elif (rank, depth) < (b[0], b[1]):
                 states.append("admitted")
-            elif (rank, depth) == (b[0], b[1]) and url in aurls.get(o, ()):
+            elif (rank, depth) == (b[0], b[1]) and o in cuts and (
+                url < cuts[o][0] or (url == cuts[o][0] and cuts[o][1])
+            ):
                 states.append("admitted")
             else:
                 states.append("deferred")

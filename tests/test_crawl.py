@@ -317,3 +317,65 @@ def test_unknown_extract_module_fails_fast(ray_session, tmp_path):
             mode="synth", checkpoint_dir=str(tmp_path / "ck"),
             extract_modules=("headngs",),
         ))
+
+
+def test_politeness_url_prefix_within_boundary_class(ray_session):
+    """Round budget splits ONE (origin, rank, depth) class mid-way: the
+    url-sorted prefix is admitted, the rest deferred (the reference's
+    priority-queue order), and the decision travels as a per-origin
+    cutoff — exercises the boundary-class path of
+    _politeness_admission directly."""
+    import ray.data as rd
+
+    from reffy_ray.crawl.politeness import PolitenessGates
+    from reffy_ray.pipelines.crawl import _politeness_admission
+
+    urls = [f"https://drafts.csswg.org/css-x{i}/" for i in (4, 2, 0, 3, 1)]
+    frontier = rd.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "origin": pa.array(["https://csswg.org"] * 5, pa.string()),
+        "seed_rank": pa.array([7] * 5, pa.int64()),
+        "depth": pa.array([0] * 5, pa.int32()),
+        "pages": pa.array([[]] * 5, pa.list_(pa.string())),
+        "state": pa.array(["pending"] * 5, pa.string()),
+    }))
+    # csswg interval 2000ms; round 6000ms → budget 3 of 5 (weight 1 each)
+    out = _politeness_admission(frontier, PolitenessGates(2), 6000.0)
+    df = out.to_pandas().sort_values("url")
+    admitted = df[df["state"] == "admitted"]["url"].tolist()
+    assert admitted == [
+        "https://drafts.csswg.org/css-x0/",
+        "https://drafts.csswg.org/css-x1/",
+        "https://drafts.csswg.org/css-x2/",
+    ]
+    assert (df["state"] == "deferred").sum() == 2
+
+
+def test_politeness_boundary_weighted_pages(ray_session):
+    """Multipage weights inside the boundary class: weight = 1+len(pages),
+    so the prefix stops as soon as the next url would overflow."""
+    import ray.data as rd
+
+    from reffy_ray.crawl.politeness import PolitenessGates
+    from reffy_ray.pipelines.crawl import _politeness_admission
+
+    frontier = rd.from_arrow(pa.table({
+        "url": pa.array([
+            "https://drafts.csswg.org/a/",   # weight 1
+            "https://drafts.csswg.org/b/",   # weight 3 (2 extra pages)
+            "https://drafts.csswg.org/c/",   # weight 1
+        ], pa.string()),
+        "origin": pa.array(["https://csswg.org"] * 3, pa.string()),
+        "seed_rank": pa.array([0] * 3, pa.int64()),
+        "depth": pa.array([0] * 3, pa.int32()),
+        "pages": pa.array([[], ["p1", "p2"], []], pa.list_(pa.string())),
+        "state": pa.array(["pending"] * 3, pa.string()),
+    }))
+    # budget 3: a (1) admitted, b (cum 4 > 3) rejected → prefix breaks,
+    # c rejected too (url-ordered prefix, not best-fit)
+    out = _politeness_admission(frontier, PolitenessGates(2), 6000.0)
+    df = out.to_pandas()
+    states = dict(zip(df["url"], df["state"]))
+    assert states["https://drafts.csswg.org/a/"] == "admitted"
+    assert states["https://drafts.csswg.org/b/"] == "deferred"
+    assert states["https://drafts.csswg.org/c/"] == "deferred"
