@@ -505,10 +505,12 @@ def remove_boilerplate_lines(
             )
 
         exploded = ds.map_batches(explode, batch_format="pyarrow")
+        from reffy_ray.util import safe_num_blocks
+
         surviving = exploded.join(
             freq_ds,
             join_type="left_anti",
-            num_partitions=max(16, ds.num_blocks()),
+            num_partitions=safe_num_blocks(ds),
             on=("line",),
         )
 

@@ -282,7 +282,9 @@ def near_dedup(
     if n_drop > broadcast_limit:
         import pyarrow.compute as pc
 
-        n_parts = max(16, ds.num_blocks())
+        from reffy_ray.util import safe_num_blocks
+
+        n_parts = safe_num_blocks(ds)
         joined = ds.join(
             labels, join_type="left_outer", num_partitions=n_parts,
             on=(id_col,), right_on=("doc_id",),

@@ -19,3 +19,14 @@ def pool_size(frac: float = 1.0, minimum: int = 2, cap: int | None = None) -> in
         cpus = int(ray.cluster_resources().get("CPU", 4))
     n = max(minimum, int(cpus * frac) - 1)
     return min(n, cap) if cap else n
+
+
+def safe_num_blocks(ds, floor: int = 16) -> int:
+    """Partition count for hash joins: the dataset's block count when
+    known, else (lazy Dataset — ``num_blocks`` raises) the session CPU
+    count. Join ``num_partitions`` must never depend on materializing
+    the corpus just to count blocks."""
+    try:
+        return max(floor, ds.num_blocks())
+    except NotImplementedError:
+        return max(floor, pool_size(1.0) + 1)

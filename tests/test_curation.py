@@ -416,3 +416,23 @@ def test_remove_boilerplate_threshold(ray_session):
     # doc-frequency 2 < 3: the shared line survives
     assert out.loc[1, "text"] == "shared twice\nbody 1"
     assert (out["n_removed"] == 0).all()
+
+
+def test_remove_boilerplate_join_path_lazy_input(ray_session):
+    # a lazy input must not crash the join path (Dataset.num_blocks
+    # raises on unmaterialized datasets)
+    from reffy_ray.ops.curation import remove_boilerplate_lines
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        {"doc_id": i, "text": f"unique line {i}\n{footer}"} for i in range(4)
+    ]
+    lazy = _ds(rows).map_batches(lambda b: b, batch_format="pyarrow")
+    out = (
+        remove_boilerplate_lines(lazy, min_count=3, broadcast_limit=0)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out["n_removed"] == 1).all()
+    assert out.loc[0, "text"] == "unique line 0"

@@ -204,3 +204,13 @@ def test_top_terms_rank_and_stopword_filter(ray_session):
     assert d1["token"].tolist() == ["cat", "dog"]
     assert d1["tf"].tolist() == [3, 1]
     assert d1["rank"].tolist() == [1, 2]
+
+
+def test_near_dedup_join_path_lazy_input(ray_session):
+    # a lazy (read_parquet-style) input must not crash the join path:
+    # Dataset.num_blocks raises on unmaterialized datasets
+    lazy = _planted_corpus().map_batches(lambda b: b, batch_format="pyarrow")
+    kept = sorted(
+        near_dedup(lazy, broadcast_limit=0).to_pandas()["doc_id"]
+    )
+    assert kept == [0, 1, 2, 3, 4, 5, 6, 7, 8, 11]
