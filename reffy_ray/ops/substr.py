@@ -46,7 +46,8 @@ def _string_windows(arr: pa.Array, n: int) -> tuple[np.ndarray, np.ndarray]:
     buffer (windows crossing row boundaries are masked out)."""
     if len(arr) == 0:
         return np.empty((0, n), np.uint8), np.empty(0, np.int64)
-    offsets = np.frombuffer(arr.buffers()[1], np.int32)[
+    off_t = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], off_t)[
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], np.uint8)

@@ -87,3 +87,16 @@ def test_substring_dedup_no_dups_keeps_all(ray_session):
     )
     kept = substring_dedup(rd.from_arrow(tbl), n=8).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 2]
+
+
+def test_ngram_doc_table_large_string_offsets():
+    # large_string columns carry int64 offsets — must not be misread
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([SHARED, "XX " + SHARED], pa.large_string()),
+        }
+    )
+    out = ngram_doc_table(tbl, 16).to_pandas()
+    grams1 = set(out[out["doc_id"] == 1]["gram"])
+    assert grams1 == set(_brute_grams(SHARED, 16))
