@@ -441,13 +441,26 @@ def check_missing_dfns(
     def pc_cast_large(col):
         return pc.cast(col, pa.large_string())
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..urlnorm import fnv1a64, mix64
+
+        b = pa.array(
+            [
+                mix64(fnv1a64(d)) % 64
+                for d in batch.column("doc_id").to_pylist()
+            ],
+            pa.int64(),
+        )
+        return batch.append_column("_bucket", b)
+
     both = (
         dfns.map_batches(tag_dfns, batch_format="pyarrow")
         .union(css.map_batches(tag_css, batch_format="pyarrow"))
         .union(idlparsed.map_batches(tag_idl, batch_format="pyarrow"))
+        .map_batches(add_bucket, batch_format="pyarrow")
     )
 
-    def per_doc(group: pd.DataFrame) -> pd.DataFrame:
+    def per_doc(group: pd.DataFrame) -> dict:
         doc_id = group["doc_id"].iloc[0]
         doc_dfns = [
             json.loads(p) for p in group[group["side"] == "dfn"]["payload"]
@@ -481,9 +494,18 @@ def check_missing_dfns(
                 )
                 out["found_type"].append(found.get("type") or "" if found else "")
                 out["warning"].append(bool(rec["warning"]))
-        return pd.DataFrame(out)
+        return out
 
-    return both.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per doc-hash bucket (bounded group count); the
+        # per-doc check loops inside the task
+        outs = [per_doc(g) for _, g in group.groupby("doc_id", sort=False)]
+        if not outs:
+            return pd.DataFrame(per_doc(group.iloc[:0]))
+        merged = {k: sum((o[k] for o in outs), []) for k in outs[0]}
+        return pd.DataFrame(merged)
+
+    return both.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def missing_dfns_markdown(df: pd.DataFrame) -> str:
