@@ -1173,6 +1173,15 @@ def q_substring_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_unigram_logppl(sf_dir: str):
+    """CCNet-style unigram LM quality signal (ops/text.unigram_logppl):
+    per-doc mean −log2 p(token) under the corpus's own unigram LM,
+    snapped to 4 dp (the repo's bitwise-stable float convention)."""
+    from reffy_ray.ops.text import unigram_logppl
+
+    return unigram_logppl(_docs(sf_dir))
+
+
 def q_check_missing_dfns(sf_dir: str):
     """Missing-definitions checker (post/check_dfns, reference
     check-missing-dfns.js) over a deterministic fixture: every doc
@@ -1398,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_substrings": q_duplicated_substrings,
         "substring_dedup": q_substring_dedup,
         "check_missing_dfns": q_check_missing_dfns,
+        "unigram_logppl": q_unigram_logppl,
     }
 
 
@@ -1559,6 +1569,21 @@ def oracle_sql() -> dict[str, str]:
                    'Section ' || CAST(doc_id % 5 AS VARCHAR) AS title,
                    CAST(doc_id % 5 AS VARCHAR) AS number
             FROM documents
+        """,
+        "unigram_logppl": r"""
+            WITH tok AS (
+              SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+                FROM documents)
+              WHERE word <> ''
+            ),
+            freq AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+            tot AS (SELECT count(*) AS t FROM tok)
+            SELECT doc_id,
+                   round(sum(-log2(n / t)) / count(*), 4) AS logppl
+            FROM tok JOIN freq USING (word), tot
+            GROUP BY doc_id
         """,
         "check_missing_dfns": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'idl' AS source,

@@ -402,3 +402,100 @@ def top_terms(ds, n: int = 5, max_df_frac: float = 0.5):
         )
 
     return ds.map_batches(rank_terms, batch_format="pyarrow")
+
+
+# --- unigram LM perplexity (CCNet-style quality signal) --------------------
+
+
+def doc_token_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, word, tf, n_tok) partials — one row per
+    distinct word per document (same tokenizer as word_counts), with
+    the document's total token count carried on every row."""
+    from collections import Counter
+
+    out_doc, out_word, out_tf, out_n = [], [], [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        counts = Counter(
+            w for w in re.split(r"\W+", (text or "").lower()) if w
+        )
+        n_tok = sum(counts.values())
+        for w in sorted(counts):
+            out_doc.append(doc_id)
+            out_word.append(w)
+            out_tf.append(counts[w])
+            out_n.append(n_tok)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "word": pa.array(out_word, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "n_tok": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def unigram_logppl(ds) -> "object":
+    """Per-document unigram log-perplexity under the corpus's own
+    unigram LM — the CCNet-style language-model quality signal (lower
+    = more typical text; boilerplate and gibberish score high). For
+    each document: mean over token positions of −log2 p(token), with
+    p(token) = corpus count / corpus total.
+
+    Scale shape: the LM is the ``word_counts`` combiner table (vocab-
+    sized, stays distributed); per-doc partials hash-join it on the
+    word key (one shuffle each side), then one per-doc sum — nothing
+    corpus- or vocab-sized is broadcast or collected. Output snapped
+    to 4 decimal places (the repo's bitwise-stable float convention).
+
+    Returns Dataset(doc_id, logppl) — documents with zero tokens are
+    omitted (perplexity undefined).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from reffy_ray.util import safe_num_blocks
+
+    freq = word_counts(ds).materialize()  # (word, n) — distributed LM
+    total = freq.sum("n")
+
+    toks = ds.map_batches(doc_token_partials, batch_format="pyarrow")
+    joined = toks.join(
+        freq,
+        join_type="inner",  # every doc word is in the corpus LM
+        num_partitions=safe_num_blocks(freq),
+        on=("word",),
+    )
+
+    log2_total = float(np.log2(total))
+
+    def partial_bits(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").to_numpy().astype(np.float64)
+        n = b.column("n").to_numpy().astype(np.float64)
+        bits = tf * (log2_total - np.log2(n))  # tf · −log2(n/T)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "bits": pa.array(bits, pa.float64()),
+                "n_tok": b.column("n_tok"),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(partial_bits, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("bits", alias_name="bits"), Min("n_tok", alias_name="n_tok"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        bits = b.column("bits").to_numpy().astype(np.float64)
+        n = b.column("n_tok").to_numpy().astype(np.float64)
+        ppl = np.round(bits / n * 1e4) / 1e4
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "logppl": pa.array(ppl, pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

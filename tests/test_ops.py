@@ -263,3 +263,33 @@ def test_ivf_index_partition_pruned_probe(ray_session, tmp_path):
     for qi in range(3):
         got = small[small["query_id"] == qi]
         assert int(got.iloc[0]["vec_id"]) == qi
+
+
+def test_unigram_logppl_matches_manual(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from reffy_ray.ops.text import unigram_logppl
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the cat sat on the mat", "the dog sat", ""]),
+    })
+    out = (
+        unigram_logppl(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")["logppl"]
+    )
+    # corpus: the=3 cat=1 sat=2 on=1 mat=1 dog=1, T=9
+    freq = {"the": 3, "cat": 1, "sat": 2, "on": 1, "mat": 1, "dog": 1}
+    T = 9
+
+    def manual(words):
+        bits = sum(-math.log2(freq[w] / T) for w in words)
+        return round(bits / len(words) * 1e4) / 1e4
+
+    assert out.loc[1] == manual("the cat sat on the mat".split())
+    assert out.loc[2] == manual("the dog sat".split())
+    # rarer-vocab doc scores higher than common-vocab doc
+    assert 3 not in out.index  # empty doc omitted
