@@ -116,3 +116,18 @@ def test_rows_only_queries_run(contract, name):
     if name == "media_features":
         assert len(res) == 256
         assert set(res["decode_status"]) == {"fake"}
+
+
+def test_contract_key_completeness(contract):
+    """Every oracle has a query, every query is checked (oracle or
+    rows-only), and this file's key lists never drift from the
+    contract."""
+    queries = set(contract.queries())
+    oracles = set(contract.oracle_sql())
+    assert oracles <= queries, oracles - queries
+    assert set(ORACLE_KEYS) == oracles, (
+        set(ORACLE_KEYS) ^ oracles
+    )
+    assert set(ROWS_ONLY_KEYS) == queries - oracles, (
+        set(ROWS_ONLY_KEYS) ^ (queries - oracles)
+    )
