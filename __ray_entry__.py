@@ -1173,6 +1173,17 @@ def q_substring_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (ops/dedup.semantic_dedup):
+    grid-cell bucketing on the first two embedding dims, keep-first
+    within cell at cosine ≥ 0.3 (the synthetic embeddings' max cosine
+    is ≈0.51, so a production 0.95 threshold would be vacuous — same
+    rationale as embedding_near_dups)."""
+    from reffy_ray.ops.dedup import semantic_dedup
+
+    return semantic_dedup(_embeddings(sf_dir), threshold=0.3)
+
+
 def q_unigram_logppl(sf_dir: str):
     """CCNet-style unigram LM quality signal (ops/text.unigram_logppl):
     per-doc mean −log2 p(token) under the corpus's own unigram LM,
@@ -1408,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": q_substring_dedup,
         "check_missing_dfns": q_check_missing_dfns,
         "unigram_logppl": q_unigram_logppl,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1569,6 +1581,20 @@ def oracle_sql() -> dict[str, str]:
                    'Section ' || CAST(doc_id % 5 AS VARCHAR) AS title,
                    CAST(doc_id % 5 AS VARCHAR) AS number
             FROM documents
+        """,
+        "semantic_dedup": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     CAST(floor(embedding[1] * 8) AS BIGINT) AS gx,
+                     CAST(floor(embedding[2] * 8) AS BIGINT) AS gy
+              FROM embeddings
+            )
+            SELECT a.vec_id FROM e a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e b
+              WHERE b.gx = a.gx AND b.gy = a.gy AND b.vec_id < a.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+            )
         """,
         "unigram_logppl": r"""
             WITH tok AS (

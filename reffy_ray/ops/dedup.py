@@ -625,3 +625,77 @@ def embedding_near_dups(
         return group.head(1)[["a", "b", "cosine"]]
 
     return cands.groupby(["a", "b"]).map_groups(dedup_pair, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    grid_dims: int = 2,
+    grid_scale: float = 8.0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block: int = 2048,
+) -> rd.Dataset:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): bucket the
+    embedding space into cells, and within each cell drop every vector
+    that has a LOWER-id neighbor with cosine ≥ ``threshold``
+    (keep-first semantics — deterministic, single pass, no iteration).
+    Cross-cell near-duplicates are out of contract by design, exactly
+    as SemDeDup only dedups inside one k-means cluster.
+
+    Cells here are a deterministic grid over the first ``grid_dims``
+    coordinates (``floor(x·grid_scale)``) so an SQL oracle can
+    recompute the assignment bit-for-bit; at production scale the cell
+    key would be the IVF/k-means list id from
+    :class:`reffy_ray.ops.similarity.IVFIndex` — the shuffle and
+    per-cell kernel are identical. Shape: one stateless map for cell
+    keys → one groupby(cell) → per-cell blockwise cosine (bounded
+    ``block``×m sim tiles, no full m×m allocation) → kept ids.
+    """
+
+    def cell_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        cell = np.zeros(len(batch), dtype=np.int64)
+        for d in range(grid_dims):
+            q = np.floor(emb[:, d] * grid_scale).astype(np.int64)
+            cell = cell * 1_000_003 + q  # injective for |q| < 500k
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                emb_col: batch[emb_col].to_numpy(),
+                "_cell": cell,
+            }
+        )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).drop_duplicates(id_col)
+        ids = g[id_col].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({id_col: ids})
+        emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        x = emb / norms[:, None]
+        keep = np.ones(len(g), dtype=bool)
+        # blockwise: rows i of block B are dropped iff any j < i (in any
+        # earlier block or earlier within B) has cos ≥ threshold —
+        # "exists earlier similar neighbor", independent of whether the
+        # earlier one was itself dropped, so block order is exact
+        for s in range(0, len(g), block):
+            e = min(s + block, len(g))
+            sims = x[s:e] @ x[:e].T  # (block, e)
+            local = np.arange(s, e)
+            mask = np.arange(e)[None, :] < local[:, None]
+            keep[s:e] = ~((sims >= threshold) & mask).any(axis=1)
+        return pd.DataFrame({id_col: ids[keep]})
+
+    return (
+        ds.map_batches(cell_keys, batch_format="pandas")
+        .groupby("_cell")
+        .map_groups(keep_first, batch_format="pandas")
+    )

@@ -293,3 +293,48 @@ def test_unigram_logppl_matches_manual(ray_session):
     assert out.loc[2] == manual("the dog sat".split())
     # rarer-vocab doc scores higher than common-vocab doc
     assert 3 not in out.index  # empty doc omitted
+
+
+def test_semantic_dedup_keep_first_within_cell(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import semantic_dedup
+
+    # cell is determined by dims 0-1: craft three vecs in ONE cell —
+    # two nearly parallel (dropped keeps lower id), one orthogonal-ish
+    base = np.zeros(8); base[0] = 0.01; base[1] = 0.01
+    v1 = base.copy(); v1[2] = 1.0
+    v2 = base.copy(); v2[2] = 0.99; v2[3] = 0.01       # cos(v1,v2)≈1
+    v3 = base.copy(); v3[3] = 1.0                       # orthogonal to v1
+    far = np.zeros(8); far[0] = 0.9; far[1] = 0.9; far[2] = 1.0  # other cell
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(
+            [v1.tolist(), v2.tolist(), v3.tolist(), far.tolist()],
+            pa.list_(pa.float32()),
+        ),
+    })
+    kept = sorted(
+        semantic_dedup(rd.from_arrow(tbl), threshold=0.9)
+        .to_pandas()["vec_id"]
+    )
+    assert kept == [1, 3, 4]  # 2 dropped (earlier near-parallel 1)
+
+
+def test_semantic_dedup_blockwise_matches_small_block(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(60, 8)).astype(np.float32) * 0.05
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in emb], pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    a = sorted(semantic_dedup(ds, threshold=0.5).to_pandas()["vec_id"])
+    b = sorted(semantic_dedup(ds, threshold=0.5, block=7).to_pandas()["vec_id"])
+    assert a == b and 0 < len(a) <= 60

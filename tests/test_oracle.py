@@ -78,7 +78,7 @@ ORACLE_KEYS = [
     "group_centroids", "pack_chunks", "boilerplate",
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
     "patch_dfns", "duplicated_substrings", "substring_dedup",
-    "check_missing_dfns", "unigram_logppl",
+    "check_missing_dfns", "unigram_logppl", "semantic_dedup",
 ]
 
 
