@@ -1173,6 +1173,32 @@ def q_substring_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_fuzzy_decontaminate(sf_dir: str):
+    """Fuzzy benchmark decontamination
+    (ops/curation.fuzzy_decontaminate): train docs (doc_id % 41 != 0)
+    MinHash-near-dup (est Jaccard ≥ 0.5, same LSH parameters as
+    minhash_pairs) to any benchmark doc (doc_id % 41 == 0) are
+    dropped; returns the kept train ids."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.curation import fuzzy_decontaminate
+
+    docs = _docs(sf_dir)
+
+    def part(is_bench: bool):
+        def split(batch: pa.Table) -> pa.Table:
+            m = pc.equal(_pa_mod(batch.column("doc_id"), 41), 0)
+            return batch.filter(m if is_bench else pc.invert(m))
+
+        return split
+
+    bench = docs.map_batches(part(True), batch_format="pyarrow")
+    train = docs.map_batches(part(False), batch_format="pyarrow")
+    return fuzzy_decontaminate(
+        train, bench, jaccard_threshold=0.5
+    ).select_columns(["doc_id"])
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (ops/dedup.semantic_dedup):
     grid-cell bucketing on the first two embedding dims, keep-first
@@ -1420,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_missing_dfns": q_check_missing_dfns,
         "unigram_logppl": q_unigram_logppl,
         "semantic_dedup": q_semantic_dedup,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
     }
 
 
@@ -1528,6 +1555,21 @@ WITH params AS (
 )
 SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
+
+# ops/curation.fuzzy_decontaminate: same MinHash/LSH machinery, pairs
+# restricted to cross-side (train = doc_id%41!=0, bench = %41==0);
+# kept train ids = those with no qualifying benchmark near-dup.
+_FUZZY_DECON_SQL = _MINHASH_SQL.replace(
+    "SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5",
+    """, dropped AS (
+  SELECT CASE WHEN a % 41 = 0 THEN b ELSE a END AS doc_id
+  FROM est
+  WHERE est_jaccard >= 0.5 AND ((a % 41 = 0) <> (b % 41 = 0))
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 41 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM dropped)""",
+)
 
 # ops/dedup.py embedding_near_dups (n_bits=32, bands=4 → 8 bits/band,
 # seed=13, cosine threshold 0.3): Rademacher sign s(d,b) = parity of the
@@ -2039,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "simhash": _SIMHASH_SQL,
         "minhash_pairs": _MINHASH_SQL,
+        "fuzzy_decontaminate": _FUZZY_DECON_SQL,
         # ops/text.doc_freq: distinct-doc count per token
         "doc_freq": r"""
             WITH toks AS (

@@ -507,8 +507,10 @@ def remove_boilerplate_lines(
         exploded = ds.map_batches(explode, batch_format="pyarrow")
         from reffy_ray.util import safe_num_blocks
 
+        from reffy_ray.util import join_ready
+
         surviving = exploded.join(
-            freq_ds,
+            join_ready(freq_ds),
             join_type="left_anti",
             num_partitions=safe_num_blocks(ds),
             on=("line",),
@@ -559,3 +561,102 @@ def remove_boilerplate_lines(
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def fuzzy_decontaminate(
+    ds: rd.Dataset,
+    bench: rd.Dataset,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    broadcast_limit: int = 1_000_000,
+) -> rd.Dataset:
+    """Fuzzy benchmark decontamination: drop every training document
+    that is a MinHash-LSH near-duplicate (estimated shingle Jaccard ≥
+    ``jaccard_threshold``) of ANY benchmark document — the fuzzy
+    complement of :func:`decontaminate`'s exact n-gram overlap (the
+    GPT-3/PaLM appendix pattern is exact n-grams; fuzzy catches
+    paraphrased or lightly-edited leakage).
+
+    ``ds`` and ``bench`` must carry disjoint ``id_col`` spaces. Shape:
+    one LSH pass over the union (the existing banded
+    :func:`reffy_ray.ops.dedup.minhash_lsh_pairs` machinery — one
+    groupby shuffle, capped buckets), pairs filtered to cross-side on
+    the broadcast benchmark id set (small by definition — same
+    assumption as ``decontaminate``'s n-gram set), then the
+    broadcast-or-join corpus filter used across the dedup family."""
+    import ray
+
+    from reffy_ray.util import safe_num_blocks
+
+    from .dedup import minhash_lsh_pairs
+
+    bench_ids = set(bench.select_columns([id_col]).to_pandas()[id_col])
+    bench_ref = ray.put(bench_ids)
+
+    union = ds.select_columns([id_col, "text"]).union(
+        bench.select_columns([id_col, "text"])
+    )
+    pairs = minhash_lsh_pairs(
+        union, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold, k=k,
+    )
+
+    _cache: dict = {}
+
+    def cross_drops(b: pa.Table) -> pa.Table:
+        key = bench_ref.hex()
+        bset = _cache.get(key)
+        if bset is None:
+            bset = ray.get(bench_ref)
+            _cache[key] = bset
+        id_type = b.column("a").type
+        drops = []
+        for x, y in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
+            xb, yb = x in bset, y in bset
+            if xb != yb:  # cross-side pair → drop the training doc
+                drops.append(y if xb else x)
+        return pa.table({id_col: pa.array(drops, id_type)})
+
+    drops = pairs.map_batches(cross_drops, batch_format="pyarrow").materialize()
+    n_drop = drops.count()
+    if n_drop == 0:
+        return ds
+
+    if n_drop > broadcast_limit:
+        from ray.data.aggregate import Count
+
+        from reffy_ray.util import join_ready
+
+        drop_keys = join_ready(
+            drops.groupby(id_col).aggregate(Count(alias_name="_n"))
+        )
+        joined = ds.join(
+            drop_keys,
+            join_type="left_outer",
+            num_partitions=safe_num_blocks(ds),
+            on=(id_col,),
+            right_on=(id_col,),
+        )
+
+        def keep_joined(b: pa.Table) -> pa.Table:
+            mask = pc.is_null(b.column("_n"))
+            return b.filter(mask).drop_columns(["_n"])
+
+        return joined.map_batches(keep_joined, batch_format="pyarrow")
+
+    drop_set = set(drops.to_pandas()[id_col])
+    drop_ref = ray.put(drop_set)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        key = drop_ref.hex()
+        d = _cache.get(key)
+        if d is None:
+            d = ray.get(drop_ref)
+            _cache[key] = d
+        mask = pa.array([i not in d for i in batch.column(id_col).to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

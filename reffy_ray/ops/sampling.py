@@ -284,9 +284,11 @@ def near_dedup(
 
         from reffy_ray.util import safe_num_blocks
 
+        from reffy_ray.util import join_ready
+
         n_parts = safe_num_blocks(ds)
         joined = ds.join(
-            labels, join_type="left_outer", num_partitions=n_parts,
+            join_ready(labels), join_type="left_outer", num_partitions=n_parts,
             on=(id_col,), right_on=("doc_id",),
         )
 

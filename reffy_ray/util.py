@@ -30,3 +30,20 @@ def safe_num_blocks(ds, floor: int = 16) -> int:
         return max(floor, ds.num_blocks())
     except NotImplementedError:
         return max(floor, pool_size(1.0) + 1)
+
+
+def join_ready(small_ds):
+    """Rebuild a (materialized) dataset's blocks before using it as a
+    hash-join side. Ray's groupby/aggregate emits ZERO-COLUMN empty
+    pandas blocks for empty partitions; ``map_batches`` skips empty
+    blocks so they cannot be sanitized downstream, and a join partition
+    whose builder receives only such a block crashes with
+    ``ArrowInvalid: No match for key field`` (join.py builds the
+    partition table from whatever shards arrived). ``repartition``
+    redistributes rows into uniformly-schemaed blocks, dropping the
+    degenerate empties."""
+    try:
+        n = max(1, small_ds.num_blocks())
+    except NotImplementedError:
+        n = max(1, pool_size(1.0) + 1)
+    return small_ds.repartition(n).materialize()

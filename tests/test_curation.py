@@ -436,3 +436,36 @@ def test_remove_boilerplate_join_path_lazy_input(ray_session):
     )
     assert (out["n_removed"] == 1).all()
     assert out.loc[0, "text"] == "unique line 0"
+
+
+def test_fuzzy_decontaminate_drops_near_dups_of_bench(ray_session):
+    from reffy_ray.ops.curation import fuzzy_decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    train = _ds([
+        {"doc_id": 1, "text": base + " extra"},          # near-dup of bench
+        {"doc_id": 2, "text": "completely unrelated words " * 6},
+        {"doc_id": 3, "text": base},                     # exact dup of bench
+    ])
+    bench = _ds([{"doc_id": 100, "text": base}])
+    kept = sorted(
+        fuzzy_decontaminate(train, bench, jaccard_threshold=0.5)
+        .to_pandas()["doc_id"]
+    )
+    assert kept == [2]
+
+
+def test_fuzzy_decontaminate_join_path_lazy(ray_session):
+    from reffy_ray.ops.curation import fuzzy_decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    train = _ds([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "other material entirely here " * 5},
+    ]).map_batches(lambda b: b, batch_format="pyarrow")
+    bench = _ds([{"doc_id": 100, "text": base}])
+    kept = sorted(
+        fuzzy_decontaminate(train, bench, broadcast_limit=0)
+        .to_pandas()["doc_id"]
+    )
+    assert kept == [2]

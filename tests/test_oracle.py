@@ -79,6 +79,7 @@ ORACLE_KEYS = [
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
     "patch_dfns", "duplicated_substrings", "substring_dedup",
     "check_missing_dfns", "unigram_logppl", "semantic_dedup",
+    "fuzzy_decontaminate",
 ]
 
 
