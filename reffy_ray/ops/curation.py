@@ -620,43 +620,7 @@ def fuzzy_decontaminate(
                 drops.append(y if xb else x)
         return pa.table({id_col: pa.array(drops, id_type)})
 
+    from reffy_ray.util import filter_by_drop_ids
+
     drops = pairs.map_batches(cross_drops, batch_format="pyarrow").materialize()
-    n_drop = drops.count()
-    if n_drop == 0:
-        return ds
-
-    if n_drop > broadcast_limit:
-        from ray.data.aggregate import Count
-
-        from reffy_ray.util import join_ready
-
-        drop_keys = join_ready(
-            drops.groupby(id_col).aggregate(Count(alias_name="_n"))
-        )
-        joined = ds.join(
-            drop_keys,
-            join_type="left_outer",
-            num_partitions=safe_num_blocks(ds),
-            on=(id_col,),
-            right_on=(id_col,),
-        )
-
-        def keep_joined(b: pa.Table) -> pa.Table:
-            mask = pc.is_null(b.column("_n"))
-            return b.filter(mask).drop_columns(["_n"])
-
-        return joined.map_batches(keep_joined, batch_format="pyarrow")
-
-    drop_set = set(drops.to_pandas()[id_col])
-    drop_ref = ray.put(drop_set)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        key = drop_ref.hex()
-        d = _cache.get(key)
-        if d is None:
-            d = ray.get(drop_ref)
-            _cache[key] = d
-        mask = pa.array([i not in d for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return filter_by_drop_ids(ds, drops, id_col, broadcast_limit)

@@ -142,12 +142,16 @@ def minhash_lsh_pairs(
     )
     exploded = sigs.map_batches(
         _band_explode_fn(bands, rows_per_band), batch_format="pandas"
-    )
+    ).materialize()  # consumed twice: hot-bucket census + buckets
+    import ray as _ray
+
+    hot_ref = _ray.put(_hot_bucket_keys(exploded, group_cap))
     bucket_fn = _lsh_bucket_fn(
-        bands, rows_per_band, jaccard_threshold, group_cap, star=False
+        bands, rows_per_band, jaccard_threshold, group_cap, star=False,
+        hot_ref=hot_ref,
     )
-    # exactly-once emission per pair (band-0 / first-matching-band
-    # rules inside the bucket scanner) — no pair-dedup shuffle needed
+    # exactly-once emission per pair (band-0 / first-non-hot-matching-
+    # band rules inside the bucket scanner) — no pair-dedup shuffle
     return exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_fn, batch_format="pandas"
     )
@@ -178,13 +182,45 @@ def minhash_lsh_star_edges(
     )
     exploded = sigs.map_batches(
         _band_explode_fn(bands, rows_per_band), batch_format="pandas"
-    )
+    ).materialize()
+    import ray as _ray
+
+    hot_ref = _ray.put(_hot_bucket_keys(exploded, group_cap))
     bucket_fn = _lsh_bucket_fn(
-        bands, rows_per_band, jaccard_threshold, group_cap, star=True
+        bands, rows_per_band, jaccard_threshold, group_cap, star=True,
+        hot_ref=hot_ref,
     )
     return exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_fn, batch_format="pandas"
     )
+
+
+
+def _hot_bucket_keys(exploded, group_cap: int) -> set:
+    """Keys of band buckets that MAY hold more than ``group_cap``
+    distinct signatures (per-batch distinct partials summed — an upper
+    bound, so overcounting can only mark extra buckets hot, which is
+    SAFE: the emission gate merely defers those pairs to a later,
+    genuinely-under-cap band). The hot set is tiny by construction
+    (only pathological buckets) and broadcastable."""
+    import pyarrow as _pa
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["band", "band_hash"], sort=False)["minhash"]
+            .nunique()
+            .reset_index(name="nd")
+        )
+        return g
+
+    parts = exploded.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    totals = parts.groupby(["band", "band_hash"]).aggregate(
+        Sum("nd", alias_name="nd")
+    )
+    hot = totals.filter(expr=f"nd > {int(group_cap)}").take_all()
+    return {(int(r["band"]), r["band_hash"]) for r in hot}
 
 
 def _band_explode_fn(bands: int, rows_per_band: int):
@@ -216,19 +252,36 @@ def _lsh_bucket_fn(
     jaccard_threshold: float,
     group_cap: int,
     star: bool,
+    hot_ref=None,
 ):
     """Per-bucket scanner shared by pairs and star-edge emission.
 
     Collapses the bucket to unique signatures (est_jaccard depends only
     on the signature pair, so mass-duplication costs one compute row),
     emits identical-signature output from band 0 only and
-    cross-signature output from the pair's first matching band —
-    exactly-once without any pair-dedup shuffle. ``group_cap`` chunks
-    bound the quadratic verify over DISTINCT signatures (documented
-    recall trade: pairs straddling chunks of one >cap-distinct-sig
-    bucket rely on their other bands; mass-dups never trigger it)."""
+    cross-signature output from the pair's first NON-HOT matching band
+    (``hot_ref`` broadcasts the census of buckets that may exceed
+    ``group_cap`` distinct signatures) — exactly-once without any
+    pair-dedup shuffle, and never lost to chunking: a non-hot bucket
+    compares all its pairs, so gating on the first non-hot matching
+    band guarantees the emitting bucket actually saw the pair.
+    ``group_cap`` chunks bound the quadratic verify over DISTINCT
+    signatures. Residual recall trade (narrow): a pair whose EVERY
+    matching band is hot is emitted only if its first matching band
+    co-chunks it."""
+
+    _cache: dict = {}
 
     def bucket_fn(group: pd.DataFrame) -> pd.DataFrame:
+        if hot_ref is not None:
+            import ray as _ray
+
+            hot = _cache.get("hot")
+            if hot is None:
+                hot = _ray.get(hot_ref)
+                _cache["hot"] = hot
+        else:
+            hot = set()
         ids0 = group["doc_id"].iloc[:0]
         empty = pd.DataFrame(
             {"a": ids0, "b": ids0, "est_jaccard": pd.Series([], dtype="float64")}
@@ -299,16 +352,32 @@ def _lsh_bucket_fn(
                     ka, kb = i0 + ii[keep], j0 + jj[keep]
                     if len(ka) == 0:
                         continue
-                    # exactly-once: emit only when this bucket's band is
-                    # the pair's FIRST matching band (argmax of band
-                    # equality; the pair always matches in b_band)
+                    # exactly-once: emit only when this bucket's band
+                    # is the pair's first NON-HOT matching band (a hot
+                    # bucket may have chunk-split the pair, so it cannot
+                    # be trusted to have emitted it); falls back to the
+                    # plain first matching band when all are hot
                     sa = S[ka].reshape(len(ka), bands, rows_per_band)
                     sb = S[kb].reshape(len(kb), bands, rows_per_band)
-                    first = (sa == sb).all(axis=2).argmax(axis=1)
+                    match = (sa == sb).all(axis=2)  # (m, bands)
+                    emit_here = np.zeros(len(ka), dtype=bool)
+                    for r in range(len(ka)):
+                        chosen = int(match[r].argmax())
+                        if hot:
+                            for bb in np.flatnonzero(match[r]):
+                                key = (
+                                    int(bb),
+                                    "-".join(
+                                        str(int(v)) for v in sa[r, bb]
+                                    ),
+                                )
+                                if key not in hot:
+                                    chosen = int(bb)
+                                    break
+                        emit_here[r] = chosen == b_band
                     ev = est[ii[keep], jj[keep]]
                     for x, y, e in zip(
-                        ka[first == b_band], kb[first == b_band],
-                        ev[first == b_band],
+                        ka[emit_here], kb[emit_here], ev[emit_here],
                     ):
                         ma, mb = members_by_sig[chunk[x]], members_by_sig[chunk[y]]
                         if star:

@@ -273,52 +273,16 @@ def near_dedup(
     hash-partitioned ``left_outer`` join against the label table plus a
     streaming filter (keep when unlabeled or representative), which
     scales with the corpus instead of assuming the duplicate set fits
-    in worker heap."""
-    import ray
+    in worker heap (the shared ``filter_by_drop_ids`` helper)."""
+    from reffy_ray.util import filter_by_drop_ids
 
     labels = near_dup_cluster_labels(ds, **cluster_kwargs).materialize()
-    n_drop = labels.filter(expr="doc_id != cluster_rep").count()
-
-    if n_drop > broadcast_limit:
-        import pyarrow.compute as pc
-
-        from reffy_ray.util import safe_num_blocks
-
-        from reffy_ray.util import join_ready
-
-        n_parts = safe_num_blocks(ds)
-        joined = ds.join(
-            join_ready(labels), join_type="left_outer", num_partitions=n_parts,
-            on=(id_col,), right_on=("doc_id",),
-        )
-
-        def keep_reps(b: pa.Table) -> pa.Table:
-            rep = b.column("cluster_rep")
-            mask = pc.or_kleene(
-                pc.is_null(rep), pc.equal(rep, b.column(id_col))
-            )
-            return b.filter(pc.fill_null(mask, True)).drop_columns(
-                ["cluster_rep"]
-            )
-
-        return joined.map_batches(keep_reps, batch_format="pyarrow")
-
-    drop_df = labels.filter(expr="doc_id != cluster_rep").to_pandas()
-    drop = set(drop_df["doc_id"]) if len(drop_df) else set()
-    drop_ref = ray.put(drop)
-
-    _cache: dict = {}
-
-    def keep(batch: pa.Table) -> pa.Table:
-        key = drop_ref.hex()
-        d = _cache.get(key)
-        if d is None:
-            d = ray.get(drop_ref)
-            _cache[key] = d
-        mask = pa.array([i not in d for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    drops = labels.filter(expr="doc_id != cluster_rep").select_columns(
+        ["doc_id"]
+    )
+    if id_col != "doc_id":
+        drops = drops.rename_columns([id_col])
+    return filter_by_drop_ids(ds, drops.materialize(), id_col, broadcast_limit)
 
 
 def top_k_per_group(

@@ -72,6 +72,16 @@ def _fnv64(windows: np.ndarray) -> np.ndarray:
     return h.view(np.int64)
 
 
+def _fnv64_bytes(bs: bytes) -> np.int64:
+    """Scalar companion of :func:`_fnv64` over one byte string (the
+    non-ASCII fallback path) — identical fold for identical bytes."""
+    h = _FNV_BASIS
+    with np.errstate(over="ignore"):
+        for byte in bs:
+            h = (h * _FNV_PRIME) ^ np.uint64(byte)
+    return h.view(np.int64)
+
+
 def ngram_doc_table(
     batch: pa.Table,
     n: int,
@@ -83,17 +93,22 @@ def ngram_doc_table(
     """Per-batch suffix-group partials: one ``(doc_id, gram, occ,
     total)`` row per distinct length-``n`` gram per document (``total``
     = the document's gram-position count, constant per doc).  With
-    ``hash_key`` the gram column is the FNV fold of the window bytes
-    instead of the string; with ``num_buckets`` a ``_bucket`` column
-    (FNV hash mod buckets — gram-deterministic) is appended."""
+    ``hash_key`` the gram column is the FNV fold of the gram's UTF-8
+    bytes instead of the string; with ``num_buckets`` a ``_bucket``
+    column (FNV hash mod buckets — gram-deterministic) is appended.
+
+    Grams are CHARACTER windows (matching SQL ``substr``): the
+    zero-copy byte-window fast path applies when the batch is pure
+    ASCII (bytes == chars); non-ASCII batches take a per-document
+    Python fallback with identical character semantics."""
     texts = batch.column(text_col).combine_chunks()
     if isinstance(texts, pa.ChunkedArray):  # zero-chunk edge
         texts = (
             texts.chunk(0) if texts.num_chunks else pa.array([], pa.string())
         )
-    windows, row_of = _string_windows(texts, n)
     ids = batch.column(id_col)
-    if len(row_of) == 0:
+
+    def empty() -> pa.Table:
         gram_type = pa.int64() if hash_key else pa.string()
         cols = {
             id_col: pa.array([], ids.type),
@@ -104,13 +119,63 @@ def ngram_doc_table(
         if num_buckets is not None:
             cols["_bucket"] = pa.array([], pa.int64())
         return pa.table(cols)
+
+    n_bytes = int(
+        pc.sum(pc.binary_length(pc.cast(texts, pa.binary()))).as_py() or 0
+    )
+    n_chars = int(pc.sum(pc.utf8_length(texts)).as_py() or 0)
+    if n_bytes != n_chars:
+        # non-ASCII: byte windows would split multi-byte codepoints
+        # (and numpy S→U decoding raises) — char-exact Python fallback
+        rows_idx, grams_txt, occs, totals_l = [], [], [], []
+        for idx, t in enumerate(texts.to_pylist()):
+            t = t or ""
+            m = len(t) - n + 1
+            if m <= 0:
+                continue
+            counts: dict = {}
+            for j in range(m):
+                g = t[j : j + n]
+                counts[g] = counts.get(g, 0) + 1
+            for g, c in counts.items():
+                rows_idx.append(idx)
+                grams_txt.append(g)
+                occs.append(c)
+                totals_l.append(m)
+        if not rows_idx:
+            return empty()
+        hs = np.array(
+            [_fnv64_bytes(g.encode("utf-8")) for g in grams_txt], np.int64
+        )
+        cols = {
+            id_col: pc.take(ids, pa.array(rows_idx, pa.int64())),
+            "gram": pa.array(hs, pa.int64())
+            if hash_key
+            else pa.array(grams_txt, pa.string()),
+            "occ": pa.array(occs, pa.int64()),
+            "total": pa.array(totals_l, pa.int64()),
+        }
+        if num_buckets is not None:
+            cols["_bucket"] = pa.array(
+                hs.view(np.uint64) % np.uint64(num_buckets), pa.int64()
+            )
+        return pa.table(cols)
+
+    windows, row_of = _string_windows(texts, n)
+    if len(row_of) == 0:
+        return empty()
     h = _fnv64(windows)
     if hash_key:
         gram: pa.Array = pa.array(h, pa.int64())
     else:
-        gram = pa.array(
-            windows.reshape(-1).view(f"S{n}").ravel().astype("U"), pa.string()
+        # fixed-size-binary → string keeps NUL bytes intact (a numpy
+        # S-dtype round-trip strips trailing NULs as padding)
+        fsb = pa.Array.from_buffers(
+            pa.binary(n),
+            len(windows),
+            [None, pa.py_buffer(np.ascontiguousarray(windows).tobytes())],
         )
+        gram = pc.cast(pc.cast(fsb, pa.binary()), pa.string())
     doc = pc.take(ids, pa.array(row_of, pa.int64()))
     totals = np.bincount(row_of, minlength=len(texts)).astype(np.int64)
     cols = {
@@ -240,39 +305,11 @@ def substring_dedup(
     # the drop table is O(#dropped docs) — materializing it is the
     # family's one pinch point (same as near_dedup's label count) and
     # lets the no-dup case skip the final pass entirely
-    drops = per_doc.map_batches(threshold, batch_format="pyarrow").materialize()
-    n_drop = drops.count()
-    if n_drop == 0:
-        return ds
+    from reffy_ray.util import filter_by_drop_ids
 
-    if n_drop > broadcast_limit:
-        joined = ds.join(
-            drops,
-            join_type="left_outer",
-            num_partitions=max(16, drops.num_blocks()),
-            on=(id_col,),
-            right_on=(id_col,),
-        )
-
-        def keep_joined(b: pa.Table) -> pa.Table:
-            mask = pc.is_null(b.column("_dup_occ"))
-            return b.filter(mask).drop_columns(["_dup_occ"])
-
-        return joined.map_batches(keep_joined, batch_format="pyarrow")
-
-    import ray
-
-    drop_set = set(drops.to_pandas()[id_col])
-    drop_ref = ray.put(drop_set)
-    _cache: dict = {}
-
-    def keep(batch: pa.Table) -> pa.Table:
-        key = drop_ref.hex()
-        d = _cache.get(key)
-        if d is None:
-            d = ray.get(drop_ref)
-            _cache[key] = d
-        mask = pa.array([i not in d for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    drops = (
+        per_doc.map_batches(threshold, batch_format="pyarrow")
+        .select_columns([id_col])
+        .materialize()
+    )
+    return filter_by_drop_ids(ds, drops, id_col, broadcast_limit)

@@ -413,22 +413,23 @@ def doc_token_partials(batch: pa.Table) -> pa.Table:
     the document's total token count carried on every row."""
     from collections import Counter
 
-    out_doc, out_word, out_tf, out_n = [], [], [], []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
+    ids = batch.column("doc_id")
+    out_idx, out_word, out_tf, out_n = [], [], [], []
+    for idx, text in enumerate(batch.column("text").to_pylist()):
         counts = Counter(
             w for w in re.split(r"\W+", (text or "").lower()) if w
         )
         n_tok = sum(counts.values())
         for w in sorted(counts):
-            out_doc.append(doc_id)
+            out_idx.append(idx)
             out_word.append(w)
             out_tf.append(counts[w])
             out_n.append(n_tok)
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
+            # id-type agnostic: take from the input column (crawl docs
+            # carry string doc_ids, the synthetic corpus int64)
+            "doc_id": pc.take(ids, pa.array(out_idx, pa.int64())),
             "word": pa.array(out_word, pa.string()),
             "tf": pa.array(out_tf, pa.int64()),
             "n_tok": pa.array(out_n, pa.int64()),
@@ -454,9 +455,11 @@ def unigram_logppl(ds) -> "object":
     """
     from ray.data.aggregate import Min, Sum
 
-    from reffy_ray.util import safe_num_blocks
+    from reffy_ray.util import join_ready, safe_num_blocks
 
-    freq = word_counts(ds).materialize()  # (word, n) — distributed LM
+    # join_ready: aggregate outputs carry zero-column empty blocks that
+    # crash join partitions (see util.join_ready)
+    freq = join_ready(word_counts(ds))  # (word, n) — distributed LM
     total = freq.sum("n")
 
     toks = ds.map_batches(doc_token_partials, batch_format="pyarrow")

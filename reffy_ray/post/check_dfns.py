@@ -496,12 +496,17 @@ def check_missing_dfns(
                 out["warning"].append(bool(rec["warning"]))
         return out
 
+    _EMPTY = {
+        "doc_id": [], "source": [], "expected_lt": [], "expected_type": [],
+        "expected_for": [], "found_lt": [], "found_type": [], "warning": [],
+    }
+
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         # one Ray group per doc-hash bucket (bounded group count); the
         # per-doc check loops inside the task
         outs = [per_doc(g) for _, g in group.groupby("doc_id", sort=False)]
         if not outs:
-            return pd.DataFrame(per_doc(group.iloc[:0]))
+            return pd.DataFrame(_EMPTY)
         merged = {k: sum((o[k] for o in outs), []) for k in outs[0]}
         return pd.DataFrame(merged)
 

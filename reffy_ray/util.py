@@ -47,3 +47,60 @@ def join_ready(small_ds):
     except NotImplementedError:
         n = max(1, pool_size(1.0) + 1)
     return small_ds.repartition(n).materialize()
+
+
+def filter_by_drop_ids(ds, drops, id_col: str, broadcast_limit: int = 1_000_000):
+    """Shared corpus filter for the dedup/curation family: drop every
+    ``ds`` row whose ``id_col`` appears in the (materialized, small-ish)
+    ``drops`` Dataset.
+
+    ≤ ``broadcast_limit`` drop rows: collected once, ``ray.put``
+    broadcast, stateless per-batch filter (no shuffle). Past the limit:
+    dedup the drop keys with one aggregate and hash-join
+    (``join_ready`` on the right side — Ray aggregates emit
+    zero-column empty blocks that crash join partitions otherwise).
+    Centralizing this keeps the join_ready fix applied everywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    n_drop = drops.count()
+    if n_drop == 0:
+        return ds
+
+    if n_drop > broadcast_limit:
+        from ray.data.aggregate import Count
+
+        drop_keys = join_ready(
+            drops.groupby(id_col).aggregate(Count(alias_name="_n"))
+        )
+        joined = ds.join(
+            drop_keys,
+            join_type="left_outer",
+            num_partitions=safe_num_blocks(ds),
+            on=(id_col,),
+            right_on=(id_col,),
+        )
+
+        def keep_joined(b: pa.Table) -> pa.Table:
+            mask = pc.is_null(b.column("_n"))
+            return b.filter(mask).drop_columns(["_n"])
+
+        return joined.map_batches(keep_joined, batch_format="pyarrow")
+
+    drop_set = set(drops.to_pandas()[id_col])
+    drop_ref = ray.put(drop_set)
+    _cache: dict = {}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        key = drop_ref.hex()
+        d = _cache.get(key)
+        if d is None:
+            d = ray.get(drop_ref)
+            _cache[key] = d
+        mask = pa.array(
+            [i not in d for i in batch.column(id_col).to_pylist()]
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -338,3 +338,44 @@ def test_semantic_dedup_blockwise_matches_small_block(ray_session):
     a = sorted(semantic_dedup(ds, threshold=0.5).to_pandas()["vec_id"])
     b = sorted(semantic_dedup(ds, threshold=0.5, block=7).to_pandas()["vec_id"])
     assert a == b and 0 < len(a) <= 60
+
+
+def test_lsh_pair_survives_hot_first_band(ray_session):
+    """A pair whose FIRST matching band bucket is oversized (chunk-
+    split) must still be emitted exactly once — from its first NON-HOT
+    matching band (round-3 review finding: the old first-band gate
+    dropped such pairs silently)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from reffy_ray.ops.dedup import _lsh_bucket_fn
+
+    bands, rpb = 3, 2
+
+    def blob(vals):
+        return np.array(vals, dtype=np.uint64).tobytes()
+
+    X = blob([1, 2, 9, 9, 5, 5])
+    Y = blob([1, 2, 9, 8, 5, 5])  # est 5/6 vs X; matches bands 0 and 2
+    Z = blob([1, 2, 7, 7, 6, 6])  # band-0 bucket filler
+
+    hot_ref = ray.put({(0, "1-2")})
+    fn = _lsh_bucket_fn(bands, rpb, 0.7, group_cap=2, star=False,
+                        hot_ref=hot_ref)
+
+    def bucket(band, band_hash, members):
+        return pd.DataFrame({
+            "doc_id": list(members),
+            "band": band,
+            "band_hash": band_hash,
+            "minhash": [m for m in members.values()],
+        })
+
+    out = pd.concat([
+        fn(bucket(0, "1-2", {10: X, 11: Y, 12: Z})),  # hot, chunk-split
+        fn(bucket(2, "5-5", {10: X, 11: Y})),          # clean second band
+    ], ignore_index=True)
+    pairs = set(zip(out["a"], out["b"]))
+    assert (10, 11) in pairs
+    assert list(pairs).count((10, 11)) == 1

@@ -100,3 +100,31 @@ def test_ngram_doc_table_large_string_offsets():
     out = ngram_doc_table(tbl, 16).to_pandas()
     grams1 = set(out[out["doc_id"] == 1]["gram"])
     assert grams1 == set(_brute_grams(SHARED, 16))
+
+
+def test_ngram_doc_table_non_ascii_char_semantics():
+    # review finding: byte windows crashed on non-ASCII; grams must be
+    # CHARACTER windows (SQL substr semantics) on any input
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["café au lait — déjà vu", "plain ascii text here"]),
+    })
+    out = ngram_doc_table(tbl, 5).to_pandas()
+    g1 = out[out["doc_id"] == 1]
+    assert dict(zip(g1["gram"], g1["occ"])) == {
+        g: _brute_grams("café au lait — déjà vu", 5).count(g)
+        for g in set(_brute_grams("café au lait — déjà vu", 5))
+    }
+    # hashed + bucketed variants run too
+    hashed = ngram_doc_table(tbl, 5, hash_key=True, num_buckets=8)
+    assert hashed.num_rows == out.shape[0]
+
+
+def test_ngram_doc_table_nul_bytes_not_stripped():
+    # review finding: numpy S->U round-trip stripped trailing NULs
+    t = "ab\x00cd\x00ef"
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array([t])})
+    out = ngram_doc_table(tbl, 3).to_pandas()
+    assert set(out["gram"]) == set(_brute_grams(t, 3))
+    assert all(len(g) == 3 for g in out["gram"])
