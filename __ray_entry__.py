@@ -233,6 +233,21 @@ def q_minhash_pairs(sf_dir: str):
     )
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard pairs within source blocks
+    (ops/dedup.jaccard_pairs) at threshold 1/100 — the exact
+    verification tier of the near-dup family; integer-only emission
+    (inter, union_size) so the hash is float-free."""
+    from reffy_ray.ops.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ),
+        n=3, threshold_num=1, threshold_den=100,
+    )
+
+
 def q_doc_freq(sf_dir: str):
     from reffy_ray.ops.text import doc_freq
 
@@ -1399,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
         "doc_freq": q_doc_freq,
         "top_terms": q_top_terms,
         "sample_split": q_sample_split,
@@ -2081,6 +2097,35 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "simhash": _SIMHASH_SQL,
         "minhash_pairs": _MINHASH_SQL,
+        # ops/dedup.jaccard_pairs: exact word-3-gram Jaccard within
+        # source blocks, integer threshold inter/union >= 1/100
+        "jaccard_pairs": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id, source,
+                     unnest(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+              FROM d WHERE len(t) >= 3
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.source = b.source
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT p.doc_a, p.doc_b, p.inter,
+                   sa.n + sb.n - p.inter AS union_size
+            FROM pairs p
+            JOIN sz sa ON sa.doc_id = p.doc_a
+            JOIN sz sb ON sb.doc_id = p.doc_b
+            WHERE p.inter * 100 >= 1 * (sa.n + sb.n - p.inter)
+        """,
         "fuzzy_decontaminate": _FUZZY_DECON_SQL,
         # ops/text.doc_freq: distinct-doc count per token
         "doc_freq": r"""

@@ -551,6 +551,90 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / max(1, (len(sa) + len(sb) - inter))
 
 
+def jaccard_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 100,
+    group_cap: int = 20_000,
+) -> rd.Dataset:
+    """Exact word n-gram Jaccard pairs within co-partition groups.
+
+    The exact-verification tier of the near-dup family (the analogue of
+    ``knn_join`` for embeddings): documents are co-partitioned by a
+    blocking key ``by`` — at web scale a bounded shard key such as an
+    LSH band bucket, domain, or length band; the MinHash/SimHash LSH
+    ops are the discovery tier that produces such blocks — and within
+    each group the pair (a, b) is emitted iff
+
+        |grams_a ∩ grams_b| / |grams_a ∪ grams_b| ≥ threshold_num/threshold_den
+
+    computed EXACTLY over distinct word n-grams of ``lower(text)``
+    (``\\w+`` tokens, same tokenizer as ``doc_freq``/``top_terms``).
+    The threshold test is integer-exact
+    (``inter * threshold_den ≥ threshold_num * union``) and the output
+    carries only integer columns (doc_a, doc_b, inter, union_size) —
+    no float drift anywhere.
+
+    Per-group work is one vectorized pandas self-merge on the gram
+    string (exactly the oracle's gram self-join), so hot grams cost the
+    same as in any exact intersection count; ``group_cap`` raises on a
+    block too large for the exact tier instead of silently degrading.
+    Docs with fewer than ``n`` tokens have no grams and join nothing.
+    """
+    word = _WORD
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_cap:
+            raise ValueError(
+                f"jaccard_pairs is the exact O(group²) tier "
+                f"({len(g)} rows > {group_cap} in block "
+                f"{g[by].iloc[0]!r}); block by an LSH bucket instead"
+            )
+        g = g.sort_values(id_col).reset_index(drop=True)
+        idx_rows: list[int] = []
+        gram_rows: list[str] = []
+        sizes = np.zeros(len(g), dtype=np.int64)
+        for i, text in enumerate(g[text_col]):
+            toks = word.findall((text or "").lower())
+            grams = {
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            } if len(toks) >= n else set()
+            sizes[i] = len(grams)
+            idx_rows.extend([i] * len(grams))
+            gram_rows.extend(grams)
+        if not gram_rows:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "inter": pd.Series([], dtype="int64"),
+                 "union_size": pd.Series([], dtype="int64")}
+            )
+        gr = pd.DataFrame({"i": idx_rows, "gram": gram_rows})
+        m = gr.merge(gr, on="gram")
+        m = m[m["i_x"] < m["i_y"]]
+        inter = (
+            m.groupby(["i_x", "i_y"], sort=False).size().reset_index(name="inter")
+        )
+        union = sizes[inter["i_x"]] + sizes[inter["i_y"]] - inter["inter"]
+        keep = inter["inter"] * threshold_den >= threshold_num * union
+        inter = inter[keep]
+        union = union[keep]
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame(
+            {"doc_a": ids[inter["i_x"]], "doc_b": ids[inter["i_y"]],
+             "inter": inter["inter"].to_numpy(),
+             "union_size": union.to_numpy()}
+        )
+
+    return ds.select_columns([id_col, text_col, by]).groupby(by).map_groups(
+        group_pairs, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

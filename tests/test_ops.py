@@ -379,3 +379,45 @@ def test_lsh_pair_survives_hot_first_band(ray_session):
     pairs = set(zip(out["a"], out["b"]))
     assert (10, 11) in pairs
     assert list(pairs).count((10, 11)) == 1
+
+
+def test_jaccard_pairs_exact(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    rows = [
+        {"doc_id": 1, "text": base, "source": "s0"},
+        {"doc_id": 2, "text": near, "source": "s0"},
+        {"doc_id": 3, "text": "totally different words here now", "source": "s0"},
+        # same text as doc 1 but another block: never paired
+        {"doc_id": 4, "text": base, "source": "s1"},
+        {"doc_id": 5, "text": "tiny", "source": "s1"},  # < n tokens: no grams
+    ]
+    out = (
+        jaccard_pairs(rd.from_items(rows), threshold_num=1, threshold_den=2)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # base has 6 word-3-grams, near shares the first 5 → J = 5/7 ≥ 1/2
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert out.loc[0, "inter"] == 5
+    assert out.loc[0, "union_size"] == 7
+
+
+def test_jaccard_pairs_group_cap_raises(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import jaccard_pairs
+
+    rows = [
+        {"doc_id": i, "text": f"word number {i} filler", "source": "hot"}
+        for i in range(10)
+    ]
+    with _pytest.raises(Exception) as exc:
+        jaccard_pairs(rd.from_items(rows), group_cap=5).to_pandas()
+    assert "exact" in str(exc.value)

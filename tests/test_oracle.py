@@ -67,7 +67,8 @@ ORACLE_KEYS = [
     "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "word_counts", "sessionize",
-    "fingerprint", "simhash", "minhash_pairs", "embedding_near_dups",
+    "fingerprint", "simhash", "minhash_pairs", "jaccard_pairs",
+    "embedding_near_dups",
     "sample_split", "source_cap", "near_dup_clusters", "near_dedup",
     "asof_join", "range_join", "rolling_window", "group_quantiles",
     "global_quantiles",
