@@ -1157,6 +1157,34 @@ def q_crawl_fixture(sf_dir: str):
     return docs[["doc_id", "url", "seed_rank", "depth", "status"]]
 
 
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling (ops/multimodal.sample_frames): one row per
+    sampled frame at 500 ms steps, ≤8 frames per video. The video table
+    is derived deterministically from documents (every third doc is a
+    'video' with duration 1000 + (doc_id % 97)·250 ms) — same
+    fixture-derivation pattern as merge_crawl. Integer-only output."""
+    import numpy as np
+
+    from reffy_ray.ops.multimodal import sample_frames
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def vids(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 3 == 2]
+        dur = 1000 + (ids % 97) * 250
+        return pa.table(
+            {
+                "media_id": pa.array([f"m-{i}" for i in ids], pa.string()),
+                "duration_ms": pa.array(dur, pa.int64()),
+            }
+        )
+
+    return sample_frames(
+        docs.map_batches(vids, batch_format="pyarrow"), step_ms=500, max_frames=8
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal decode plumbing (stubbed codec, deterministic fake)."""
     from reffy_ray.ops.multimodal import MediaDecoder, synth_media_batch
@@ -1450,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotate_links": q_annotate_links,
         "annotate_links_sf": q_annotate_links_sf,
         "media_manifest": q_media_manifest,
+        "frame_sample": q_frame_sample,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "events_window": q_events_window,
@@ -2026,6 +2055,19 @@ def oracle_sql() -> dict[str, str]:
                    'figure' AS kind,
                    'Figure ' || CAST(doc_id AS VARCHAR) AS caption
             FROM documents WHERE doc_id % 13 = 0
+        """,
+        # ops/multimodal.sample_frames over the derived video table
+        # (every third doc, duration 1000 + (doc_id % 97)*250 ms):
+        # frames at 0,500,1000,… ms capped at 8 per video
+        "frame_sample": """
+            WITH vids AS (
+              SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+                     1000 + (doc_id % 97) * 250 AS duration_ms
+              FROM documents WHERE doc_id % 3 = 2
+            )
+            SELECT media_id, CAST(t.i AS BIGINT) AS frame_idx,
+                   CAST(t.i * 500 AS BIGINT) AS ts_ms
+            FROM vids, unnest(range(0, least(8, 1 + duration_ms // 500))) AS t(i)
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

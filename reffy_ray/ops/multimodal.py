@@ -131,3 +131,88 @@ class MediaDecoder:
                 "decode_status": pa.array(status, pa.string()),
             }
         )
+
+
+def sample_frames(
+    ds,
+    step_ms: int = 500,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+):
+    """Deterministic frame sampling for video rows: one output row per
+    sampled frame at timestamps 0, step_ms, 2·step_ms, … capped at
+    ``max_frames`` per video (n = min(max_frames, 1 + duration_ms //
+    step_ms); rows with duration ≤ 0 emit nothing).
+
+    This is the fan-out stage a video pipeline puts in front of the
+    decode pool (``MediaDecoder``): frames are *rows*, so the actor
+    pool sizes batches in frames rather than whole videos and a
+    ten-hour video cannot pin one task. Pure integer arithmetic,
+    vectorized (numpy repeat/arange) — no Python loop over rows.
+    """
+    import pyarrow as _pa
+
+    def expand(batch: _pa.Table) -> _pa.Table:
+        dur = batch.column(duration_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.minimum(max_frames, 1 + dur // step_ms)
+        n = np.where(dur > 0, n, 0).astype(np.int64)
+        idx = np.repeat(np.arange(len(dur)), n)
+        # frame_idx = 0..n_i-1 within each video, as one vectorized ramp
+        starts = np.cumsum(n) - n
+        frame_idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+        ids = batch.column(id_col).take(_pa.array(idx, _pa.int64()))
+        return _pa.table(
+            {
+                id_col: ids,
+                "frame_idx": _pa.array(frame_idx, _pa.int64()),
+                "ts_ms": _pa.array(frame_idx * step_ms, _pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+class MediaResizer:
+    """Actor-pool resize stage (same contract as ``MediaDecoder``):
+    fit-within-box (max_w × max_h) preserving aspect ratio, computed on
+    metadata; the pixel resample itself is STUBBED (``fake=True`` keys
+    the output payload off the input hash; ``fake=False`` raises —
+    no image libs in this container). Real deployment replaces
+    ``_resample`` with a PIL call loaded once per actor in __init__."""
+
+    def __init__(self, max_w: int = 256, max_h: int = 256, fake: bool = True):
+        self.max_w, self.max_h, self.fake = max_w, max_h, fake
+
+    def _resample(self, payload: bytes, w: int, h: int) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codecs unavailable in this container; run with fake=True"
+            )
+        return hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.int64)
+        # integer fit-within scale: factor = min(max_w/w, max_h/h, 1)
+        # applied as exact rational floor on the other axis
+        out_w = np.minimum(w, self.max_w)
+        out_h = np.where(w > 0, h * out_w // np.maximum(w, 1), 0)
+        too_tall = out_h > self.max_h
+        out_h2 = np.minimum(out_h, self.max_h)
+        out_w = np.where(too_tall, w * out_h2 // np.maximum(h, 1), out_w)
+        out_h = out_h2
+        payloads = [
+            self._resample(p, int(ow), int(oh))
+            for p, ow, oh in zip(
+                batch.column("payload").to_pylist(), out_w, out_h
+            )
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "out_width": pa.array(out_w, pa.int32()),
+                "out_height": pa.array(out_h, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )

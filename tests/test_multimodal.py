@@ -1,0 +1,67 @@
+"""Multimodal plumbing stages: frame fan-out and the resize actor."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from reffy_ray.ops.multimodal import (
+    MediaDecoder,
+    MediaResizer,
+    sample_frames,
+    synth_media_batch,
+)
+
+
+def test_sample_frames_expansion(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": ["a", "b", "c", "d"],
+                "duration_ms": [0, 499, 1000, 100_000],
+            }
+        )
+    )
+    out = sample_frames(ds, step_ms=500, max_frames=8).to_pandas()
+    by = {m: g for m, g in out.groupby("media_id")}
+    assert "a" not in by  # zero duration: no frames
+    assert by["b"]["ts_ms"].tolist() == [0]
+    assert by["c"]["ts_ms"].tolist() == [0, 500, 1000]
+    assert len(by["d"]) == 8  # capped
+    assert by["d"]["frame_idx"].tolist() == list(range(8))
+    assert (out["ts_ms"] == out["frame_idx"] * 500).all()
+
+
+def test_media_resizer_aspect_fit(ray_session):
+    media = synth_media_batch(9)
+    imgs = media.filter(
+        pa.compute.equal(media.column("kind"), pa.scalar("image"))
+    )
+    out = (
+        rd.from_arrow(imgs)
+        .map_batches(MediaResizer, fn_constructor_kwargs={"max_w": 64, "max_h": 48},
+                     concurrency=1, batch_size=8, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert (out["out_width"] <= 64).all() and (out["out_height"] <= 48).all()
+    # aspect preserved within integer floor: w/h ratio error < 1 pixel step
+    src = imgs.to_pandas().set_index("media_id")
+    for _, r in out.iterrows():
+        w, h = src.loc[r["media_id"], ["width", "height"]]
+        assert abs(r["out_width"] * h - r["out_height"] * w) <= max(w, h)
+    # deterministic stub payload
+    assert out["payload"].map(len).eq(32).all()
+
+
+def test_media_resizer_real_path_raises():
+    r = MediaResizer(fake=False)
+    with pytest.raises(NotImplementedError):
+        r._resample(b"x", 10, 10)
+
+
+def test_media_decoder_fake_features_deterministic():
+    d = MediaDecoder(fake=True)
+    f1 = d._decode(b"payload", "image")
+    f2 = d._decode(b"payload", "image")
+    assert np.array_equal(f1, f2)
+    assert f1.dtype == np.float32 and len(f1) == 8

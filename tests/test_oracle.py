@@ -66,6 +66,7 @@ ORACLE_KEYS = [
     "token_count", "bpeish_tokens", "quality_score", "lang_id",
     "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
+    "frame_sample",
     "word_counts", "sessionize",
     "fingerprint", "simhash", "minhash_pairs", "jaccard_pairs",
     "embedding_near_dups",
