@@ -233,6 +233,20 @@ def q_minhash_pairs(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic downsampling
+    (ops/sampling.stratified_sample): keep 20% of English, 80% of
+    Chinese, 100% of everything else — integer bucket thresholds on
+    the same md5 scheme as hash_split, so it is float-free."""
+    from reffy_ray.ops.sampling import stratified_sample
+
+    return stratified_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]),
+        fracs={"en": 0.2, "zh": 0.8},
+        default_frac=1.0,
+    )
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact word-3-gram Jaccard pairs within source blocks
     (ops/dedup.jaccard_pairs) at threshold 1/100 — the exact
@@ -1443,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "stratified_sample": q_stratified_sample,
         "doc_freq": q_doc_freq,
         "top_terms": q_top_terms,
         "sample_split": q_sample_split,
@@ -2201,6 +2216,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ops/sampling.hash_split: bucket = H(id || '|split-42') mod 10000,
         # thresholds at the cumulative 0.8/0.1/0.1 weights
+        # ops/sampling.stratified_sample: keep iff
+        # H(id || '|strat-42') % 10000 < per-lang integer threshold
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|strat-42'),
+                                     1, 16))::UBIGINT % 10000 AS bkt
+              FROM documents
+            )
+            WHERE bkt < CASE lang WHEN 'en' THEN 2000
+                                  WHEN 'zh' THEN 8000
+                                  ELSE 10000 END
+        """,
         "sample_split": """
             SELECT doc_id,
                    CASE WHEN bkt < 8000 THEN 'train'

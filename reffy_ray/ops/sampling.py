@@ -84,6 +84,42 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: rd.Dataset,
+    fracs: dict,
+    default_frac: float = 0.0,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat-42",
+    buckets: int = 10_000,
+) -> rd.Dataset:
+    """Deterministic per-stratum downsampling: a row in stratum
+    ``key_col=v`` is kept iff H(str(id) + '|' + salt) mod ``buckets``
+    < round(fracs.get(v, default_frac) · buckets).
+
+    The standard rebalance step of a curation pipeline (e.g. keep 100%
+    of low-resource languages, 10% of English). Same hash scheme as
+    ``hash_split`` so the two compose: a doc's sampling decision never
+    depends on which split it landed in, and repeated runs are
+    idempotent. Pure map — no shuffle, content never read; fractions
+    are snapped to integer bucket thresholds so the emission is exactly
+    reproducible in SQL (no float comparison anywhere)."""
+    thresholds = {k: int(round(f * buckets)) for k, f in fracs.items()}
+    default_threshold = int(round(default_frac * buckets))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        mask = [
+            _h64(f"{i}|{salt}") % buckets
+            < thresholds.get(k, default_threshold)
+            for i, k in zip(ids, keys)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # source_cap
 # ---------------------------------------------------------------------------

@@ -70,7 +70,8 @@ ORACLE_KEYS = [
     "word_counts", "sessionize",
     "fingerprint", "simhash", "minhash_pairs", "jaccard_pairs",
     "embedding_near_dups",
-    "sample_split", "source_cap", "near_dup_clusters", "near_dedup",
+    "sample_split", "stratified_sample", "source_cap",
+    "near_dup_clusters", "near_dedup",
     "asof_join", "range_join", "rolling_window", "group_quantiles",
     "global_quantiles",
     "doc_freq", "top_terms",

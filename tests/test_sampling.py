@@ -214,3 +214,28 @@ def test_near_dedup_join_path_lazy_input(ray_session):
         near_dedup(lazy, broadcast_limit=0).to_pandas()["doc_id"]
     )
     assert kept == [0, 1, 2, 3, 4, 5, 6, 7, 8, 11]
+
+
+def test_stratified_sample_deterministic_and_per_stratum(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.sampling import _h64, stratified_sample
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "de"][i % 2]} for i in range(200)
+    ]
+    out = stratified_sample(
+        rd.from_items(rows), fracs={"en": 0.5}, default_frac=1.0
+    ).to_pandas()
+    # every de row kept; en rows kept iff bucket < 5000 (exact set)
+    assert (out[out.lang == "de"].doc_id % 2 == 1).all()
+    assert len(out[out.lang == "de"]) == 100
+    expect_en = {
+        i for i in range(0, 200, 2) if _h64(f"{i}|strat-42") % 10_000 < 5_000
+    }
+    assert set(out[out.lang == "en"].doc_id) == expect_en
+    # rerun identical (deterministic)
+    out2 = stratified_sample(
+        rd.from_items(rows), fracs={"en": 0.5}, default_frac=1.0
+    ).to_pandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)
