@@ -1594,7 +1594,7 @@ WITH params AS (
   SELECT doc_id,
          ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT % 2147483647 AS x
   FROM sh
-), sigs AS (
+), sigs AS MATERIALIZED (
   SELECT doc_id, j, min((a * x + b) % 2147483647) AS sig
   FROM base, params GROUP BY doc_id, j
 ), bandkeys AS (
@@ -2546,7 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         # ops/sampling.near_dup_clusters: transitive closure over the
         # minhash pair set (same params as minhash_pairs), rep = min id
         "near_dup_clusters": """
-            WITH RECURSIVE pairs AS (
+            WITH RECURSIVE pairs AS MATERIALIZED (
               SELECT a, b FROM (""" + _MINHASH_SQL + """) q
             ), edges AS (
               SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
@@ -2562,7 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         # ops/sampling.near_dedup: drop cluster members whose id is not
         # the component minimum (same closure as near_dup_clusters)
         "near_dedup": """
-            WITH RECURSIVE pairs AS (
+            WITH RECURSIVE pairs AS MATERIALIZED (
               SELECT a, b FROM (""" + _MINHASH_SQL + """) q
             ), edges AS (
               SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
