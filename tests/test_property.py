@@ -108,3 +108,88 @@ def test_doc_token_partials_equals_bruteforce(texts):
         assert dict(zip(mine["word"], mine["tf"])) == expect
         if toks:
             assert set(mine["n_tok"]) == {len(toks)}
+
+
+# --- jaccard_pairs: group merge count == scalar set arithmetic -------------
+
+_WORDS = st.lists(
+    st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+    min_size=0, max_size=30,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_WORDS, min_size=2, max_size=6))
+def test_jaccard_pairs_matches_scalar_set_math(docs):
+    import numpy as np
+    import pandas as pd
+
+    from reffy_ray.ops.dedup import jaccard_pairs
+
+    texts = [" ".join(ws) for ws in docs]
+
+    # expected via plain set arithmetic on word 3-grams
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            gi, gj = grams(texts[i]), grams(texts[j])
+            inter = len(gi & gj)
+            union = len(gi | gj)
+            if inter > 0:  # threshold 1/10**9 ≈ any overlap
+                expect[(i, j)] = (inter, union)
+
+    import ray.data as rd
+    out = (
+        jaccard_pairs(
+            rd.from_items(
+                [{"doc_id": i, "text": t, "source": "s"} for i, t in enumerate(texts)]
+            ),
+            threshold_num=1, threshold_den=10**9,
+        )
+        .to_pandas()
+    )
+    if out.empty:  # all-empty groups can collapse to a schemaless frame
+        assert expect == {}
+        return
+    got = {
+        (a, b): (i, u)
+        for a, b, i, u in zip(out.doc_a, out.doc_b, out.inter, out.union_size)
+    }
+    assert got == expect
+
+
+# --- sample_frames invariants ----------------------------------------------
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=-5, max_value=10_000), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=1000),
+    st.integers(min_value=1, max_value=10),
+)
+def test_sample_frames_counts_and_stride(durations, step_ms, max_frames):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reffy_ray.ops.multimodal import sample_frames
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": [f"v{i}" for i in range(len(durations))],
+                "duration_ms": durations,
+            }
+        )
+    )
+    out = sample_frames(ds, step_ms=step_ms, max_frames=max_frames).to_pandas()
+    sizes = {} if out.empty else out.groupby("media_id").size().to_dict()
+    for i, d in enumerate(durations):
+        expect = min(max_frames, 1 + d // step_ms) if d > 0 else 0
+        assert sizes.get(f"v{i}", 0) == expect
+    if len(out):
+        assert (out.ts_ms == out.frame_idx * step_ms).all()
+        assert out.frame_idx.min() == 0
