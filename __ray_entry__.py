@@ -320,6 +320,21 @@ def q_near_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_near_dedup_best(sf_dir: str):
+    """Near-dedup keeping the highest-alpha_ppm member per cluster
+    (ops/sampling.near_dedup_best; ties by min doc_id) — same LSH
+    pair set as near_dup_clusters, quality from ops/text.quality_score
+    (integer ppm, so the winner choice is float-free)."""
+    from reffy_ray.ops.sampling import near_dedup_best
+    from reffy_ray.ops.text import quality_score
+
+    docs = _docs(sf_dir)
+    quality = docs.map_batches(quality_score, batch_format="pyarrow")
+    return near_dedup_best(
+        docs, quality, quality_col="alpha_ppm", jaccard_threshold=0.5
+    ).select_columns(["doc_id"])
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (ops/curation.decontaminate): corpus
     docs sharing any exact word 4-gram with the held-out benchmark
@@ -1464,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": q_source_cap,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dedup": q_near_dedup,
+        "near_dedup_best": q_near_dedup_best,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "gopher_quality": q_gopher_quality,
@@ -2578,6 +2594,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             LEFT JOIN clusters c ON d.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id
+        """,
+        # ops/sampling.near_dedup_best: drop cluster members that are
+        # not the quality winner (max alpha_ppm, tie min doc_id)
+        "near_dedup_best": """
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT a, b FROM (""" + _MINHASH_SQL + """) q
+            ), edges AS (
+              SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT a AS n FROM edges
+            ), reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            ), clusters AS (
+              SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n
+            ), quality AS (
+              SELECT doc_id,
+                     CAST(floor(len(regexp_extract_all(text, '[A-Za-z]'))
+                          * 1000000.0 / greatest(length(text), 1)) AS BIGINT)
+                       AS alpha_ppm
+              FROM documents
+            ), ranked AS (
+              SELECT c.doc_id,
+                     row_number() OVER (
+                       PARTITION BY c.cluster_rep
+                       ORDER BY q.alpha_ppm DESC, c.doc_id
+                     ) AS rk
+              FROM clusters c JOIN quality q USING (doc_id)
+            )
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN ranked r ON d.doc_id = r.doc_id
+            WHERE r.doc_id IS NULL OR r.rk = 1
         """,
         # ops/joins.asof_join: purchases × most recent prior click per user
         "asof_join": """

@@ -321,6 +321,53 @@ def near_dedup(
     return filter_by_drop_ids(ds, drops.materialize(), id_col, broadcast_limit)
 
 
+def near_dedup_best(
+    ds: rd.Dataset,
+    quality: rd.Dataset,
+    quality_col: str = "alpha_ppm",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 1_000_000,
+    **cluster_kwargs,
+) -> rd.Dataset:
+    """Near-dedup keeping the HIGHEST-QUALITY member of each cluster
+    (ties by ascending id) instead of the min-id representative —
+    the form curation pipelines actually want: of N boilerplate
+    near-copies, keep the one scoring best on the quality signal.
+
+    Shape: cluster labels from :func:`near_dup_cluster_labels`
+    (O(paired docs) rows), hash-joined to the ``quality`` table on
+    ``id_col``, one groupby per cluster emitting the NON-winners as a
+    drop list, then the shared ``filter_by_drop_ids`` corpus filter
+    (broadcast when small, hash anti-join past ``broadcast_limit``).
+    Singletons (docs in no pair) are always kept. The corpus itself is
+    never materialized."""
+    from reffy_ray.util import filter_by_drop_ids, join_ready, safe_num_blocks
+
+    labels = join_ready(
+        near_dup_cluster_labels(ds, **cluster_kwargs)
+    )
+    if labels.count() == 0:
+        return ds
+    member_q = labels.join(
+        join_ready(quality.select_columns([id_col, quality_col])),
+        join_type="inner",
+        num_partitions=safe_num_blocks(labels),
+        on=("doc_id",),
+        right_on=(id_col,),
+    )
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([quality_col, "doc_id"], ascending=[False, True])
+        return g.iloc[1:][["doc_id"]]
+
+    drops = member_q.groupby("cluster_rep").map_groups(
+        losers, batch_format="pandas"
+    )
+    if id_col != "doc_id":
+        drops = drops.rename_columns([id_col])
+    return filter_by_drop_ids(ds, drops.materialize(), id_col, broadcast_limit)
+
+
 def top_k_per_group(
     ds: rd.Dataset,
     k: int,

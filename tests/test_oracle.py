@@ -71,7 +71,7 @@ ORACLE_KEYS = [
     "fingerprint", "simhash", "minhash_pairs", "jaccard_pairs",
     "embedding_near_dups",
     "sample_split", "stratified_sample", "source_cap",
-    "near_dup_clusters", "near_dedup",
+    "near_dup_clusters", "near_dedup", "near_dedup_best",
     "asof_join", "range_join", "rolling_window", "group_quantiles",
     "global_quantiles",
     "doc_freq", "top_terms",

@@ -239,3 +239,31 @@ def test_stratified_sample_deterministic_and_per_stratum(ray_session):
         rd.from_items(rows), fracs={"en": 0.5}, default_frac=1.0
     ).to_pandas()
     assert sorted(out2.doc_id) == sorted(out.doc_id)
+
+
+def test_near_dedup_best_keeps_quality_winner(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.sampling import near_dedup_best
+
+    dup = ("the quick brown fox jumps over the lazy dog again and again "
+           "for a very long repeated passage of text") * 3
+    rows = [
+        {"doc_id": 1, "text": dup},                      # low quality
+        {"doc_id": 2, "text": dup + " EXTRAALPHAWORDS"},  # near-dup, higher alpha
+        {"doc_id": 3, "text": "completely unrelated singleton content here"},
+    ]
+    quality = rd.from_items(
+        [
+            {"doc_id": 1, "alpha_ppm": 100},
+            {"doc_id": 2, "alpha_ppm": 900},
+            {"doc_id": 3, "alpha_ppm": 50},
+        ]
+    )
+    kept = sorted(
+        near_dedup_best(rd.from_items(rows), quality, jaccard_threshold=0.5)
+        .to_pandas()["doc_id"]
+    )
+    # winner of the {1,2} cluster is 2 (higher quality), NOT min-id 1;
+    # singleton 3 always kept
+    assert kept == [2, 3]
