@@ -202,8 +202,17 @@ def _hot_bucket_keys(exploded, group_cap: int) -> set:
     bound, so overcounting can only mark extra buckets hot, which is
     SAFE: the emission gate merely defers those pairs to a later,
     genuinely-under-cap band). The hot set is tiny by construction
-    (only pathological buckets) and broadcastable."""
-    import pyarrow as _pa
+    (only pathological buckets) and broadcastable.
+
+    Census shape: per-batch partials → ONE key-collocating sort →
+    per-block vectorized pandas groupby-sum. After the sort a key's
+    rows are contiguous, so a key strictly interior to a block has its
+    complete sum there (emitted iff > cap); a key whose range touches a
+    block edge is that block's first/last key and its per-block pieces
+    are emitted for a driver-side combine (≤ 2 rows per block — tiny).
+    This replaces Ray's per-group aggregate dispatch, whose ~1 ms/group
+    Python overhead dominated the whole minhash family at small scale."""
+    cap = int(group_cap)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = (
@@ -213,14 +222,38 @@ def _hot_bucket_keys(exploded, group_cap: int) -> set:
         )
         return g
 
-    parts = exploded.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    def block_census(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.groupby(["band", "band_hash"], sort=False)["nd"]
+            .sum()
+            .reset_index()
+        )
+        first = (b["band"].iloc[0], b["band_hash"].iloc[0])
+        last = (b["band"].iloc[-1], b["band_hash"].iloc[-1])
+        is_edge = (
+            ((g["band"] == first[0]) & (g["band_hash"] == first[1]))
+            | ((g["band"] == last[0]) & (g["band_hash"] == last[1]))
+        )
+        keep = g[is_edge | (g["nd"] > cap)].copy()
+        keep["edge"] = is_edge[keep.index]
+        return keep
 
-    totals = parts.groupby(["band", "band_hash"]).aggregate(
-        Sum("nd", alias_name="nd")
+    rows = (
+        exploded.map_batches(partial, batch_format="pandas")
+        .sort(["band", "band_hash"])
+        .map_batches(block_census, batch_format="pandas")
+        .take_all()
     )
-    hot = totals.filter(expr=f"nd > {int(group_cap)}").take_all()
-    return {(int(r["band"]), r["band_hash"]) for r in hot}
+    hot: set = set()
+    edge_sums: dict = {}
+    for r in rows:
+        key = (int(r["band"]), r["band_hash"])
+        if r["nd"] > cap:
+            hot.add(key)
+        if r["edge"]:
+            edge_sums[key] = edge_sums.get(key, 0) + int(r["nd"])
+    hot.update(k for k, v in edge_sums.items() if v > cap)
+    return hot
 
 
 def _band_explode_fn(bands: int, rows_per_band: int):

@@ -421,3 +421,28 @@ def test_jaccard_pairs_group_cap_raises(ray_session):
     with _pytest.raises(Exception) as exc:
         jaccard_pairs(rd.from_items(rows), group_cap=5).to_pandas()
     assert "exact" in str(exc.value)
+
+
+def test_hot_bucket_census_counts_keys_split_across_blocks(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import _hot_bucket_keys
+
+    # one bucket with 12 distinct signatures spread over MANY blocks
+    # (each per-block piece is tiny, only the cross-block sum exceeds
+    # the cap) + a clearly cold bucket
+    rows = [
+        {"doc_id": i, "band": 0, "band_hash": "hot-key",
+         "minhash": bytes([i])} for i in range(12)
+    ] + [
+        {"doc_id": 100 + i, "band": 1, "band_hash": "cold",
+         "minhash": bytes([i % 2])} for i in range(4)
+    ]
+    exploded = rd.from_pandas(
+        [pd.DataFrame(rows[i : i + 2]) for i in range(0, len(rows), 2)]
+    )
+    hot = _hot_bucket_keys(exploded, group_cap=10)
+    assert hot == {(0, "hot-key")}
+    # below-cap key never flagged even when split
+    assert _hot_bucket_keys(exploded, group_cap=12) == set()
