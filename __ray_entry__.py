@@ -320,6 +320,19 @@ def q_near_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_token_budget_sample(sf_dir: str):
+    """Token-budget corpus selection (ops/sampling.token_budget_sample):
+    docs in deterministic hash order until the running token sum
+    reaches 20 000 — the distributed prefix-sum op; integer-only."""
+    from reffy_ray.ops.sampling import token_budget_sample
+    from reffy_ray.ops.text import quality_score
+
+    counts = _docs(sf_dir).map_batches(
+        quality_score, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+    return token_budget_sample(counts, budget=20_000)
+
+
 def q_near_dedup_best(sf_dir: str):
     """Near-dedup keeping the highest-alpha_ppm member per cluster
     (ops/sampling.near_dedup_best; ties by min doc_id) — same LSH
@@ -1480,6 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": q_near_dup_clusters,
         "near_dedup": q_near_dedup,
         "near_dedup_best": q_near_dedup_best,
+        "token_budget_sample": q_token_budget_sample,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "gopher_quality": q_gopher_quality,
@@ -2594,6 +2608,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             LEFT JOIN clusters c ON d.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id
+        """,
+        # ops/sampling.token_budget_sample: keep docs while the running
+        # token sum over (md5 bucket, doc_id) order stays ≤ 20000
+        "token_budget_sample": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 1
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || '|budget-42'), 1, 16))::UBIGINT
+                       % 10000 AS bkt
+              FROM documents
+            ), run AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (
+                       ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM run WHERE cum <= 20000
         """,
         # ops/sampling.near_dedup_best: drop cluster members that are
         # not the quality winner (max alpha_ppm, tie min doc_id)

@@ -321,6 +321,79 @@ def near_dedup(
     return filter_by_drop_ids(ds, drops.materialize(), id_col, broadcast_limit)
 
 
+def token_budget_sample(
+    ds: rd.Dataset,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "budget-42",
+    buckets: int = 10_000,
+) -> rd.Dataset:
+    """Select documents in deterministic hash order until a global
+    token budget is met: a doc is kept iff the running token sum over
+    the ordering (H(id) mod buckets, id) — INCLUDING the doc itself —
+    is ≤ ``budget``. The standard "give me exactly ~N tokens of this
+    corpus" step of training-data assembly, reproducible across runs
+    because the order is content-independent hashing, not arrival
+    order.
+
+    Distributed prefix-sum shape: one key-collocating sort, a per-block
+    (first_key, block_total) census (#blocks rows to the driver — the
+    only driver exchange), cumulative offsets broadcast back, then a
+    streaming per-block cumsum + threshold. Input must carry a token
+    count column (compose with ``ops.text.token_count`` /
+    ``quality_score``); all arithmetic is integer."""
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        bkt = [_h64(f"{i}|{salt}") % buckets for i in ids]
+        return batch.append_column("_bkt", pa.array(bkt, pa.int64()))
+
+    srt = ds.map_batches(key, batch_format="pyarrow").sort(
+        ["_bkt", id_col]
+    ).materialize()
+
+    def block_total(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"bkt": pd.Series([], dtype="int64"),
+                 "fid": pd.Series([], dtype="object"),
+                 "tot": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"bkt": [int(b["_bkt"].iloc[0])], "fid": [b[id_col].iloc[0]],
+             "tot": [int(b[tokens_col].sum())]}
+        )
+
+    # batch_size=None → one batch per materialized block, so pass 2
+    # sees the same first keys
+    census = sorted(
+        (
+            (int(r["bkt"]), r["fid"], int(r["tot"]))
+            for r in srt.map_batches(
+                block_total, batch_format="pandas", batch_size=None
+            ).take_all()
+        ),
+    )
+    offsets: dict = {}
+    acc = 0
+    for bkt, fid, tot in census:
+        offsets[(bkt, fid)] = acc
+        acc += tot
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b.drop(columns=["_bkt"])
+        off = _ray.get(off_ref)[(int(b["_bkt"].iloc[0]), b[id_col].iloc[0])]
+        run = off + b[tokens_col].cumsum()
+        return b[run <= budget].drop(columns=["_bkt"])
+
+    return srt.map_batches(keep, batch_format="pandas", batch_size=None)
+
+
 def near_dedup_best(
     ds: rd.Dataset,
     quality: rd.Dataset,

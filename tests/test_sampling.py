@@ -267,3 +267,25 @@ def test_near_dedup_best_keeps_quality_winner(ray_session):
     # winner of the {1,2} cluster is 2 (higher quality), NOT min-id 1;
     # singleton 3 always kept
     assert kept == [2, 3]
+
+
+def test_token_budget_sample_exact_prefix(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.sampling import _h64, token_budget_sample
+
+    rows = [{"doc_id": i, "n_tokens": 10 + i} for i in range(60)]
+    budget = 500
+    out = token_budget_sample(rd.from_items(rows), budget=budget).to_pandas()
+    # brute-force expected prefix in (md5 bucket, id) order
+    order = sorted(rows, key=lambda r: (_h64(f"{r['doc_id']}|budget-42") % 10_000,
+                                        r["doc_id"]))
+    cum, expect = 0, []
+    for r in order:
+        cum += r["n_tokens"]
+        if cum <= budget:
+            expect.append(r["doc_id"])
+    assert sorted(out.doc_id) == sorted(expect)
+    assert out.n_tokens.sum() <= budget
+    # the next doc in order would overflow — budget is tight
+    assert out.n_tokens.sum() + order[len(expect)]["n_tokens"] > budget
