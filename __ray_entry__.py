@@ -320,6 +320,55 @@ def q_near_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_curation_pipeline(sf_dir: str):
+    """END-TO-END curation composite — the pipeline a training-data
+    team actually runs, as one lazy Dataset chain with one exact SQL
+    oracle: near-dedup to cluster representatives (MinHash LSH +
+    distributed CC) → Gopher quality gates → exact 4-gram benchmark
+    decontamination → per-language stratified downsampling → token
+    budget cut (distributed prefix sum). Every stage streams; the only
+    driver exchanges are the tiny label/census tables of the
+    constituent ops."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.curation import decontaminate, gopher_quality
+    from reffy_ray.ops.sampling import (
+        near_dedup,
+        stratified_sample,
+        token_budget_sample,
+    )
+    from reffy_ray.ops.text import quality_score
+    from reffy_ray.util import filter_by_drop_ids
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    deduped = near_dedup(docs, jaccard_threshold=0.5)
+    flags = gopher_quality(deduped, min_words=24)
+    gated = filter_by_drop_ids(
+        deduped,
+        flags.filter(expr="keep == 0").select_columns(["doc_id"]).materialize(),
+        "doc_id",
+        1_000_000,
+    )
+
+    def part(is_bench: bool):
+        def split(batch: pa.Table) -> pa.Table:
+            m = pc.equal(_pa_mod(batch.column("doc_id"), 41), 0)
+            return batch.filter(m if is_bench else pc.invert(m))
+
+        return split
+
+    bench = docs.map_batches(part(True), batch_format="pyarrow")
+    train = gated.map_batches(part(False), batch_format="pyarrow")
+    clean = decontaminate(train, bench, n=4, keep_cols=("doc_id", "text", "lang"))
+    sampled = stratified_sample(clean, fracs={"en": 0.5}, default_frac=1.0)
+    counts = sampled.map_batches(
+        quality_score, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+    return token_budget_sample(counts, budget=10_000)
+
+
 def q_token_budget_sample(sf_dir: str):
     """Token-budget corpus selection (ops/sampling.token_budget_sample):
     docs in deterministic hash order until the running token sum
@@ -1494,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup": q_near_dedup,
         "near_dedup_best": q_near_dedup_best,
         "token_budget_sample": q_token_budget_sample,
+        "curation_pipeline": q_curation_pipeline,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "gopher_quality": q_gopher_quality,
@@ -2608,6 +2658,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             LEFT JOIN clusters c ON d.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id
+        """,
+        # q_curation_pipeline: near_dedup ∧ gopher ∧ decontaminate ∧
+        # stratified_sample, then the 10k token-budget prefix — each
+        # predicate is the proven per-op oracle, conjoined
+        "curation_pipeline": """
+            WITH RECURSIVE pairs AS MATERIALIZED (
+              SELECT a, b FROM (""" + _MINHASH_SQL + r""") q
+            ), edges AS (
+              SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT a AS n FROM edges
+            ), reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+            ), clusters AS (
+              SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n
+            ), kept_dedup AS (
+              SELECT d.doc_id FROM documents d
+              LEFT JOIN clusters c ON d.doc_id = c.doc_id
+              WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id
+            ), gq AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\w+')) AS n_words,
+                       length(regexp_replace(text, '\W+', '', 'g')) AS wc
+                FROM documents
+              )
+              WHERE n_words >= 24 AND n_words <= 1048576
+                AND (wc * 1000000) // n_words BETWEEN 2000000 AND 12000000
+            ), dtoks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), dgrams AS (
+              SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+              FROM dtoks,
+                   LATERAL unnest(generate_series(1, greatest(len(t)-3, 0)))
+                     AS u(i)
+            ), dbench AS (
+              SELECT DISTINCT g FROM dgrams WHERE doc_id % 41 = 0
+            ), clean AS (
+              SELECT d.doc_id FROM dtoks d
+              WHERE d.doc_id % 41 != 0
+                AND NOT EXISTS (
+                  SELECT 1 FROM dgrams x JOIN dbench b ON x.g = b.g
+                  WHERE x.doc_id = d.doc_id)
+            ), strat AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || '|strat-42'), 1, 16))::UBIGINT
+                         % 10000 AS sbkt
+                FROM documents
+              )
+              WHERE sbkt < CASE lang WHEN 'en' THEN 5000 ELSE 10000 END
+            ), surv AS (
+              SELECT d.doc_id,
+                     CASE WHEN trim(d.text) = '' THEN 1
+                          ELSE len(regexp_split_to_array(trim(d.text), '\s+'))
+                     END AS n_tokens,
+                     ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                         || '|budget-42'), 1, 16))::UBIGINT
+                       % 10000 AS bkt
+              FROM documents d
+              JOIN kept_dedup USING (doc_id)
+              JOIN gq USING (doc_id)
+              JOIN clean USING (doc_id)
+              JOIN strat USING (doc_id)
+            ), run AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (
+                       ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM surv
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM run WHERE cum <= 10000
         """,
         # ops/sampling.token_budget_sample: keep docs while the running
         # token sum over (md5 bucket, doc_id) order stays ≤ 20000
