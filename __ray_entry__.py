@@ -320,6 +320,31 @@ def q_near_dedup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 embedding quantization (ops/similarity.quantize_embeddings):
+    per-vector symmetric scale, floors computed in float64 on both
+    sides; the query serializes the int8 payload to a comma-joined
+    string purely for oracle-hash parity (the driver compare sorts by
+    column values, which list columns break — storage stays int8 in
+    the op)."""
+    from reffy_ray.ops.similarity import quantize_embeddings
+
+    out = quantize_embeddings(_embeddings(sf_dir))
+
+    def flatten(b: pa.Table) -> pa.Table:
+        qs = [",".join(str(int(v)) for v in vec)
+              for vec in b.column("qvec").to_pylist()]
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "scale_ppm": b.column("scale_ppm"),
+                "qvec": pa.array(qs, pa.string()),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
 def q_curation_pipeline(sf_dir: str):
     """END-TO-END curation composite — the pipeline a training-data
     team actually runs, as one lazy Dataset chain with one exact SQL
@@ -1544,6 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_best": q_near_dedup_best,
         "token_budget_sample": q_token_budget_sample,
         "curation_pipeline": q_curation_pipeline,
+        "quantize_embeddings": q_quantize_embeddings,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "gopher_quality": q_gopher_quality,
@@ -2658,6 +2684,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             LEFT JOIN clusters c ON d.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id
+        """,
+        # ops/similarity.quantize_embeddings: per-vector int8 symmetric
+        # quantization, float64 floors on both sides
+        "quantize_embeddings": """
+            SELECT vec_id,
+                   CAST(floor(list_aggregate(
+                          list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE))),
+                          'max') * 1000000) AS BIGINT) AS scale_ppm,
+                   array_to_string(
+                     list_transform(embedding,
+                       x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                              list_aggregate(
+                                list_transform(embedding,
+                                               y -> abs(CAST(y AS DOUBLE))),
+                                'max')) AS BIGINT) AS VARCHAR)),
+                     ',') AS qvec
+            FROM embeddings
         """,
         # q_curation_pipeline: near_dedup ∧ gopher ∧ decontaminate ∧
         # stratified_sample, then the 10k token-budget prefix — each

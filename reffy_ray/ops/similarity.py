@@ -434,3 +434,34 @@ def group_centroids(
         )
 
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def quantize_embeddings(ds: rd.Dataset) -> rd.Dataset:
+    """Symmetric per-vector int8 quantization for embedding storage:
+    q = floor(v · 127 / max|v|) per dimension plus an integer scale
+    (floor(max|v| · 1e6) ppm) for reconstruction — 4× smaller at rest
+    than float32, the standard storage tier under an IVF/LSH index at
+    corpus scale. Pure map, fully vectorized; all math in float64 so a
+    SQL oracle reproduces the exact same floors; emission is int8 +
+    int64 only."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in
+             batch.column("embedding").to_pylist()]
+        ).astype(np.float64)
+        s = np.abs(emb).max(axis=1)
+        safe = np.maximum(s, 1e-300)
+        q = np.floor(emb * 127.0 / safe[:, None]).astype(np.int8)
+        q[s == 0] = 0
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "scale_ppm": pa.array(
+                    np.floor(s * 1_000_000).astype(np.int64), pa.int64()
+                ),
+                "qvec": pa.array(q.tolist(), pa.list_(pa.int8())),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")

@@ -446,3 +446,31 @@ def test_hot_bucket_census_counts_keys_split_across_blocks(ray_session):
     assert hot == {(0, "hot-key")}
     # below-cap key never flagged even when split
     assert _hot_bucket_keys(exploded, group_cap=12) == set()
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reffy_ray.ops.similarity import quantize_embeddings
+
+    vecs = [
+        [0.5, -1.0, 0.25],
+        [0.0, 0.0, 0.0],       # zero vector: qvec all 0, scale 0
+        [2.0, 1.0, -2.0],
+    ]
+    out = (
+        quantize_embeddings(
+            rd.from_arrow(pa.table({"vec_id": [0, 1, 2], "embedding": vecs}))
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.qvec[0].tolist() == [63, -127, 31]       # floor(v*127/1.0)
+    assert out.qvec[1].tolist() == [0, 0, 0]
+    assert out.scale_ppm.tolist() == [1_000_000, 0, 2_000_000]
+    # reconstruction error bounded by one quantization step
+    recon = np.array(out.qvec[2].tolist()) * (out.scale_ppm[2] / 1e6) / 127.0
+    assert np.abs(recon - np.array(vecs[2])).max() <= 2.0 / 127.0 + 1e-9

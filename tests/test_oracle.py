@@ -72,7 +72,7 @@ ORACLE_KEYS = [
     "embedding_near_dups",
     "sample_split", "stratified_sample", "source_cap",
     "near_dup_clusters", "near_dedup", "near_dedup_best",
-    "token_budget_sample", "curation_pipeline",
+    "token_budget_sample", "curation_pipeline", "quantize_embeddings",
     "asof_join", "range_join", "rolling_window", "group_quantiles",
     "global_quantiles",
     "doc_freq", "top_terms",
