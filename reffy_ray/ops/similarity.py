@@ -446,21 +446,35 @@ def quantize_embeddings(ds: rd.Dataset) -> rd.Dataset:
     int64 only."""
 
     def quant(batch: pa.Table) -> pa.Table:
-        emb = np.stack(
-            [np.asarray(v, dtype=np.float32) for v in
-             batch.column("embedding").to_pylist()]
-        ).astype(np.float64)
-        s = np.abs(emb).max(axis=1)
-        safe = np.maximum(s, 1e-300)
-        q = np.floor(emb * 127.0 / safe[:, None]).astype(np.int8)
-        q[s == 0] = 0
+        lst = batch.column("embedding").combine_chunks()
+        if isinstance(lst, pa.ChunkedArray):  # zero-chunk edge
+            lst = pa.concat_arrays(lst.chunks or [pa.array([], pa.list_(pa.float32()))])
+        flat = np.abs(lst.flatten().to_numpy(zero_copy_only=False)).astype(np.float64)
+        vals = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, lens = offsets[:-1], np.diff(offsets)
+        # per-vector max|v| without a Python loop (reduceat skips
+        # zero-length rows, patched to 0 after)
+        # reduceat over non-empty rows' starts: zero-length rows occupy
+        # no flat range, so consecutive non-empty starts are exact
+        # segment boundaries
+        s = np.zeros(len(lens), np.float64)
+        nz = lens > 0
+        if nz.any():
+            s[nz] = np.maximum.reduceat(flat, starts[nz])
+        rep = np.repeat(np.maximum(s, 1e-300), lens)
+        q = np.floor(vals * 127.0 / rep).astype(np.int8)
+        q[np.repeat(s == 0, lens)] = 0
+        qvec = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(q, pa.int8())
+        )
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),
                 "scale_ppm": pa.array(
                     np.floor(s * 1_000_000).astype(np.int64), pa.int64()
                 ),
-                "qvec": pa.array(q.tolist(), pa.list_(pa.int8())),
+                "qvec": qvec,
             }
         )
 
