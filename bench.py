@@ -267,9 +267,22 @@ def run_once() -> dict:
         queries["ann"] = round(bench_ann(), 3)
         queries["text_ops"] = round(bench_text_ops(), 3)
     total = round(sum(queries.values()), 3)
+    extras: dict[str, float] = {}
+    if not scaling_child:
+        # informational (NOT part of the headline value, which stays
+        # comparable round-over-round): the end-to-end curation
+        # composite over the same sf dir
+        import time as _t
+
+        import __ray_entry__ as _entry
+
+        t0 = _t.perf_counter()
+        _entry.queries()["curation_pipeline"](SF_DIR).materialize()
+        extras["curation_pipeline"] = round(_t.perf_counter() - t0, 3)
     out = {
         "metric": "headline pipelines wall time (crawl+parse_extract+dedup+ann+text_ops)",
         "value": total,
+        "extras": extras,
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,

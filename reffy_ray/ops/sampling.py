@@ -386,7 +386,7 @@ def token_budget_sample(
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
-            return b.drop(columns=["_bkt"])
+            return b.drop(columns=["_bkt"], errors="ignore")
         off = _ray.get(off_ref)[(int(b["_bkt"].iloc[0]), b[id_col].iloc[0])]
         run = off + b[tokens_col].cumsum()
         return b[run <= budget].drop(columns=["_bkt"])
