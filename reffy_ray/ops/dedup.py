@@ -145,16 +145,18 @@ def minhash_lsh_pairs(
     ).materialize()  # consumed twice: hot-bucket census + buckets
     import ray as _ray
 
-    hot_ref = _ray.put(_hot_bucket_keys(exploded, group_cap))
+    hot, pair_keys = _bucket_census(exploded, group_cap)
+    hot_ref = _ray.put(hot)
     bucket_fn = _lsh_bucket_fn(
         bands, rows_per_band, jaccard_threshold, group_cap, star=False,
         hot_ref=hot_ref,
     )
     # exactly-once emission per pair (band-0 / first-non-hot-matching-
-    # band rules inside the bucket scanner) — no pair-dedup shuffle
-    return exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_fn, batch_format="pandas"
-    )
+    # band rules inside the bucket scanner) — no pair-dedup shuffle;
+    # singleton buckets (cannot emit) are dropped before the groupby
+    return _filter_pair_buckets(exploded, pair_keys).groupby(
+        ["band", "band_hash"]
+    ).map_groups(bucket_fn, batch_format="pandas")
 
 
 def minhash_lsh_star_edges(
@@ -185,47 +187,58 @@ def minhash_lsh_star_edges(
     ).materialize()
     import ray as _ray
 
-    hot_ref = _ray.put(_hot_bucket_keys(exploded, group_cap))
+    hot, pair_keys = _bucket_census(exploded, group_cap)
+    hot_ref = _ray.put(hot)
     bucket_fn = _lsh_bucket_fn(
         bands, rows_per_band, jaccard_threshold, group_cap, star=True,
         hot_ref=hot_ref,
     )
-    return exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_fn, batch_format="pandas"
-    )
+    return _filter_pair_buckets(exploded, pair_keys).groupby(
+        ["band", "band_hash"]
+    ).map_groups(bucket_fn, batch_format="pandas")
 
 
 
-def _hot_bucket_keys(exploded, group_cap: int) -> set:
-    """Keys of band buckets that MAY hold more than ``group_cap``
-    distinct signatures (per-batch distinct partials summed — an upper
-    bound, so overcounting can only mark extra buckets hot, which is
-    SAFE: the emission gate merely defers those pairs to a later,
-    genuinely-under-cap band). The hot set is tiny by construction
-    (only pathological buckets) and broadcastable.
+def _bucket_census(
+    exploded, group_cap: int, pair_keys_limit: int = 2_000_000
+) -> tuple:
+    """One vectorized pass over the banded rows returning
+    ``(hot_keys, pair_keys)``:
+
+    - ``hot_keys``: buckets that MAY hold more than ``group_cap``
+      distinct signatures (per-batch distinct partials summed — an
+      upper bound, so overcounting can only mark extra buckets hot,
+      which is SAFE: the emission gate merely defers those pairs to a
+      later, genuinely-under-cap band). Tiny by construction.
+    - ``pair_keys``: buckets holding ≥ 2 rows — the only buckets that
+      can emit anything. Filtering the groupby input to these removes
+      the singleton-bucket mass (the vast majority of buckets: every
+      band of every non-duplicated doc), whose per-group dispatch
+      otherwise dominates the op. ``None`` when the qualifying set
+      exceeds ``pair_keys_limit`` (callers then skip the filter —
+      correctness is unchanged, only the dispatch saving is lost; the
+      join-based filter is the documented growth path).
 
     Census shape: per-batch partials → ONE key-collocating sort →
     per-block vectorized pandas groupby-sum. After the sort a key's
     rows are contiguous, so a key strictly interior to a block has its
-    complete sum there (emitted iff > cap); a key whose range touches a
-    block edge is that block's first/last key and its per-block pieces
-    are emitted for a driver-side combine (≤ 2 rows per block — tiny).
-    This replaces Ray's per-group aggregate dispatch, whose ~1 ms/group
-    Python overhead dominated the whole minhash family at small scale."""
+    complete sums there; a key whose range touches a block edge is
+    that block's first/last key and its per-block pieces are emitted
+    for a driver-side combine (≤ 2 rows per block — tiny). This
+    replaces Ray's per-group aggregate dispatch (~1 ms/group Python
+    overhead) that dominated the whole minhash family at small scale."""
     cap = int(group_cap)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            batch.groupby(["band", "band_hash"], sort=False)["minhash"]
-            .nunique()
-            .reset_index(name="nd")
-        )
+        g = batch.groupby(["band", "band_hash"], sort=False).agg(
+            nd=("minhash", "nunique"), nr=("minhash", "size")
+        ).reset_index()
         return g
 
     def block_census(b: pd.DataFrame) -> pd.DataFrame:
         g = (
-            b.groupby(["band", "band_hash"], sort=False)["nd"]
-            .sum()
+            b.groupby(["band", "band_hash"], sort=False)
+            .agg(nd=("nd", "sum"), nr=("nr", "sum"))
             .reset_index()
         )
         first = (b["band"].iloc[0], b["band_hash"].iloc[0])
@@ -234,7 +247,7 @@ def _hot_bucket_keys(exploded, group_cap: int) -> set:
             ((g["band"] == first[0]) & (g["band_hash"] == first[1]))
             | ((g["band"] == last[0]) & (g["band_hash"] == last[1]))
         )
-        keep = g[is_edge | (g["nd"] > cap)].copy()
+        keep = g[is_edge | (g["nd"] > cap) | (g["nr"] >= 2)].copy()
         keep["edge"] = is_edge[keep.index]
         return keep
 
@@ -245,15 +258,42 @@ def _hot_bucket_keys(exploded, group_cap: int) -> set:
         .take_all()
     )
     hot: set = set()
-    edge_sums: dict = {}
+    pair_keys: set = set()
+    edge_nd: dict = {}
+    edge_nr: dict = {}
     for r in rows:
         key = (int(r["band"]), r["band_hash"])
         if r["nd"] > cap:
             hot.add(key)
+        if r["nr"] >= 2 and not r["edge"]:
+            pair_keys.add(key)
         if r["edge"]:
-            edge_sums[key] = edge_sums.get(key, 0) + int(r["nd"])
-    hot.update(k for k, v in edge_sums.items() if v > cap)
-    return hot
+            edge_nd[key] = edge_nd.get(key, 0) + int(r["nd"])
+            edge_nr[key] = edge_nr.get(key, 0) + int(r["nr"])
+    hot.update(k for k, v in edge_nd.items() if v > cap)
+    pair_keys.update(k for k, v in edge_nr.items() if v >= 2)
+    if len(pair_keys) > pair_keys_limit:
+        pair_keys = None
+    return hot, pair_keys
+
+
+def _filter_pair_buckets(exploded, pair_keys):
+    """Drop rows of buckets that cannot emit (singletons). ``pair_keys``
+    is broadcast once via ``ray.put``; the membership test is a
+    vectorized pandas isin on the combined key."""
+    if pair_keys is None:
+        return exploded
+    import ray as _ray
+
+    keys_ref = _ray.put({f"{b}:{h}" for b, h in pair_keys})
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        combined = b["band"].astype(str) + ":" + b["band_hash"]
+        return b[combined.isin(_ray.get(keys_ref))]
+
+    return exploded.map_batches(keep, batch_format="pandas")
 
 
 def _band_explode_fn(bands: int, rows_per_band: int):

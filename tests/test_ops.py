@@ -427,7 +427,7 @@ def test_hot_bucket_census_counts_keys_split_across_blocks(ray_session):
     import pandas as pd
     import ray.data as rd
 
-    from reffy_ray.ops.dedup import _hot_bucket_keys
+    from reffy_ray.ops.dedup import _bucket_census
 
     # one bucket with 12 distinct signatures spread over MANY blocks
     # (each per-block piece is tiny, only the cross-block sum exceeds
@@ -442,10 +442,13 @@ def test_hot_bucket_census_counts_keys_split_across_blocks(ray_session):
     exploded = rd.from_pandas(
         [pd.DataFrame(rows[i : i + 2]) for i in range(0, len(rows), 2)]
     )
-    hot = _hot_bucket_keys(exploded, group_cap=10)
+    hot, pair_keys = _bucket_census(exploded, group_cap=10)
     assert hot == {(0, "hot-key")}
+    # both multi-row buckets qualify as pair buckets, split or not
+    assert pair_keys == {(0, "hot-key"), (1, "cold")}
     # below-cap key never flagged even when split
-    assert _hot_bucket_keys(exploded, group_cap=12) == set()
+    hot2, _ = _bucket_census(exploded, group_cap=12)
+    assert hot2 == set()
 
 
 def test_quantize_embeddings_roundtrip(ray_session):
