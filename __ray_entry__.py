@@ -2686,22 +2686,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id
         """,
         # ops/similarity.quantize_embeddings: per-vector int8 symmetric
-        # quantization, float64 floors on both sides
+        # quantization, float64 floors on both sides; zero/empty
+        # vectors pin to scale 0 / all-zero qvec exactly like the op
         "quantize_embeddings": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     COALESCE(list_aggregate(
+                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                       'max'), 0.0) AS mx
+              FROM embeddings
+            )
             SELECT vec_id,
-                   CAST(floor(list_aggregate(
-                          list_transform(embedding,
-                                         x -> abs(CAST(x AS DOUBLE))),
-                          'max') * 1000000) AS BIGINT) AS scale_ppm,
-                   array_to_string(
+                   CAST(floor(mx * 1000000) AS BIGINT) AS scale_ppm,
+                   COALESCE(array_to_string(
                      list_transform(embedding,
-                       x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 /
-                              list_aggregate(
-                                list_transform(embedding,
-                                               y -> abs(CAST(y AS DOUBLE))),
-                                'max')) AS BIGINT) AS VARCHAR)),
-                     ',') AS qvec
-            FROM embeddings
+                       x -> CAST(CASE WHEN mx = 0 THEN 0
+                                 ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0
+                                                 / mx) AS BIGINT)
+                                 END AS VARCHAR)),
+                     ','), '') AS qvec
+            FROM s
         """,
         # q_curation_pipeline: near_dedup ∧ gopher ∧ decontaminate ∧
         # stratified_sample, then the 10k token-budget prefix — each

@@ -272,13 +272,11 @@ def run_once() -> dict:
         # informational (NOT part of the headline value, which stays
         # comparable round-over-round): the end-to-end curation
         # composite over the same sf dir
-        import time as _t
-
         import __ray_entry__ as _entry
 
-        t0 = _t.perf_counter()
+        t0 = time.perf_counter()
         _entry.queries()["curation_pipeline"](SF_DIR).materialize()
-        extras["curation_pipeline"] = round(_t.perf_counter() - t0, 3)
+        extras["curation_pipeline"] = round(time.perf_counter() - t0, 3)
     out = {
         "metric": "headline pipelines wall time (crawl+parse_extract+dedup+ann+text_ops)",
         "value": total,

@@ -286,12 +286,16 @@ def _filter_pair_buckets(exploded, pair_keys):
     import ray as _ray
 
     keys_ref = _ray.put({f"{b}:{h}" for b, h in pair_keys})
+    cache: dict = {}  # per-worker-process deserialized set (repo memo pattern)
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
             return b
+        keys = cache.get("k")
+        if keys is None:
+            keys = cache["k"] = _ray.get(keys_ref)
         combined = b["band"].astype(str) + ":" + b["band_hash"]
-        return b[combined.isin(_ray.get(keys_ref))]
+        return b[combined.isin(keys)]
 
     return exploded.map_batches(keep, batch_format="pandas")
 

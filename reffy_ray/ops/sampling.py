@@ -419,7 +419,8 @@ def near_dedup_best(
     labels = join_ready(
         near_dup_cluster_labels(ds, **cluster_kwargs)
     )
-    if labels.count() == 0:
+    n_labels = labels.count()
+    if n_labels == 0:
         return ds
     member_q = labels.join(
         join_ready(quality.select_columns([id_col, quality_col])),
@@ -427,7 +428,16 @@ def near_dedup_best(
         num_partitions=safe_num_blocks(labels),
         on=("doc_id",),
         right_on=(id_col,),
-    )
+    ).materialize()
+    if member_q.count() != n_labels:
+        # an inner join would silently keep near-dups whose quality row
+        # is missing (they'd land in no cluster group and never be
+        # dropped) — refuse instead of quietly violating the contract
+        raise ValueError(
+            f"near_dedup_best: quality table covers {member_q.count()} of "
+            f"{n_labels} cluster members; score every corpus doc "
+            f"(compute quality over ds itself) before deduplicating"
+        )
 
     def losers(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([quality_col, "doc_id"], ascending=[False, True])

@@ -449,8 +449,8 @@ def quantize_embeddings(ds: rd.Dataset) -> rd.Dataset:
         lst = batch.column("embedding").combine_chunks()
         if isinstance(lst, pa.ChunkedArray):  # zero-chunk edge
             lst = pa.concat_arrays(lst.chunks or [pa.array([], pa.list_(pa.float32()))])
-        flat = np.abs(lst.flatten().to_numpy(zero_copy_only=False)).astype(np.float64)
         vals = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        flat = np.abs(vals)
         offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         starts, lens = offsets[:-1], np.diff(offsets)
         # per-vector max|v| without a Python loop (reduceat skips

@@ -273,3 +273,34 @@ def test_resume_shard_mismatch_restarts(ray_session, tmp_path):
     docs = res2.documents().take_all()
     assert len(docs) == n
     assert len({d["doc_id"] for d in docs}) == n
+
+
+def test_quantize_oracle_zero_and_empty_vector_parity(ray_session, tmp_path):
+    """Review fix: DuckDB x/0.0 yields NULL qvec elements and
+    array_to_string([]) yields NULL — the oracle must pin both to the
+    op's all-zero / empty-string emission."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    pq.write_table(
+        pa.table({"vec_id": [0, 1, 2],
+                  "embedding": [[0.5, -1.0], [0.0, 0.0], []]}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    ours = m.queries()["quantize_embeddings"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    orc = con.execute(m.oracle_sql()["quantize_embeddings"]).fetchdf()
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(ours), norm(orc), check_dtype=True)

@@ -289,3 +289,20 @@ def test_token_budget_sample_exact_prefix(ray_session):
     assert out.n_tokens.sum() <= budget
     # the next doc in order would overflow — budget is tight
     assert out.n_tokens.sum() + order[len(expect)]["n_tokens"] > budget
+
+
+def test_near_dedup_best_rejects_partial_quality(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from reffy_ray.ops.sampling import near_dedup_best
+
+    dup = ("the quick brown fox jumps over the lazy dog again and again "
+           "for a very long repeated passage of text") * 3
+    rows = [
+        {"doc_id": 1, "text": dup},
+        {"doc_id": 2, "text": dup + " EXTRAALPHAWORDS"},
+    ]
+    quality = rd.from_items([{"doc_id": 1, "alpha_ppm": 100}])  # 2 missing
+    with _pytest.raises(ValueError, match="quality table covers"):
+        near_dedup_best(rd.from_items(rows), quality, jaccard_threshold=0.5)
