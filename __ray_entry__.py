@@ -195,6 +195,42 @@ def q_word_counts(sf_dir: str):
     )
 
 
+def q_bigram_counts(sf_dir: str):
+    from reffy_ray.ops.text import bigram_counts
+
+    return bigram_counts(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+
+
+def q_dup_size_hist(sf_dir: str):
+    from reffy_ray.ops.dedup import dup_size_hist
+
+    return dup_size_hist(_docs(sf_dir))
+
+
+def q_vocab_size_by_lang(sf_dir: str):
+    from reffy_ray.ops.text import vocab_size_by_lang
+
+    return vocab_size_by_lang(_docs(sf_dir, columns=("lang", "text")))
+
+
+def q_funnel_conversion(sf_dir: str):
+    from reffy_ray.ops.stats import funnel_conversion
+
+    return funnel_conversion(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+        )
+    )
+
+
+def q_interleave_sources(sf_dir: str):
+    from reffy_ray.ops.sampling import interleave_sources
+
+    return interleave_sources(_docs(sf_dir, columns=("doc_id", "source")))
+
+
 def q_quality(sf_dir: str):
     from reffy_ray.ops.text import quality_score
 
@@ -1553,7 +1589,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_tokens": q_bpeish_tokens,
         "quality_score": q_quality,
         "word_counts": q_word_counts,
+        "bigram_counts": q_bigram_counts,
         "exact_dedup": q_exact_dedup,
+        "dup_size_hist": q_dup_size_hist,
+        "vocab_size_by_lang": q_vocab_size_by_lang,
+        "funnel_conversion": q_funnel_conversion,
+        "interleave_sources": q_interleave_sources,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -2140,9 +2181,72 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> ''
             GROUP BY word
         """,
+        # Empty tokens are dropped BEFORE pairing (row_number re-indexes
+        # the filtered stream), matching the engine's filtered-list zip.
+        "bigram_counts": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\W+')) AS w,
+                     generate_subscripts(
+                       regexp_split_to_array(lower(text), '\W+'), 1) AS i
+              FROM documents
+            ),
+            filtered AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM toks WHERE w <> ''
+            )
+            SELECT a.w AS w1, b.w AS w2, count(*) AS n
+            FROM filtered a
+            JOIN filtered b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+            GROUP BY a.w, b.w
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM documents GROUP BY md5(text)
+        """,
+        "dup_size_hist": """
+            SELECT sz, count(*) AS n_clusters FROM (
+              SELECT count(*) AS sz FROM documents GROUP BY md5(text)
+            ) GROUP BY sz
+        """,
+        "vocab_size_by_lang": r"""
+            SELECT lang, count(DISTINCT word) AS vocab
+            FROM (
+              SELECT lang,
+                     unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+              FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY lang
+        """,
+        # first-occurrence funnel: NULL-safe >= comparisons drop users
+        # missing a step (NULL >= x is NULL → not counted)
+        "funnel_conversion": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+              FROM events GROUP BY user_id
+            )
+            SELECT count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n_view,
+                   count(CASE WHEN t1 >= t0 THEN 1 END) AS n_click,
+                   count(CASE WHEN t1 >= t0 AND t2 >= t1 THEN 1 END)
+                     AS n_purchase
+            FROM f
+        """,
+        "interleave_sources": """
+            WITH ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                     ) - 1 AS mix_rank
+              FROM documents
+            )
+            SELECT doc_id, source, mix_rank,
+                   row_number() OVER (ORDER BY mix_rank, source) - 1 AS mix_pos
+            FROM ranked
         """,
         "ann_topk": """
             SELECT query_id, vec_id FROM (

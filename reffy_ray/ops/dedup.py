@@ -36,6 +36,22 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
     return hashed.groupby("content_md5").map_groups(first, batch_format="pandas")
 
 
+def dup_size_hist(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Exact-duplicate cluster-size histogram (sz, n_clusters): how
+    many content-hash groups have exactly ``sz`` members. The standard
+    corpus-audit artifact before choosing a dedup policy.
+
+    Scale shape: one content-hash groupby-count (the same exchange
+    ``exact_dedup`` pays), then a second groupby over the tiny
+    (distinct sizes) table — the histogram itself never exceeds a few
+    dozen rows no matter the corpus size. All-integer output."""
+    from ray.data.aggregate import Count
+
+    hashed = ds.map_batches(lambda b: _md5_col(b, text_col), batch_format="pyarrow")
+    sizes = hashed.groupby("content_md5").aggregate(Count(alias_name="sz"))
+    return sizes.groupby("sz").aggregate(Count(alias_name="n_clusters"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

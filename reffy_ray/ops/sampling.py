@@ -539,3 +539,120 @@ def temperature_mix(
         return batch.select([id_col, key_col]).filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def interleave_sources(
+    ds: rd.Dataset,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Deterministic round-robin interleave of a multi-source corpus —
+    the training-data *ordering* step: emit one document per source in
+    turn (source order ties broken alphabetically) so no single source
+    forms long contiguous runs in the token stream. Output columns:
+    ``mix_rank`` (0-based position within the row's source, by id) and
+    ``mix_pos`` (0-based global position in the interleaved order,
+    i.e. sorted by (mix_rank, source)). Both int64, fully determined
+    by the data — reproducible across runs, block layouts and cluster
+    sizes.
+
+    Scale shape: two key-collocating sorts, each followed by the same
+    distributed prefix-count census ``token_budget_sample`` uses — a
+    per-block (first-key, count) table (#blocks rows, the only driver
+    exchange), cumulative offsets broadcast back via ``ray.put``, then
+    a streaming per-block ``arange``. No per-row driver work; requires
+    ``id_col`` unique within ``source_col``."""
+    import ray as _ray
+
+    srt = (
+        ds.select_columns([id_col, source_col])
+        .sort([source_col, id_col])
+        .materialize()
+    )
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"src": pd.Series([], dtype="object"),
+                 "fid": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        g = b.groupby(source_col, sort=True)[id_col]
+        first = g.min()
+        return pd.DataFrame(
+            {"src": first.index, "fid": first.values, "cnt": g.size().values}
+        )
+
+    # batch_size=None → one batch per materialized block, so the assign
+    # pass below sees the same (source, first-id) segment keys
+    rows = sorted(
+        (r["src"], r["fid"], int(r["cnt"]))
+        for r in srt.map_batches(
+            census, batch_format="pandas", batch_size=None
+        ).take_all()
+    )
+    offsets: dict = {}
+    acc, cur = 0, None
+    for src, fid, cnt in rows:
+        if src != cur:
+            cur, acc = src, 0
+        offsets[(src, fid)] = acc
+        acc += cnt
+    off_ref = _ray.put(offsets)
+
+    def assign_rank(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            b = b.copy()
+            b["mix_rank"] = pd.Series([], dtype="int64")
+            return b
+        off = _ray.get(off_ref)
+        parts = []
+        for src, g in b.groupby(source_col, sort=True):
+            g = g.copy()
+            g["mix_rank"] = off[(src, g[id_col].iloc[0])] + np.arange(
+                len(g), dtype=np.int64
+            )
+            parts.append(g)
+        return pd.concat(parts)
+
+    ranked = srt.map_batches(assign_rank, batch_format="pandas", batch_size=None)
+    srt2 = ranked.sort(["mix_rank", source_col]).materialize()
+
+    def census2(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"r0": pd.Series([], dtype="int64"),
+                 "s0": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"r0": [int(b["mix_rank"].iloc[0])],
+             "s0": [b[source_col].iloc[0]],
+             "cnt": [len(b)]}
+        )
+
+    rows2 = sorted(
+        (int(r["r0"]), r["s0"], int(r["cnt"]))
+        for r in srt2.map_batches(
+            census2, batch_format="pandas", batch_size=None
+        ).take_all()
+    )
+    off2: dict = {}
+    acc = 0
+    for r0, s0, cnt in rows2:
+        off2[(r0, s0)] = acc
+        acc += cnt
+    off2_ref = _ray.put(off2)
+
+    def assign_pos(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if not len(b):
+            b["mix_pos"] = pd.Series([], dtype="int64")
+            return b
+        base = _ray.get(off2_ref)[
+            (int(b["mix_rank"].iloc[0]), b[source_col].iloc[0])
+        ]
+        b["mix_pos"] = base + np.arange(len(b), dtype=np.int64)
+        return b
+
+    return srt2.map_batches(assign_pos, batch_format="pandas", batch_size=None)

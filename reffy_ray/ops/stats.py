@@ -130,3 +130,74 @@ def global_quantiles(
         before = int(cum[b - 1]) if b > 0 else 0
         out[name] = [cache[b][r - before - 1]]
     return pa.table(out)
+
+
+def funnel_conversion(
+    events: rd.Dataset,
+    steps=("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Ordered-funnel user counts over FIRST-occurrence times: a user
+    reaches step k iff they reached step k-1 and their earliest step-k
+    event is no earlier than their earliest step-(k-1) event (a
+    monotone chain of first-occurrence timestamps — the standard
+    product-analytics funnel over an append-only event log).
+
+    Scale shape: per-batch (user, step)-min partials (combiner) → one
+    ``groupby(user)`` Min per step (rows = distinct users, far below
+    raw events) → per-batch condition counts → tiny global sum. All
+    comparisons are on int64 microseconds; the output is ONE all-int64
+    row with an ``n_<step>`` column per funnel step."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    tcols = [f"_t{i}" for i in range(len(steps))]
+
+    def partial_mins(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "u": batch.column(user_col).to_pandas(),
+                "ty": batch.column(type_col).to_pandas(),
+                # int64 µs ≈ 1.7e15 ≪ 2^53, so later float round-trips
+                # in pandas blocks stay exact
+                "t": batch.column(ts_col).cast(pa.int64()).to_pandas(),
+            }
+        )
+        out = pd.DataFrame(index=pd.Index(df["u"].unique(), name="u"))
+        for step, c in zip(steps, tcols):
+            out[c] = df[df["ty"] == step].groupby("u")["t"].min()
+        out = out.reset_index()
+        cols = {user_col: pa.array(out["u"].astype("int64"))}
+        for c in tcols:
+            cols[c] = pa.array(out[c].astype("Int64"))
+        return pa.table(cols)
+
+    per_user = (
+        events.map_batches(partial_mins, batch_format="pyarrow")
+        .groupby(user_col)
+        .aggregate(*[Min(c, alias_name=c) for c in tcols])
+    )
+
+    def count_conditions(b: pd.DataFrame) -> pd.DataFrame:
+        reached = b[tcols[0]].notna()
+        counts = {f"n_{steps[0]}": [int(reached.sum())]}
+        for prev, cur, step in zip(tcols, tcols[1:], steps[1:]):
+            # NaN comparisons are False, so missing steps drop out here
+            reached = reached & (b[cur] >= b[prev])
+            counts[f"n_{step}"] = [int(reached.sum())]
+        return pd.DataFrame(counts)
+
+    partial_counts = per_user.map_batches(count_conditions, batch_format="pandas")
+    totals = (
+        partial_counts.aggregate(
+            *[Sum(f"n_{s}", alias_name=f"n_{s}") for s in steps]
+        )
+        or {}
+    )
+    # empty event log → Sum yields no value: every step count is 0
+    return pa.table(
+        {f"n_{s}": [int(totals.get(f"n_{s}") or 0)] for s in steps}
+    )

@@ -502,3 +502,82 @@ def unigram_logppl(ds) -> "object":
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# N-gram (bigram) counts — LM-table construction
+# ---------------------------------------------------------------------------
+
+
+def bigram_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial bigram counts over lowercased ``\\W+``-split
+    tokens (same tokenizer as ``word_counts``). One (w1, w2, n) row per
+    distinct adjacent pair per batch leaves the task — the combiner
+    pattern: the global groupby shuffles pair partials, not token
+    streams. This is the building block for n-gram LM tables
+    (the bigram tier above ``unigram_logppl``'s table)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        toks = [w for w in re.split(r"\W+", (text or "").lower()) if w]
+        counts.update(zip(toks, toks[1:]))
+    pairs = sorted(counts)
+    return pa.table(
+        {
+            "w1": pa.array([p[0] for p in pairs], pa.string()),
+            "w2": pa.array([p[1] for p in pairs], pa.string()),
+            "n": pa.array([counts[p] for p in pairs], pa.int64()),
+        }
+    )
+
+
+def vocab_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch DISTINCT (lang, token) pairs — the dedup analog of the
+    combiner pattern: at most one row per distinct pair per batch
+    leaves the task, so the global exchange carries partial vocabularies
+    rather than token streams."""
+    pairs = set()
+    for lang, text in zip(
+        batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+    ):
+        for w in re.split(r"\W+", (text or "").lower()):
+            if w:
+                pairs.add((lang, w))
+    out = sorted(pairs)
+    return pa.table(
+        {
+            "lang": pa.array([p[0] for p in out], pa.string()),
+            "token": pa.array([p[1] for p in out], pa.string()),
+        }
+    )
+
+
+def vocab_size_by_lang(ds) -> "object":
+    """Distinct-token (exact vocabulary size) count per language —
+    the lexical-richness audit of a multilingual corpus. Per-batch
+    distinct partials → one groupby over (lang, token) to finish the
+    global dedup → a trivial per-lang count of the surviving rows.
+    All-integer; exact (no sketch), so the cost is one shuffle of the
+    partial-vocabulary table — bounded by Heaps' law, far below the
+    token stream."""
+    from ray.data.aggregate import Count
+
+    partials = ds.map_batches(vocab_partials, batch_format="pyarrow")
+    distinct = partials.groupby(["lang", "token"]).aggregate(Count(alias_name="_n"))
+    return (
+        distinct.drop_columns(["_n"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="vocab"))
+    )
+
+
+def bigram_counts(ds) -> "object":
+    """Global adjacent-word-pair counts: per-batch partials → one small
+    groupby-sum over (w1, w2). Scale shape: the shuffle carries at most
+    (#distinct pairs per batch) rows per task; vocabulary² is the upper
+    bound but real text follows Zipf, so partials compress heavily."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(bigram_count_partials, batch_format="pyarrow")
+    return partials.groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))

@@ -477,3 +477,71 @@ def test_quantize_embeddings_roundtrip(ray_session):
     # reconstruction error bounded by one quantization step
     recon = np.array(out.qvec[2].tolist()) * (out.scale_ppm[2] / 1e6) / 127.0
     assert np.abs(recon - np.array(vecs[2])).max() <= 2.0 / 127.0 + 1e-9
+
+
+def test_bigram_counts_cross_batch_and_empty_tokens(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.text import bigram_counts
+
+    tbl = pa.table({
+        "text": pa.array([
+            "The cat -- the cat sat",   # punctuation splits; case folds
+            "the cat",                  # cross-doc pair repeats
+            "",                         # empty doc contributes nothing
+            "one",                      # single token: no pair
+        ]),
+    })
+    out = (
+        bigram_counts(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .set_index(["w1", "w2"])["n"]
+        .to_dict()
+    )
+    # "--" collapses to one split: (cat, the) is adjacent in doc 0
+    assert out == {
+        ("the", "cat"): 3,
+        ("cat", "the"): 1,
+        ("cat", "sat"): 1,
+    }
+
+
+def test_dup_size_hist(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import dup_size_hist
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["a", "a", "a", "b", "b", "c"]),
+    })
+    out = (
+        dup_size_hist(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .set_index("sz")["n_clusters"]
+        .to_dict()
+    )
+    assert out == {3: 1, 2: 1, 1: 1}
+
+
+def test_vocab_size_by_lang_cross_batch_distinct(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.text import vocab_size_by_lang
+
+    tbl = pa.table({
+        "lang": pa.array(["en", "en", "fr", "fr"]),
+        "text": pa.array([
+            "the cat THE dog",   # case folds: the/cat/dog = 3
+            "the bird",          # +bird = 4 (the already seen cross-batch)
+            "le chat",
+            "",                  # empty adds nothing
+        ]),
+    })
+    out = (
+        vocab_size_by_lang(rd.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .set_index("lang")["vocab"]
+        .to_dict()
+    )
+    assert out == {"en": 4, "fr": 2}

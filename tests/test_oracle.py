@@ -64,10 +64,12 @@ ORACLE_KEYS = [
     "css_from_text", "events_from_text", "algorithms_from_text",
     "cddl_from_text", "elements_from_text", "annotate_links_sf",
     "token_count", "bpeish_tokens", "quality_score", "lang_id",
-    "exact_dedup", "ann_topk", "lineitem_agg", "orders_by_segment",
+    "exact_dedup", "dup_size_hist", "vocab_size_by_lang",
+    "funnel_conversion", "interleave_sources",
+    "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "frame_sample",
-    "word_counts", "sessionize",
+    "word_counts", "bigram_counts", "sessionize",
     "fingerprint", "simhash", "minhash_pairs", "jaccard_pairs",
     "embedding_near_dups",
     "sample_split", "stratified_sample", "source_cap",

@@ -306,3 +306,26 @@ def test_near_dedup_best_rejects_partial_quality(ray_session):
     quality = rd.from_items([{"doc_id": 1, "alpha_ppm": 100}])  # 2 missing
     with _pytest.raises(ValueError, match="quality table covers"):
         near_dedup_best(rd.from_items(rows), quality, jaccard_threshold=0.5)
+
+
+def test_interleave_sources_round_robin(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reffy_ray.ops.sampling import interleave_sources
+
+    # uneven sources: a has 3 docs, b has 2, c has 1
+    tbl = pa.table({
+        "doc_id": pa.array([10, 11, 12, 20, 21, 30], pa.int64()),
+        "source": pa.array(["a", "a", "a", "b", "b", "c"]),
+    })
+    out = (
+        interleave_sources(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values("mix_pos")
+        .reset_index(drop=True)
+    )
+    # round-robin: rank-0 of a,b,c then rank-1 of a,b then rank-2 of a
+    assert out["doc_id"].tolist() == [10, 20, 30, 11, 21, 12]
+    assert out["mix_rank"].tolist() == [0, 0, 0, 1, 1, 2]
+    assert out["mix_pos"].tolist() == [0, 1, 2, 3, 4, 5]

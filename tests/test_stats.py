@@ -63,3 +63,50 @@ def test_global_quantiles_degenerate(ray_session):
     ds = rd.from_arrow(pa.table({"v": [7.0] * 10}))
     out = global_quantiles(ds, value="v", qs=(0.5,)).to_pandas()
     assert out.iloc[0]["q50"] == 7.0
+
+
+def test_funnel_conversion_first_occurrence_chain(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import funnel_conversion
+
+    def ev(uid, ty, sec):
+        return (uid, ty, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec))
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # user 2: clicked BEFORE first view -> stops at view
+        ev(2, "click", 0), ev(2, "view", 5),
+        # user 3: view+click, no purchase
+        ev(3, "view", 0), ev(3, "click", 1),
+        # user 4: purchase only -> no view, counted nowhere
+        ev(4, "purchase", 0),
+        # user 5: equal timestamps count (>= chain)
+        ev(5, "view", 7), ev(5, "click", 7), ev(5, "purchase", 7),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = funnel_conversion(rd.from_arrow(tbl).repartition(3)).to_pydict()
+    assert out == {"n_view": [4], "n_click": [3], "n_purchase": [2]}
+
+
+def test_funnel_conversion_empty_log(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import funnel_conversion
+
+    empty = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+    }))
+    assert funnel_conversion(empty).to_pydict() == {
+        "n_view": [0], "n_click": [0], "n_purchase": [0],
+    }
