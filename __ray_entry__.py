@@ -231,6 +231,12 @@ def q_interleave_sources(sf_dir: str):
     return interleave_sources(_docs(sf_dir, columns=("doc_id", "source")))
 
 
+def q_rank_buckets(sf_dir: str):
+    from reffy_ray.ops.sampling import rank_buckets
+
+    return rank_buckets(_docs(sf_dir, columns=("doc_id", "n_chars")))
+
+
 def q_quality(sf_dir: str):
     from reffy_ray.ops.text import quality_score
 
@@ -1595,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_size_by_lang": q_vocab_size_by_lang,
         "funnel_conversion": q_funnel_conversion,
         "interleave_sources": q_interleave_sources,
+        "rank_buckets": q_rank_buckets,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -2247,6 +2254,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, mix_rank,
                    row_number() OVER (ORDER BY mix_rank, source) - 1 AS mix_pos
             FROM ranked
+        """,
+        "rank_buckets": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                       AS rank_idx
+              FROM documents
+            )
+            SELECT doc_id, n_chars, rank_idx,
+                   (rank_idx * 10) // (SELECT count(*) FROM documents)
+                     AS bucket
+            FROM r
         """,
         "ann_topk": """
             SELECT query_id, vec_id FROM (

@@ -616,43 +616,92 @@ def interleave_sources(
         return pd.concat(parts)
 
     ranked = srt.map_batches(assign_rank, batch_format="pandas", batch_size=None)
-    srt2 = ranked.sort(["mix_rank", source_col]).materialize()
+    # global position in the interleaved order: a plain global rank
+    # over the (mix_rank, source) key — (rank, source) is unique
+    pos, _ = global_rank(ranked, ("mix_rank", source_col), out_col="mix_pos")
+    return pos
 
-    def census2(b: pd.DataFrame) -> pd.DataFrame:
+
+def global_rank(
+    ds: rd.Dataset, keys, out_col: str = "rank_idx"
+) -> tuple[rd.Dataset, int]:
+    """0-based global dense row index in ``keys`` order (the key tuple
+    must be unique per row — it identifies each sorted block's first
+    row). Returns (dataset + ``out_col``, total row count).
+
+    The distributed prefix-count primitive behind
+    ``token_budget_sample`` / ``interleave_sources`` / ``rank_buckets``:
+    one key-collocating sort, a per-block (first-key, count) census
+    (#blocks rows — the only driver exchange), cumulative offsets
+    broadcast back via ``ray.put``, then a streaming per-block
+    ``arange``. No per-row driver work."""
+    import ray as _ray
+
+    keys = list(keys)
+    srt = ds.sort(keys).materialize()
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
-            return pd.DataFrame(
-                {"r0": pd.Series([], dtype="int64"),
-                 "s0": pd.Series([], dtype="object"),
-                 "cnt": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(
-            {"r0": [int(b["mix_rank"].iloc[0])],
-             "s0": [b[source_col].iloc[0]],
-             "cnt": [len(b)]}
-        )
+            cols = {f"k{i}": pd.Series([], dtype="object") for i in range(len(keys))}
+            cols["cnt"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
+        cols = {f"k{i}": [b[k].iloc[0]] for i, k in enumerate(keys)}
+        cols["cnt"] = [len(b)]
+        return pd.DataFrame(cols)
 
-    rows2 = sorted(
-        (int(r["r0"]), r["s0"], int(r["cnt"]))
-        for r in srt2.map_batches(
-            census2, batch_format="pandas", batch_size=None
+    # batch_size=None → one batch per materialized block, so the assign
+    # pass sees the same first-key tuples
+    rows = sorted(
+        (tuple(r[f"k{i}"] for i in range(len(keys))), int(r["cnt"]))
+        for r in srt.map_batches(
+            census, batch_format="pandas", batch_size=None
         ).take_all()
     )
-    off2: dict = {}
+    offsets: dict = {}
     acc = 0
-    for r0, s0, cnt in rows2:
-        off2[(r0, s0)] = acc
+    for key, cnt in rows:
+        offsets[key] = acc
         acc += cnt
-    off2_ref = _ray.put(off2)
+    total = acc
+    off_ref = _ray.put(offsets)
 
-    def assign_pos(b: pd.DataFrame) -> pd.DataFrame:
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         if not len(b):
-            b["mix_pos"] = pd.Series([], dtype="int64")
+            b[out_col] = pd.Series([], dtype="int64")
             return b
-        base = _ray.get(off2_ref)[
-            (int(b["mix_rank"].iloc[0]), b[source_col].iloc[0])
-        ]
-        b["mix_pos"] = base + np.arange(len(b), dtype=np.int64)
+        base = _ray.get(off_ref)[tuple(b[k].iloc[0] for k in keys)]
+        b[out_col] = base + np.arange(len(b), dtype=np.int64)
         return b
 
-    return srt2.map_batches(assign_pos, batch_format="pandas", batch_size=None)
+    return srt.map_batches(assign, batch_format="pandas", batch_size=None), total
+
+
+def rank_buckets(
+    ds: rd.Dataset,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+) -> rd.Dataset:
+    """Equal-frequency bucketing by EXACT global rank: each row gets its
+    0-based dense rank in (value, id) order plus
+    ``bucket = rank·buckets // n`` — the curation step that stratifies a
+    corpus into e.g. length deciles for per-decile sampling/inspection
+    without approximating the quantile boundaries. All-integer output
+    (rank_idx, bucket); ties broken by id so results are reproducible
+    across runs and block layouts.
+
+    Scale shape: the one-sort prefix-count census of ``global_rank`` —
+    no full materialization on the driver, no approximate sketch."""
+    ranked, total = global_rank(
+        ds.select_columns([id_col, value_col]), (value_col, id_col)
+    )
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (
+            b["rank_idx"].to_numpy(dtype=np.int64, copy=False) * buckets
+        ) // max(total, 1)
+        return b
+
+    return ranked.map_batches(bucketize, batch_format="pandas")

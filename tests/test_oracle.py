@@ -65,7 +65,7 @@ ORACLE_KEYS = [
     "cddl_from_text", "elements_from_text", "annotate_links_sf",
     "token_count", "bpeish_tokens", "quality_score", "lang_id",
     "exact_dedup", "dup_size_hist", "vocab_size_by_lang",
-    "funnel_conversion", "interleave_sources",
+    "funnel_conversion", "interleave_sources", "rank_buckets",
     "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "frame_sample",

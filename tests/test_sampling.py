@@ -329,3 +329,29 @@ def test_interleave_sources_round_robin(ray_session):
     assert out["doc_id"].tolist() == [10, 20, 30, 11, 21, 12]
     assert out["mix_rank"].tolist() == [0, 0, 0, 1, 1, 2]
     assert out["mix_pos"].tolist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_rank_buckets_exact_deciles(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reffy_ray.ops.sampling import rank_buckets
+
+    # 20 rows, values descending so rank != input order; ties on value
+    # broken by doc_id
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "n_chars": pa.array([19 - i for i in range(19)] + [18], pa.int64()),
+    })
+    out = (
+        rank_buckets(rd.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("rank_idx")
+        .reset_index(drop=True)
+    )
+    assert out["rank_idx"].tolist() == list(range(20))
+    # n=20, buckets=10 -> exactly 2 per bucket
+    assert out["bucket"].tolist() == [i // 2 for i in range(20)]
+    # value 18 appears twice (doc 1 and doc 19): doc 1 ranks first
+    tie = out[out["n_chars"] == 18]
+    assert tie["doc_id"].tolist() == [1, 19]
