@@ -1420,6 +1420,15 @@ def q_unigram_logppl(sf_dir: str):
     return unigram_logppl(_docs(sf_dir))
 
 
+def q_bigram_logppl(sf_dir: str):
+    """Bigram LM quality signal (ops/text.bigram_logppl): per-doc mean
+    −log2 p(w2|w1) under the corpus's own bigram LM, snapped to 4 dp
+    (the repo's bitwise-stable float convention)."""
+    from reffy_ray.ops.text import bigram_logppl
+
+    return bigram_logppl(_docs(sf_dir))
+
+
 def q_check_missing_dfns(sf_dir: str):
     """Missing-definitions checker (post/check_dfns, reference
     check-missing-dfns.js) over a deterministic fixture: every doc
@@ -1659,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": q_substring_dedup,
         "check_missing_dfns": q_check_missing_dfns,
         "unigram_logppl": q_unigram_logppl,
+        "bigram_logppl": q_bigram_logppl,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
     }
@@ -1865,6 +1875,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    round(sum(-log2(n / t)) / count(*), 4) AS logppl
             FROM tok JOIN freq USING (word), tot
+            GROUP BY doc_id
+        """,
+        # MATERIALIZED: tok self-joins and pairs feeds three consumers —
+        # without the hint DuckDB re-evaluates the unnest closure each time
+        "bigram_logppl": r"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\W+')) AS w,
+                       generate_subscripts(
+                         regexp_split_to_array(lower(text), '\W+'), 1) AS i
+                FROM documents)
+              WHERE w <> ''
+            ),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+            ),
+            bg AS MATERIALIZED (
+              SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2
+            ),
+            ctx AS (SELECT w1, sum(n) AS cn FROM bg GROUP BY w1)
+            SELECT doc_id,
+                   round(sum(-log2(n / cn)) / count(*), 4) AS logppl
+            FROM pairs JOIN bg USING (w1, w2) JOIN ctx USING (w1)
             GROUP BY doc_id
         """,
         "check_missing_dfns": """

@@ -437,6 +437,24 @@ def doc_token_partials(batch: pa.Table) -> pa.Table:
     )
 
 
+def _empty_logppl(ds) -> "object":
+    """Typed empty (doc_id, logppl) result for a corpus with no scored
+    positions — keeps the join path from ever seeing a zero-column
+    empty LM side."""
+    import ray.data as rd
+
+    try:
+        id_type = dict(zip(ds.schema().names, ds.schema().types))["doc_id"]
+    except Exception:
+        id_type = pa.int64()
+    return rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], id_type),
+             "logppl": pa.array([], pa.float64())}
+        )
+    )
+
+
 def unigram_logppl(ds) -> "object":
     """Per-document unigram log-perplexity under the corpus's own
     unigram LM — the CCNet-style language-model quality signal (lower
@@ -461,6 +479,8 @@ def unigram_logppl(ds) -> "object":
     # crash join partitions (see util.join_ready)
     freq = join_ready(word_counts(ds))  # (word, n) — distributed LM
     total = freq.sum("n")
+    if not total:  # no tokens anywhere → every doc is omitted
+        return _empty_logppl(ds)
 
     toks = ds.map_batches(doc_token_partials, batch_format="pyarrow")
     joined = toks.join(
@@ -581,3 +601,117 @@ def bigram_counts(ds) -> "object":
 
     partials = ds.map_batches(bigram_count_partials, batch_format="pyarrow")
     return partials.groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+
+
+def doc_pair_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch (doc_id, w1, w2, tf, n_pairs) partials — one row per
+    distinct adjacent pair per document (same tokenizer as
+    ``bigram_count_partials``), with the document's total pair count
+    carried on every row. Documents with fewer than two tokens emit
+    nothing."""
+    from collections import Counter
+
+    ids = batch.column("doc_id")
+    out_idx, out_w1, out_w2, out_tf, out_n = [], [], [], [], []
+    for idx, text in enumerate(batch.column("text").to_pylist()):
+        toks = [w for w in re.split(r"\W+", (text or "").lower()) if w]
+        counts = Counter(zip(toks, toks[1:]))
+        n_pairs = sum(counts.values())
+        for pair in sorted(counts):
+            out_idx.append(idx)
+            out_w1.append(pair[0])
+            out_w2.append(pair[1])
+            out_tf.append(counts[pair])
+            out_n.append(n_pairs)
+    return pa.table(
+        {
+            "doc_id": pc.take(ids, pa.array(out_idx, pa.int64())),
+            "w1": pa.array(out_w1, pa.string()),
+            "w2": pa.array(out_w2, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "n_pairs": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def bigram_logppl(ds) -> "object":
+    """Per-document BIGRAM log-perplexity under the corpus's own
+    bigram LM — the next tier above ``unigram_logppl``: mean over
+    adjacent-pair positions of −log2 p(w2 | w1), with
+    p(w2 | w1) = corpus pair count / corpus first-word context count
+    (context counts derived from the pair table itself, so the model
+    is self-consistent by construction).
+
+    Scale shape: the LM is the ``bigram_counts`` combiner table and
+    its per-w1 rollup — both stay distributed; per-doc pair partials
+    hash-join them ((w1, w2) key, then w1 key), then one per-doc sum.
+    Nothing corpus- or vocabulary-sized is broadcast or collected.
+    Output snapped to 4 decimal places (the repo's bitwise-stable
+    float convention). Documents with fewer than two tokens are
+    omitted (no pair positions)."""
+    from ray.data.aggregate import Min, Sum
+
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    bg = join_ready(bigram_counts(ds))  # (w1, w2, n)
+    if bg.count() == 0:  # no adjacent pair anywhere → every doc omitted
+        return _empty_logppl(ds)
+    ctx = join_ready(
+        bg.groupby("w1").aggregate(Sum("n", alias_name="cn"))
+    )  # (w1, cn)
+    # fold the context rollup into the pair table FIRST (LM-sized ⋈
+    # vocab-sized) so the corpus-sized doc-pair stream pays exactly ONE
+    # shuffle join below — and so no executed DAG holds two join
+    # operators at once (their reserved actor pools can deadlock a
+    # small cluster)
+    lm = join_ready(
+        bg.join(
+            ctx,
+            join_type="inner",
+            num_partitions=safe_num_blocks(ctx),
+            on=("w1",),
+        )
+    )  # (w1, w2, n, cn)
+
+    pairs = ds.map_batches(doc_pair_partials, batch_format="pyarrow")
+    joined = pairs.join(
+        lm,
+        join_type="inner",  # every doc pair is in the corpus LM
+        num_partitions=safe_num_blocks(lm),
+        on=("w1", "w2"),
+    )
+
+    def partial_bits(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").to_numpy().astype(np.float64)
+        n = b.column("n").to_numpy().astype(np.float64)
+        cn = b.column("cn").to_numpy().astype(np.float64)
+        bits = tf * (np.log2(cn) - np.log2(n))  # tf · −log2(n/cn)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "bits": pa.array(bits, pa.float64()),
+                "n_pairs": b.column("n_pairs"),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(partial_bits, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("bits", alias_name="bits"),
+            Min("n_pairs", alias_name="n_pairs"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        bits = b.column("bits").to_numpy().astype(np.float64)
+        n = b.column("n_pairs").to_numpy().astype(np.float64)
+        ppl = np.round(bits / n * 1e4) / 1e4
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "logppl": pa.array(ppl, pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -545,3 +545,60 @@ def test_vocab_size_by_lang_cross_batch_distinct(ray_session):
         .to_dict()
     )
     assert out == {"en": 4, "fr": 2}
+
+
+def test_bigram_logppl_matches_manual(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from reffy_ray.ops.text import bigram_logppl
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat sat the cat ran",
+            "the cat sat",
+            "one",                      # single token: no pairs, omitted
+        ]),
+    })
+    out = (
+        bigram_logppl(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")["logppl"]
+    )
+    # corpus pairs: (the,cat)x3 (cat,sat)x2 (sat,the)x1 (cat,ran)x1
+    # contexts: the=3 cat=3 sat=1
+    n = {("the", "cat"): 3, ("cat", "sat"): 2, ("sat", "the"): 1,
+         ("cat", "ran"): 1}
+    cn = {"the": 3, "cat": 3, "sat": 1}
+
+    def manual(pairs):
+        bits = sum(-math.log2(n[p] / cn[p[0]]) for p in pairs)
+        return round(bits / len(pairs) * 1e4) / 1e4
+
+    d1 = [("the", "cat"), ("cat", "sat"), ("sat", "the"),
+          ("the", "cat"), ("cat", "ran")]
+    d2 = [("the", "cat"), ("cat", "sat")]
+    assert out.loc[1] == manual(d1)
+    assert out.loc[2] == manual(d2)
+    assert 3 not in out.index
+
+
+def test_logppl_empty_and_pairless_corpora(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.text import bigram_logppl, unigram_logppl
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert unigram_logppl(empty).count() == 0
+    assert bigram_logppl(empty).count() == 0
+    # non-empty docs but no adjacent pair anywhere
+    pairless = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["one", ""]),
+    }))
+    assert bigram_logppl(pairless).count() == 0

@@ -84,7 +84,7 @@ ORACLE_KEYS = [
     "group_centroids", "pack_chunks", "boilerplate",
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
     "patch_dfns", "duplicated_substrings", "substring_dedup",
-    "check_missing_dfns", "unigram_logppl", "semantic_dedup",
+    "check_missing_dfns", "unigram_logppl", "bigram_logppl", "semantic_dedup",
     "fuzzy_decontaminate",
 ]
 
