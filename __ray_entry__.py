@@ -243,6 +243,12 @@ def q_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(quality_score, batch_format="pyarrow")
 
 
+def q_char_entropy(sf_dir: str):
+    from reffy_ray.ops.text import char_entropy
+
+    return _docs(sf_dir).map_batches(char_entropy, batch_format="pyarrow")
+
+
 def q_exact_dedup(sf_dir: str):
     from reffy_ray.ops.dedup import exact_dedup
 
@@ -1611,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": q_funnel_conversion,
         "interleave_sources": q_interleave_sources,
         "rank_buckets": q_rank_buckets,
+        "char_entropy": q_char_entropy,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -2291,6 +2298,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, mix_rank,
                    row_number() OVER (ORDER BY mix_rank, source) - 1 AS mix_pos
             FROM ranked
+        """,
+        # char = code point on both sides: RE2's [\s\S] steps over UTF-8
+        # code points like Python str iteration; 4-dp snap absorbs the
+        # summation-order ulp between DuckDB and numpy
+        "char_entropy": r"""
+            WITH ch AS MATERIALIZED (
+              SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+              FROM documents WHERE text <> ''
+            ),
+            cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, count(*) AS t FROM ch GROUP BY doc_id)
+            SELECT doc_id, round(sum(-(k / t) * log2(k / t)), 4) AS entropy
+            FROM cnt JOIN tot USING (doc_id)
+            GROUP BY doc_id
         """,
         "rank_buckets": """
             WITH r AS (

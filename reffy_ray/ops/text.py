@@ -715,3 +715,28 @@ def bigram_logppl(ds) -> "object":
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def char_entropy(batch: pa.Table) -> pa.Table:
+    """Per-document Shannon entropy of the CHARACTER distribution
+    (code points), in bits — the classic gibberish/low-diversity
+    signal: random bytes score high, aaaa-style repetition scores near
+    zero, natural language sits in a narrow band. Pure map stage (no
+    shuffle); one numpy unique+entropy per doc. Output snapped to 4
+    decimal places (the repo's bitwise-stable float convention);
+    empty documents are omitted (entropy undefined)."""
+    ids, ents = [], []
+    for idx, text in enumerate(batch.column("text").to_pylist()):
+        if not text:
+            continue
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        _, counts = np.unique(codes, return_counts=True)
+        p = counts / counts.sum()
+        ents.append(float(np.round(-(p * np.log2(p)).sum() * 1e4) / 1e4))
+        ids.append(idx)
+    return pa.table(
+        {
+            "doc_id": pc.take(batch.column("doc_id"), pa.array(ids, pa.int64())),
+            "entropy": pa.array(ents, pa.float64()),
+        }
+    )

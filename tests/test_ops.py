@@ -602,3 +602,29 @@ def test_logppl_empty_and_pairless_corpora(ray_session):
         "text": pa.array(["one", ""]),
     }))
     assert bigram_logppl(pairless).count() == 0
+
+
+def test_char_entropy_known_values(ray_session):
+    import math
+
+    from reffy_ray.ops.text import char_entropy
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "aaaa",      # single symbol: 0 bits
+            "ab",        # uniform over 2: 1 bit
+            "aab",       # 2/3,1/3
+            "",          # empty: omitted
+        ]),
+    })
+    out = char_entropy(batch).to_pandas().set_index("doc_id")["entropy"]
+    assert out.loc[1] == 0.0
+    assert out.loc[2] == 1.0
+    expect = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert out.loc[3] == round(expect * 1e4) / 1e4
+    assert 4 not in out.index
+    # unicode: 4 distinct code points, uniform -> 2 bits
+    uni = pa.table({"doc_id": pa.array([9], pa.int64()),
+                    "text": pa.array(["héλ🎈"])})
+    assert char_entropy(uni).to_pandas()["entropy"].iloc[0] == 2.0

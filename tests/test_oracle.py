@@ -66,6 +66,7 @@ ORACLE_KEYS = [
     "token_count", "bpeish_tokens", "quality_score", "lang_id",
     "exact_dedup", "dup_size_hist", "vocab_size_by_lang",
     "funnel_conversion", "interleave_sources", "rank_buckets",
+    "char_entropy",
     "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "frame_sample",
