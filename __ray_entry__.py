@@ -225,6 +225,89 @@ def q_funnel_conversion(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (ops/window.sessionize): 8-hour
+    inactivity gap over the event log — the median inter-event gap in
+    the synthetic stream is ~7.3 h, so sessions mix multi-event runs
+    and singletons."""
+    from reffy_ray.ops.window import sessionize
+
+    return sessionize(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        ),
+        gap_us=28_800_000_000,
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention (ops/stats.cohort_retention) over a
+    staggered event log: users shifted by (user_id % 4) weeks so four
+    cohorts exist, with deterministic (user*7+week) % 5 dropout so the
+    triangle has real attrition."""
+    from reffy_ray.ops.stats import WEEK_US, cohort_retention
+
+    def stagger(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) + (u % 4) * WEEK_US
+        week = t // WEEK_US
+        keep = (u * 7 + week) % 5 != 0
+        return pa.table(
+            {
+                "user_id": pa.array(u[keep], pa.int64()),
+                "ts": pa.array(t[keep], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(stagger, batch_format="pyarrow")
+    return cohort_retention(ev)
+
+
+def q_line_dedup(sf_dir: str):
+    """Cross-corpus keep-first line dedup (ops/curation.line_dedup)
+    over the same line-laced corpus as q_boilerplate: the planted
+    footers survive only in their first document, and the corpus's
+    exact-duplicate documents collapse to empty text (anchors keep
+    them in the output)."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.curation import line_dedup
+
+    def lace(batch: pa.Table) -> pa.Table:
+        lined = pc.replace_substring_regex(
+            batch.column("text"),
+            pattern=r"(\w+ \w+ \w+ \w+ \w+) ",
+            replacement="\\1\n",
+        )
+        with_footer = pc.binary_join_element_wise(
+            lined, "all rights reserved footer", "\n"
+        )
+        extra = pc.binary_join_element_wise(
+            with_footer, "subscribe to newsletter", "\n"
+        )
+        text = pc.if_else(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0),
+            extra,
+            with_footer,
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": text})
+
+    docs = _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        lace, batch_format="pyarrow"
+    )
+    return line_dedup(docs)
+
+
 def q_interleave_sources(sf_dir: str):
     from reffy_ray.ops.sampling import interleave_sources
 
@@ -1124,14 +1207,6 @@ def q_events_window(sf_dir: str):
     return partial.groupby(["event_type", "day"]).map_groups(merge, batch_format="pandas")
 
 
-def q_sessionize(sf_dir: str):
-    """Session windows per user over the events log (30-min gap)."""
-    from reffy_ray.ops.text import sessionize_events
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    return sessionize_events(ds, gap_minutes=30)
-
-
 # --- post-stage queries over testdata-derived inputs ----------------------
 # These exercise the crawl-level post-processors (S8 merger, A4
 # cssmerge, A5 events consolidation) on inputs derived deterministically
@@ -1615,6 +1690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_size_hist": q_dup_size_hist,
         "vocab_size_by_lang": q_vocab_size_by_lang,
         "funnel_conversion": q_funnel_conversion,
+        "sessionize": q_sessionize,
+        "cohort_retention": q_cohort_retention,
+        "line_dedup": q_line_dedup,
         "interleave_sources": q_interleave_sources,
         "rank_buckets": q_rank_buckets,
         "char_entropy": q_char_entropy,
@@ -1667,7 +1745,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "events_window": q_events_window,
-        "sessionize": q_sessionize,
         "crawl_fixture": q_crawl_fixture,
         "media_features": q_media_features,
         "patch_dfns": q_patch_dfns,
@@ -2287,6 +2364,88 @@ def oracle_sql() -> dict[str, str]:
                      AS n_purchase
             FROM f
         """,
+        # 8 h gap; all-int64 output (epoch µs) so the hash is free of
+        # timestamp-representation skew; event_id tiebreaks both
+        # windows so ts-ties order identically on both engines
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 28800000000
+                          THEN 1 ELSE 0 END AS s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), seq AS (
+              -- CAST: windowed sum() is HUGEINT in DuckDB; the engine
+              -- emits int64 and the driver hash is dtype-sensitive
+              SELECT user_id, t,
+                     CAST(sum(s) OVER (PARTITION BY user_id
+                                       ORDER BY t, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_seq
+              FROM o
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(t) AS start_us, max(t) AS end_us
+            FROM seq GROUP BY user_id, session_seq
+        """,
+        # same stagger + dropout pre-transform as q_cohort_retention;
+        # weeks are integer epoch-week indices on both sides
+        "cohort_retention": """
+            WITH ev AS (
+              SELECT user_id,
+                     epoch_us(ts) + (user_id % 4) * 604800000000 AS t
+              FROM events
+            ), wk AS (
+              SELECT user_id, t // 604800000000 AS week FROM ev
+              WHERE (user_id * 7 + (t // 604800000000)) % 5 <> 0
+            ), cohort AS (
+              SELECT user_id, min(week) AS cohort_week FROM wk
+              GROUP BY user_id
+            ), active AS (
+              SELECT DISTINCT user_id, week FROM wk
+            )
+            SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+                   count(*) AS n_users
+            FROM active a JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # same lacing as the boilerplate oracle; the first occurrence
+        # in (doc_id, line_no) order wins via the bijective order key
+        # doc_id*2^21 + line_no (ops/curation.LINE_KEY_SHIFT)
+        "line_dedup": r"""
+            WITH laced0 AS (
+              SELECT doc_id,
+                     regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ',
+                                    '\1' || chr(10), 'g')
+                       || chr(10) || 'all rights reserved footer' AS text
+              FROM documents
+            ), laced AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN text || chr(10) || 'subscribe to newsletter'
+                          ELSE text END AS text
+              FROM laced0
+            ), split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM laced
+            ), lines AS (
+              SELECT doc_id, i, ls[i] AS l
+              FROM split, LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+            ), firsts AS (
+              SELECT l, min(doc_id * 2097152 + (i - 1)) AS k
+              FROM lines WHERE l <> '' GROUP BY l
+            ), kept AS (
+              SELECT doc_id, i, l FROM lines
+              WHERE l = ''
+                 OR (doc_id * 2097152 + (i - 1)) IN (SELECT k FROM firsts)
+            )
+            SELECT s.doc_id,
+                   coalesce(string_agg(k.l, chr(10) ORDER BY k.i), '') AS text,
+                   len(s.ls) - count(k.l) AS n_removed
+            FROM split s LEFT JOIN kept k USING (doc_id)
+            GROUP BY s.doc_id, len(s.ls)
+        """,
         "interleave_sources": """
             WITH ranked AS (
               SELECT doc_id, source,
@@ -2382,25 +2541,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
-        """,
-        "sessionize": """
-            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
-            FROM (
-              SELECT user_id, ts,
-                     sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING
-                     ) AS session_idx
-              FROM (
-                SELECT user_id, ts,
-                       CASE WHEN ts - lag(ts) OVER (
-                              PARTITION BY user_id ORDER BY ts
-                            ) > INTERVAL 30 MINUTE
-                            THEN 1 ELSE 0 END AS new_session
-                FROM events
-              )
-            )
-            GROUP BY user_id, session_idx
         """,
         "events_window": """
             SELECT event_type, date_trunc('day', ts) AS day,

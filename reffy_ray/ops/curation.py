@@ -624,3 +624,126 @@ def fuzzy_decontaminate(
 
     drops = pairs.map_batches(cross_drops, batch_format="pyarrow").materialize()
     return filter_by_drop_ids(ds, drops, id_col, broadcast_limit)
+
+
+LINE_KEY_SHIFT = 21  # line_no < 2^21 per doc; doc_id < 2^42
+
+
+def line_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Cross-corpus keep-FIRST exact line deduplication (the C4 "dedup
+    repeated lines" step, with deterministic first-occurrence winners):
+    every distinct non-empty line survives only at its earliest
+    occurrence in ``(doc_id, line_no)`` order; empty lines always
+    survive (they carry document structure). Emits
+    ``(doc_id, text, n_removed)`` with surviving lines rejoined in
+    original order — the complement of
+    :func:`remove_boilerplate_lines`, which drops frequent lines from
+    EVERY document.
+
+    Scale shape: the winner of each line group is identified without a
+    join — the order key ``doc_id << 21 | line_no`` is a bijection, so
+    ``groupby(line).min(order_key)`` RETURNS the surviving occurrences
+    directly (decode doc_id/line_no from the min). One shuffle keyed by
+    line text for the dedup, one per-doc groupby for the rebuild;
+    anchor rows (line_no = -1) bypass the dedup so fully-duplicate and
+    empty documents still emit.
+    """
+    from ray.data.aggregate import Min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, line_nos, lines, n_lines = [], [], [], []
+
+        def emit(d: int, no: int, line, n: int) -> None:
+            doc_ids.append(d)
+            line_nos.append(no)
+            lines.append(line)
+            n_lines.append(n)
+
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            ls = (t or "").split("\n")
+            if len(ls) >= (1 << LINE_KEY_SHIFT):
+                raise ValueError(
+                    f"doc {d}: {len(ls)} lines overflows the order key"
+                )
+            emit(d, -1, None, len(ls))  # anchor: routes around dedup
+            for i, l in enumerate(ls):
+                emit(d, i, l, len(ls))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "line_no": pa.array(line_nos, pa.int64()),
+                "line": pa.array(lines, pa.string()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch.column("line_no"), 0),
+            pc.not_equal(batch.column("line"), ""),
+        )
+        b = batch.filter(mask)
+        return pa.table(
+            {
+                "line": b.column("line"),
+                "okey": pc.bit_wise_or(
+                    pc.shift_left(b.column("doc_id"), LINE_KEY_SHIFT),
+                    b.column("line_no"),
+                ),
+            }
+        )
+
+    winners = (
+        exploded.map_batches(keyed, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Min("okey", alias_name="okey"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        okey = batch.column("okey").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.shift_right(okey, LINE_KEY_SHIFT),
+                "line_no": pc.bit_wise_and(okey, (1 << LINE_KEY_SHIFT) - 1),
+                "line": batch.column("line"),
+                "n_lines": pa.array([-1] * len(batch), pa.int64()),
+            }
+        )
+
+    kept = winners.map_batches(decode, batch_format="pyarrow")
+
+    def passthrough(batch: pa.Table) -> pa.Table:
+        # anchors and empty lines skip the dedup shuffle entirely;
+        # Kleene or: the anchor's null line must not poison its mask
+        mask = pc.or_kleene(
+            pc.less(batch.column("line_no"), 0),
+            pc.equal(batch.column("line"), ""),
+        )
+        return batch.filter(mask)
+
+    side = exploded.map_batches(passthrough, batch_format="pyarrow")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        body = g[g["line_no"] >= 0].sort_values("line_no")
+        total = int(g["n_lines"].max())  # the anchor carries the count
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "text": ["\n".join(body["line"])],
+                "n_removed": [total - len(body)],
+            }
+        )
+
+    return (
+        kept.union(side)
+        .groupby("doc_id")
+        .map_groups(rebuild, batch_format="pandas")
+    )

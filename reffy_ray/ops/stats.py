@@ -201,3 +201,97 @@ def funnel_conversion(
     return pa.table(
         {f"n_{s}": [int(totals.get(f"n_{s}") or 0)] for s in steps}
     )
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def cohort_retention(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Weekly cohort-retention matrix: users are cohorted by the epoch
+    week of their FIRST event; for every (cohort_week, week_offset)
+    cell, count the distinct users from that cohort active in
+    cohort_week + week_offset — the standard product-analytics
+    retention triangle. All-int64 output
+    ``(cohort_week, week_offset, n_users)``.
+
+    Scale shape: per-batch distinct (user, week) partials (combiner)
+    immediately collapse the event log to its active-user-week set,
+    then ONE ``groupby(user)`` co-partitioning shuffle feeds both the
+    cohort (min week) and the offsets: a hash join of the distinct
+    pairs against the per-user cohort table on the same ``user`` key
+    (both sides already reduced far below the raw log), a stateless
+    offset map, and a tiny final groupby-sum. No driver-side per-user
+    work; no broadcast of the (at scale, huge) user table.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "week": pc.floor(
+                    pc.divide(
+                        batch.column(ts_col).cast(pa.int64()), WEEK_US
+                    )
+                ).cast(pa.int64()),
+            }
+        )
+        return t.group_by(["u", "week"]).aggregate([]).select(["u", "week"])
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        events.map_batches(pairs_partial, batch_format="pyarrow")
+        .groupby(["u", "week"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["u", "week"])
+        .materialize()
+    )
+    cohorts = (
+        pairs.groupby("u")
+        .aggregate(Min("week", alias_name="cohort_week"))
+    )
+
+    joined = pairs.join(
+        join_ready(cohorts),
+        join_type="inner",
+        num_partitions=safe_num_blocks(pairs),
+        on=("u",),
+    )
+
+    def to_cell(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week").cast(pa.int64()),
+                "week_offset": pc.subtract(
+                    batch.column("week").cast(pa.int64()),
+                    batch.column("cohort_week").cast(pa.int64()),
+                ),
+                "n": pa.array([1] * len(batch), pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(to_cell, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week"),
+                "week_offset": batch.column("week_offset"),
+                "n_users": batch.column("n_users").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -284,34 +284,6 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     return _singleton(Fingerprint)(batch)
 
 
-def sessionize_events(ds, gap_minutes: int = 30):
-    """Session windows over an event log: per user, a new session
-    starts when the gap to the previous event exceeds ``gap_minutes``
-    (gaps-and-islands). Partition by user (groupby shuffle), sort by ts
-    within the group, cumulative-sum the gap flags — the streaming-
-    shaped pattern from the ray_guide ('treat the input as an ordered,
-    partitioned log')."""
-    import pandas as pd
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        session_idx = gap.cumsum().astype("int64")
-        out = (
-            g.assign(session_idx=session_idx)
-            .groupby("session_idx")
-            .agg(
-                user_id=("user_id", "first"),
-                session_start=("ts", "min"),
-                n_events=("ts", "size"),
-            )
-            .reset_index(drop=True)
-        )
-        return out[["user_id", "session_start", "n_events"]]
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-
-
 # ---------------------------------------------------------------------------
 # Document frequency / salient terms (tf-df curation ops)
 # ---------------------------------------------------------------------------

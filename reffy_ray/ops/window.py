@@ -54,3 +54,146 @@ def rolling_agg(
         return g
 
     return ds.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
+def sessionize(
+    events: rd.Dataset,
+    gap_us: int = 28_800_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Gap-based sessionization: within each user's event stream
+    (ordered by ``(ts, event_id)``), a new session starts whenever the
+    gap to the previous event exceeds ``gap_us`` microseconds — the
+    standard clickstream/session-log primitive. Emits one row per
+    session: ``(user_id, session_seq, n_events, start_us, end_us)``,
+    all int64 (timestamps as epoch microseconds), so output hashes are
+    engine-independent. ``session_seq`` is 1-based per user.
+
+    Scale shape: ONE key-collocating sort on ``(user, ts, id)``, then
+    the same per-block census trick as ``sampling.global_rank`` — a
+    session boundary depends only on the previous row, so each
+    materialized block is summarized by (first row key, whether its
+    first row continues the previous block's session, prior session
+    count of its first user): #blocks rows on the driver, broadcast
+    back via ``ray.put``, then a fully vectorized per-block pass. The
+    final per-session reduce is a ``groupby`` on already-co-located
+    ``(user, session_seq)`` keys. No per-group dispatch, no per-row
+    driver work.
+    """
+    import pyarrow as pa
+    import ray as _ray
+    from ray.data.aggregate import Count, Max, Min
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "i": batch.column(id_col).cast(pa.int64()),
+            }
+        )
+
+    srt = (
+        events.select_columns([user_col, ts_col, id_col])
+        .map_batches(to_us, batch_format="pyarrow")
+        .sort(["u", "t", "i"])
+        .materialize()
+    )
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("fu", "ft", "fi", "lu", "lt", "nsl")}
+            )
+        u, t = b["u"].to_numpy(), b["t"].to_numpy()
+        start = np.ones(len(b), dtype=bool)
+        start[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        last = u[-1]
+        return pd.DataFrame(
+            {
+                "fu": [int(u[0])], "ft": [int(t[0])], "fi": [int(b["i"].iloc[0])],
+                "lu": [int(last)], "lt": [int(t[-1])],
+                # session starts belonging to the block's LAST user,
+                # counted as if the block's first row were a start
+                "nsl": [int(start[u == last].sum())],
+            }
+        )
+
+    blocks = sorted(
+        (int(r["fu"]), int(r["ft"]), int(r["fi"]),
+         int(r["lu"]), int(r["lt"]), int(r["nsl"]))
+        for r in srt.map_batches(
+            census, batch_format="pandas", batch_size=None
+        ).take_all()
+    )
+    # stitch blocks in key order: does each block's first row start a
+    # new session, and how many sessions has its first user already had
+    stitch: dict = {}
+    cur_u, cur_t, cur_n = None, None, 0
+    for fu, ft, fi, lu, lt, nsl in blocks:
+        cont = cur_u == fu and (ft - cur_t) <= gap_us
+        prior = cur_n if fu == cur_u else 0
+        stitch[(fu, ft, fi)] = (not cont, prior)
+        if lu == fu:
+            # nsl counted the block-first row as a start; undo if it
+            # actually continues the previous block's session
+            cur_n = prior + nsl - (1 if cont else 0)
+        else:
+            cur_n = nsl
+        cur_u, cur_t = lu, lt
+    st_ref = _ray.put(stitch)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("u", "t", "session_seq")}
+            )
+        first_is_start, prior = _ray.get(st_ref)[
+            (int(b["u"].iloc[0]), int(b["t"].iloc[0]), int(b["i"].iloc[0]))
+        ]
+        u, t = b["u"].to_numpy(), b["t"].to_numpy()
+        start = np.ones(len(b), dtype=bool)
+        start[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        start[0] = first_is_start
+        sid = np.cumsum(start)
+        user_change = np.ones(len(b), dtype=bool)
+        user_change[1:] = u[1:] != u[:-1]
+        # sid at each user segment's first row, forward-filled
+        base = np.maximum.accumulate(np.where(user_change, sid, 0))
+        ordinal = sid - base
+        # first user segment continues from prior blocks; later
+        # segments begin fresh with a guaranteed start row
+        seg0 = ~np.logical_or.accumulate(
+            np.concatenate(([False], user_change[1:]))
+        )
+        add = np.where(seg0, prior + int(first_is_start), 1)
+        return pd.DataFrame(
+            {"u": u, "t": t, "session_seq": (ordinal + add).astype(np.int64)}
+        )
+
+    per_row = srt.map_batches(assign, batch_format="pandas", batch_size=None)
+    out = (
+        per_row.groupby(["u", "session_seq"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("t", alias_name="start_us"),
+            Max("t", alias_name="end_us"),
+        )
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: b.column("u"),
+                "session_seq": b.column("session_seq"),
+                "n_events": b.column("n_events").cast(pa.int64()),
+                "start_us": b.column("start_us").cast(pa.int64()),
+                "end_us": b.column("end_us").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -628,3 +628,78 @@ def test_char_entropy_known_values(ray_session):
     uni = pa.table({"doc_id": pa.array([9], pa.int64()),
                     "text": pa.array(["héλ🎈"])})
     assert char_entropy(uni).to_pandas()["entropy"].iloc[0] == 2.0
+
+
+def test_sessionize_stitches_across_blocks(ray_session):
+    from reffy_ray.ops.window import sessionize
+
+    # user 1: gaps 5, 50, 5 with gap threshold 10 -> sessions (2, 2) ev
+    # user 2: one event; user 3: gaps 11, 11 -> three 1-event sessions
+    rows = [
+        (1, 0), (1, 5), (1, 55), (1, 60),
+        (2, 7),
+        (3, 0), (3, 11), (3, 22),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+    })
+    # many tiny blocks so session runs cross block boundaries
+    ds = rd.from_arrow(t).repartition(6)
+    out = (
+        sessionize(ds, gap_us=10)
+        .to_pandas()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    got = list(map(tuple, out.to_numpy()))
+    assert got == [
+        (1, 1, 2, 0, 5), (1, 2, 2, 55, 60),
+        (2, 1, 1, 7, 7),
+        (3, 1, 1, 0, 0), (3, 2, 1, 11, 11), (3, 3, 1, 22, 22),
+    ]
+
+
+def test_cohort_retention_triangle(ray_session):
+    from reffy_ray.ops.stats import WEEK_US, cohort_retention
+
+    # cohort week 0: users 1,2 active weeks {0,1} and {0} resp.;
+    # cohort week 1: user 3 active weeks {1, 3}
+    rows = [(1, 0), (1, 1), (2, 0), (3, 1), (3, 3)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [r[1] * WEEK_US + 17 for r in rows], pa.timestamp("us")
+        ),
+    })
+    out = (
+        cohort_retention(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got = list(map(tuple, out.to_numpy()))
+    assert got == [(0, 0, 2), (0, 1, 1), (1, 0, 1), (1, 2, 1)]
+
+
+def test_line_dedup_keep_first(ray_session):
+    from reffy_ray.ops.curation import line_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha\nbeta\n\ngamma",
+            "beta\ndelta\nalpha",   # alpha/beta lose to doc 0
+            "alpha\nbeta",          # fully duplicate -> empty text
+            "",                     # empty doc survives as-is
+        ]),
+    })
+    out = (
+        line_dedup(rd.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text"]) == ["alpha\nbeta\n\ngamma", "delta", "", ""]
+    assert list(out["n_removed"]) == [0, 2, 2, 0]

@@ -71,6 +71,7 @@ ORACLE_KEYS = [
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
     "frame_sample",
     "word_counts", "bigram_counts", "sessionize",
+    "cohort_retention", "line_dedup",
     "fingerprint", "simhash", "minhash_pairs", "jaccard_pairs",
     "embedding_near_dups",
     "sample_split", "stratified_sample", "source_cap",
