@@ -308,6 +308,50 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(docs)
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed exact-parity Lloyd k-means
+    (ops/similarity.kmeans): k=8 seeds = lowest vec_ids, 2 assignment
+    passes, 6-dp centroid snap."""
+    from reffy_ray.ops.similarity import kmeans
+
+    return kmeans(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        k=8,
+        iters=2,
+    )
+
+
+def q_pagerank(sf_dir: str):
+    """3-iteration PageRank (ops/graph.pagerank) over a hub-skewed
+    deterministic link graph derived from the corpus: each doc links to
+    doc_id // j for j in {2, 4, 8}, so low ids are hubs and the rank
+    distribution spans ~3 orders of magnitude."""
+    import numpy as np
+
+    from reffy_ray.ops.graph import pagerank
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        src = np.repeat(ids, 3)
+        j = np.tile(np.array([2, 4, 8]), len(ids))
+        return pd.DataFrame(
+            {
+                "src": src.astype("int64"),
+                "dst": (src // j).astype("int64"),
+            }
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pandas")
+    return pagerank(edges, n_nodes=n, iters=3)
+
+
 def q_interleave_sources(sf_dir: str):
     from reffy_ray.ops.sampling import interleave_sources
 
@@ -1755,6 +1799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logppl": q_bigram_logppl,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "kmeans": q_kmeans,
+        "pagerank": q_pagerank,
     }
 
 
@@ -2787,6 +2833,109 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings,
                  LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
             GROUP BY label, i
+        """,
+        # ops/similarity.kmeans(k=8, iters=2): seeds = 8 lowest
+        # vec_ids in id order; one centroid update (6-dp snapped
+        # mean, same convention as group_centroids) then a final
+        # nearest-centroid labeling. Squared euclidean in the SQL —
+        # monotone with the engine's sqrt'd distance, so argmin +
+        # lowest-cluster tie-break agree.
+        "kmeans": """
+            WITH seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                     embedding
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)
+            ), elems AS (
+              SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings,
+                   LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+            ), seed_elems AS (
+              SELECT cluster, i AS dim, CAST(embedding[i] AS DOUBLE) AS c
+              FROM seeds,
+                   LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+            ), d1 AS (
+              SELECT e.vec_id, s.cluster,
+                     sum((e.x - s.c) * (e.x - s.c)) AS d2
+              FROM elems e JOIN seed_elems s ON e.dim = s.dim
+              GROUP BY e.vec_id, s.cluster
+            ), a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2 ASC, cluster ASC) AS rn
+                FROM d1) WHERE rn = 1
+            ), cent AS (
+              SELECT a1.cluster, e.dim, round(avg(e.x), 6) AS c
+              FROM a1 JOIN elems e ON a1.vec_id = e.vec_id
+              GROUP BY a1.cluster, e.dim
+            ), d2 AS (
+              SELECT e.vec_id, c.cluster,
+                     sum((e.x - c.c) * (e.x - c.c)) AS dd
+              FROM elems e JOIN cent c ON e.dim = c.dim
+              GROUP BY e.vec_id, c.cluster
+            )
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+              SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dd ASC, cluster ASC) AS rn
+              FROM d2) WHERE rn = 1
+        """,
+        # ops/graph.pagerank(iters=3, damping=0.85) over the derived
+        # doc_id -> doc_id // {2,4,8} link graph; outdeg is 3 for
+        # every node. CAST(0.85 AS DOUBLE) reproduces the engine's
+        # float64 constants bit-for-bit ((1 - 0.85) != decimal 0.15);
+        # per-iteration 12-dp snap keeps summation order out of the
+        # hash; floor(r*1e9 + 0.5) is evaluated on the identical
+        # double on both sides.
+        "pagerank": """
+            WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src, doc_id // j AS dst
+              FROM documents, (VALUES (2), (4), (8)) AS v(j)
+            ),
+            nodes AS (
+              SELECT CAST(unnest(generate_series(
+                       0, (SELECT count(*) FROM documents) - 1))
+                     AS BIGINT) AS node
+            ),
+            r0 AS (SELECT node,
+                          CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+                   FROM nodes),
+            c1 AS (SELECT e.dst AS node, sum(r0.r / 3) AS c
+                   FROM edges e JOIN r0 ON e.src = r0.node
+                   GROUP BY e.dst),
+            r1 AS (SELECT nd.node,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                                  / (SELECT n FROM nn)
+                                + CAST(0.85 AS DOUBLE)
+                                  * coalesce(c1.c, CAST(0 AS DOUBLE)),
+                                12) AS r
+                   FROM nodes nd LEFT JOIN c1 ON nd.node = c1.node),
+            c2 AS (SELECT e.dst AS node, sum(r1.r / 3) AS c
+                   FROM edges e JOIN r1 ON e.src = r1.node
+                   GROUP BY e.dst),
+            r2 AS (SELECT nd.node,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                                  / (SELECT n FROM nn)
+                                + CAST(0.85 AS DOUBLE)
+                                  * coalesce(c2.c, CAST(0 AS DOUBLE)),
+                                12) AS r
+                   FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node),
+            c3 AS (SELECT e.dst AS node, sum(r2.r / 3) AS c
+                   FROM edges e JOIN r2 ON e.src = r2.node
+                   GROUP BY e.dst),
+            r3 AS (SELECT nd.node,
+                          round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                                  / (SELECT n FROM nn)
+                                + CAST(0.85 AS DOUBLE)
+                                  * coalesce(c3.c, CAST(0 AS DOUBLE)),
+                                12) AS r
+                   FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)
+            SELECT node,
+                   CAST(floor(r * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     AS rank_e9
+            FROM r3
         """,
         # ops/curation.repetition_stats over the query's laced input
         # (newline per 5 words; doc_id%3==0 duplicated wholesale):

@@ -277,6 +277,10 @@ def run_once() -> dict:
         t0 = time.perf_counter()
         _entry.queries()["curation_pipeline"](SF_DIR).materialize()
         extras["curation_pipeline"] = round(time.perf_counter() - t0, 3)
+        for extra in ("kmeans", "pagerank"):
+            t0 = time.perf_counter()
+            _entry.queries()[extra](SF_DIR).materialize()
+            extras[extra] = round(time.perf_counter() - t0, 3)
     out = {
         "metric": "headline pipelines wall time (crawl+parse_extract+dedup+ann+text_ops)",
         "value": total,

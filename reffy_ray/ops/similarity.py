@@ -479,3 +479,96 @@ def quantize_embeddings(ds: rd.Dataset) -> rd.Dataset:
         )
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def kmeans(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    snap: int = 6,
+) -> rd.Dataset:
+    """Distributed Lloyd k-means with DETERMINISTIC, engine-exact
+    semantics: seeds are the ``k`` vectors with the smallest ids;
+    each pass assigns every vector to the nearest centroid (euclidean,
+    ties → lowest cluster id); recomputed centroids are snapped to
+    ``snap`` decimals so float summation order never leaks into the
+    next assignment. ``iters`` assignment passes total — the returned
+    ``(id, cluster)`` labels come from the last one. Unlike
+    :func:`train_ivf_centroids` (driver-side sampled quantizer
+    training), every pass here streams the FULL corpus.
+
+    Scale shape: centroids are tiny state broadcast via ``ray.put``;
+    each pass is a stateless ``map_batches`` emitting k×(sum, count)
+    partials (combiner), so one pass moves k·num_blocks rows — never
+    the corpus. Distances are computed exactly like a per-element
+    sequential double sum (dims < numpy's pairwise threshold), so
+    assignments match a SQL engine bit-for-bit; raises if a cluster
+    empties (the SQL analogue silently drops it — fail loud instead).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+
+    def seed_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.nsmallest(k, id_col)
+
+    seeds = (
+        ds.map_batches(seed_partial, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(k, id_col)
+        .sort_values(id_col)
+    )
+    cent = np.stack(seeds[vec_col].to_numpy()).astype(np.float64)
+
+    def assign_of(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+        d = x[:, None, :] - c[None, :, :]
+        # dim < 128 → np.sum over the last axis is a sequential double
+        # sum, bit-identical to a SQL engine's list_distance loop
+        dist = np.sqrt((d * d).sum(axis=2))
+        return dist.argmin(axis=1)  # first (lowest) cluster wins ties
+
+    for _ in range(iters - 1):
+        cref = ray.put(cent)
+
+        def partial_sums(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            a = assign_of(x, c)
+            rows = []
+            for ci in np.unique(a):
+                m = a == ci
+                rows.append(
+                    {
+                        "cluster": int(ci),
+                        "n": int(m.sum()),
+                        "s": x[m].sum(axis=0).tolist(),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(
+            partial_sums, batch_format="pandas"
+        ).to_pandas()
+        new = cent.copy()
+        for ci in range(k):
+            sub = parts[parts["cluster"] == ci]
+            if not len(sub):
+                raise ValueError(f"k-means cluster {ci} emptied")
+            total = np.sum(np.stack(sub["s"].to_numpy()), axis=0)
+            new[ci] = np.round(total / int(sub["n"].sum()), snap)
+        cent = new
+
+    cref = ray.put(cent)
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64"),
+                "cluster": assign_of(x, c).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pandas")

@@ -87,7 +87,7 @@ ORACLE_KEYS = [
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
     "patch_dfns", "duplicated_substrings", "substring_dedup",
     "check_missing_dfns", "unigram_logppl", "bigram_logppl", "semantic_dedup",
-    "fuzzy_decontaminate",
+    "fuzzy_decontaminate", "kmeans", "pagerank",
 ]
 
 
