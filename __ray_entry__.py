@@ -352,6 +352,55 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, n_nodes=n, iters=3)
 
 
+def _doc_graph_edges(sf_dir: str):
+    """Deterministic undirected test graph over doc ids: intra-block
+    chain (i, i+1) and skip link (i, i+2) within blocks of 10 (the
+    skip links create triangles), plus a block-merging bridge
+    (i, i+13) from every block head — so components span two blocks
+    and have diameter ~20. Already canonical (a < b) and duplicate
+    free."""
+    import numpy as np
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        i = batch["doc_id"].to_numpy().astype("int64")
+        outs = []
+        for step, keep in (
+            (1, i % 10 < 9),
+            (2, i % 10 < 8),
+            (13, i % 10 == 0),
+        ):
+            m = keep & (i + step < n)
+            outs.append(
+                pd.DataFrame({"a": i[m], "b": i[m] + step})
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return docs.map_batches(mk_edges, batch_format="pandas")
+
+
+def q_cc_components(sf_dir: str):
+    """Connected components (ops/sampling.connected_components:
+    min-label CCF rounds) over the derived doc graph; representative =
+    component min id."""
+    from reffy_ray.ops.sampling import connected_components
+
+    return connected_components(_doc_graph_edges(sf_dir))
+
+
+def q_triangle_count(sf_dir: str):
+    """Per-node triangle counts (ops/graph.triangles: wedge join +
+    composite-key closing join) over the derived doc graph — the skip
+    links make every chain step a triangle."""
+    from reffy_ray.ops.graph import triangles
+
+    return triangles(_doc_graph_edges(sf_dir), src_col="a", dst_col="b")
+
+
 def q_interleave_sources(sf_dir: str):
     from reffy_ray.ops.sampling import interleave_sources
 
@@ -1801,6 +1850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "kmeans": q_kmeans,
         "pagerank": q_pagerank,
+        "cc_components": q_cc_components,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -2936,6 +2987,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(r * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                      AS rank_e9
             FROM r3
+        """,
+        # ops/sampling.connected_components over the derived doc
+        # graph (_doc_graph_edges): generic min-reachability closure —
+        # min reachable id == component min == the engine's min-label
+        # fixpoint. UNION (not UNION ALL) dedups rows so the recursion
+        # terminates.
+        "cc_components": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 < 9
+                AND doc_id + 1 < (SELECT count(*) FROM documents)
+              UNION ALL
+              SELECT doc_id, doc_id + 2 FROM documents
+              WHERE doc_id % 10 < 8
+                AND doc_id + 2 < (SELECT count(*) FROM documents)
+              UNION ALL
+              SELECT doc_id, doc_id + 13 FROM documents
+              WHERE doc_id % 10 = 0
+                AND doc_id + 13 < (SELECT count(*) FROM documents)
+            ), sym AS (
+              SELECT a AS u, b AS v FROM e0
+              UNION ALL SELECT b, a FROM e0
+            ), gnodes AS (
+              SELECT DISTINCT u AS node FROM sym
+            ), reach AS (
+              SELECT node, node AS r FROM gnodes
+              UNION
+              SELECT p.node, s.v FROM reach p JOIN sym s ON p.r = s.u
+            )
+            SELECT node AS doc_id, min(r) AS cluster_rep
+            FROM reach GROUP BY node
+        """,
+        # ops/graph.triangles over the same derived graph: each
+        # triangle {x<y<z} found once via its middle-vertex wedge
+        # (x,y)+(y,z) closed by (x,z); per-node count = corner
+        # expansion.
+        "triangle_count": """
+            WITH e0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 < 9
+                AND doc_id + 1 < (SELECT count(*) FROM documents)
+              UNION ALL
+              SELECT doc_id, doc_id + 2 FROM documents
+              WHERE doc_id % 10 < 8
+                AND doc_id + 2 < (SELECT count(*) FROM documents)
+              UNION ALL
+              SELECT doc_id, doc_id + 13 FROM documents
+              WHERE doc_id % 10 = 0
+                AND doc_id + 13 < (SELECT count(*) FROM documents)
+            ), tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e0 e1
+              JOIN e0 e2 ON e1.b = e2.a
+              JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node, count(*) AS triangles FROM (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ) GROUP BY node
         """,
         # ops/curation.repetition_stats over the query's laced input
         # (newline per 5 words; doc_id%3==0 duplicated wholesale):

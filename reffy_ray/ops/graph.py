@@ -5,6 +5,10 @@ Dataset, the crawl-side "which pages matter" signal (reference analog:
 the crawl prioritizes specs by how often they are referenced; see
 ``post/backrefs.py`` for the link graph itself).
 
+``triangles`` — per-node triangle counts over an undirected edge list,
+the clustering-coefficient numerator (mirror-site / citation-ring
+detection signal in a crawl corpus).
+
 Engine-exact semantics: every iteration's ranks are snapped to a fixed
 decimal grid, so float summation order (which no distributed engine or
 SQL database guarantees) never compounds across iterations — the same
@@ -39,10 +43,105 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     snap: int = 12,
+    mode: str = "auto",
+    broadcast_max_nodes: int = 20_000_000,
 ) -> rd.Dataset:
     """PageRank over integer node ids ``0..n_nodes-1``. ``edges`` has
     one row per directed edge (parallel edges count twice). Returns
-    ``(node, rank_e9)`` — rank ×1e9 rounded to int64."""
+    ``(node, rank_e9)`` — rank ×1e9 rounded to int64.
+
+    Two execution tiers with IDENTICAL math (same per-iteration snap,
+    same constants, so both hash-match the SQL oracle):
+
+    - ``broadcast`` (n_nodes ≤ ``broadcast_max_nodes``, i.e. the rank
+      vector is node-sized driver state ≤ ~160 MB): ranks live in one
+      dense float64 array shipped per iteration via ``ray.put``; each
+      iteration is ONE stateless ``map_batches`` over the (still fully
+      distributed, corpus-sized) edge list emitting per-block
+      ``bincount`` partials, reduced driver-side with ``np.add.at``.
+      No join / union / groupby operators to spin up, so fixed
+      per-iteration overhead is one map stage.
+    - ``join`` (beyond that): ranks stay a distributed table; each
+      iteration is an edges⋈ranks hash join on ``src`` plus a
+      ``groupby(dst)`` sum — nothing node-sized ever reaches the
+      driver. This is the 100 TB / billion-node path.
+    """
+    if mode == "auto":
+        mode = "broadcast" if n_nodes <= broadcast_max_nodes else "join"
+    if mode == "broadcast":
+        return _pagerank_broadcast(
+            edges, n_nodes, iters, damping, src_col, dst_col, snap
+        )
+    return _pagerank_join(
+        edges, n_nodes, iters, damping, src_col, dst_col, snap
+    )
+
+
+def _pagerank_broadcast(
+    edges: rd.Dataset,
+    n_nodes: int,
+    iters: int,
+    damping: float,
+    src_col: str,
+    dst_col: str,
+    snap: int,
+) -> rd.Dataset:
+    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(batch[src_col].to_numpy(), minlength=n_nodes)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"node": nz, "n": c[nz]})
+
+    edges = edges.materialize()
+    dparts = edges.map_batches(deg_partial, batch_format="pandas").to_pandas()
+    outdeg = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(outdeg, dparts["node"].to_numpy(), dparts["n"].to_numpy())
+
+    base = (1.0 - damping) / n_nodes
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    safe_deg = np.maximum(outdeg, 1)  # sources always have outdeg >= 1
+
+    for _ in range(iters):
+        wref = ray.put(r / safe_deg)
+
+        def contrib_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(wref)
+            c = np.bincount(
+                batch[dst_col].to_numpy(),
+                weights=w[batch[src_col].to_numpy()],
+                minlength=n_nodes,
+            )
+            nz = np.flatnonzero(c)
+            return pd.DataFrame({"node": nz, "c": c[nz]})
+
+        parts = edges.map_batches(
+            contrib_partial, batch_format="pandas"
+        ).to_pandas()
+        c = np.zeros(n_nodes)
+        np.add.at(c, parts["node"].to_numpy(), parts["c"].to_numpy())
+        # per-iteration snap: summation order never leaks forward
+        r = np.round(base + damping * c, snap)
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
+                "rank_e9": pa.array(
+                    np.floor(r * 1e9 + 0.5).astype("int64")
+                ),
+            }
+        )
+    )
+
+
+def _pagerank_join(
+    edges: rd.Dataset,
+    n_nodes: int,
+    iters: int,
+    damping: float,
+    src_col: str,
+    dst_col: str,
+    snap: int,
+) -> rd.Dataset:
     from ray.data.aggregate import Count, Sum
 
     deg = edges.groupby(src_col).aggregate(Count(alias_name="outdeg"))
@@ -130,3 +229,84 @@ def pagerank(
         )
 
     return ranks.map_batches(finish, batch_format="pandas")
+
+
+def triangles(
+    edges: rd.Dataset, src_col: str = "src", dst_col: str = "dst"
+) -> rd.Dataset:
+    """Per-node triangle counts over an undirected edge list. Returns
+    ``(node, triangles)`` for every node in at least one triangle.
+
+    Self-loops are dropped and edges are canonicalized (a < b) +
+    globally deduped first, so parallel / reversed duplicates never
+    inflate counts. Each triangle {x<y<z} is found exactly once via
+    the wedge with middle vertex y: hash-join edges (a,b)⋈(b,c) on the
+    shared endpoint, then close the wedge with a composite-key join on
+    (a, c). Everything stays distributed — two shuffle joins plus a
+    groupby; the driver never sees an edge.
+
+    Scale note: wedge fan-out is Σ deg(v)² — on power-law graphs
+    orient edges from lower- to higher-degree endpoints (degree table
+    is one groupby, broadcast-joinable) to bound it; the id-order
+    canonicalization used here is the exact-parity tier.
+    """
+    from ray.data.aggregate import Count
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].to_numpy().astype("int64")
+        c = b[dst_col].to_numpy().astype("int64")
+        lo, hi = np.minimum(a, c), np.maximum(a, c)
+        keep = lo != hi
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep]}).drop_duplicates()
+
+    # groupby-count is the global dedup (block-local drop_duplicates
+    # only trims the shuffle input)
+    e0 = (
+        edges.map_batches(canon, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    nparts = safe_num_blocks(e0)
+
+    # materialize between the two hash joins: chaining them lazily
+    # stacks two aggregator pools in one pipeline, which deadlocks on
+    # small CPU counts
+    wedges = e0.join(
+        join_ready(
+            e0.map_batches(
+                lambda t: t.rename_columns(["b", "c"]),
+                batch_format="pyarrow",
+            )
+        ),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("b",),
+    ).materialize()
+    closed = wedges.join(
+        join_ready(
+            e0.map_batches(
+                lambda t: t.rename_columns(["a", "c"]),
+                batch_format="pyarrow",
+            )
+        ),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("a", "c"),
+    )
+
+    def corners(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [b["a"].to_numpy(), b["b"].to_numpy(), b["c"].to_numpy()]
+                ).astype("int64")
+            }
+        )
+
+    return (
+        closed.map_batches(corners, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Count(alias_name="triangles"))
+    )

@@ -6,7 +6,7 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from reffy_ray.ops.graph import pagerank
+from reffy_ray.ops.graph import pagerank, triangles
 from reffy_ray.ops.similarity import kmeans
 
 
@@ -43,6 +43,20 @@ def test_pagerank_matches_dense_reference(ray_session):
     assert got["rank_e9"].tolist() == want.tolist()
 
 
+def test_pagerank_tiers_agree(ray_session):
+    # broadcast (dense driver state) and join (fully distributed)
+    # tiers run identical math — same output bit-for-bit
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (1, 2), (4, 5), (4, 0)]
+    ds = rd.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    ).repartition(3)
+    b = pagerank(ds, n_nodes=6, iters=3, mode="broadcast").to_pandas()
+    j = pagerank(ds, n_nodes=6, iters=3, mode="join").to_pandas()
+    merged = b.merge(j, on="node", suffixes=("_b", "_j"))
+    assert len(merged) == 6
+    assert (merged["rank_e9_b"] == merged["rank_e9_j"]).all()
+
+
 def test_pagerank_uniform_cycle_stays_uniform(ray_session):
     # ring: every node has outdeg 1 and indeg 1 -> uniform fixed point
     n = 8
@@ -51,6 +65,29 @@ def test_pagerank_uniform_cycle_stays_uniform(ray_session):
     got = pagerank(ds, n_nodes=n, iters=4).to_pandas()
     assert got["rank_e9"].nunique() == 1
     assert got["rank_e9"].iloc[0] == 125_000_000  # 1/8 * 1e9
+
+
+def test_triangles_counts_k4(ray_session):
+    # K4 has 4 triangles; every node sits in 3 of them
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    ds = rd.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    ).repartition(3)
+    got = triangles(ds).to_pandas().sort_values("node")
+    assert got["node"].tolist() == [0, 1, 2, 3]
+    assert got["triangles"].tolist() == [3, 3, 3, 3]
+
+
+def test_triangles_dedups_and_canonicalizes(ray_session):
+    # reversed duplicates, parallel edges, and a self-loop must not
+    # inflate the count; the dangling edge (3,4) adds no triangle
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2), (3, 4)]
+    ds = rd.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    got = triangles(ds).to_pandas().sort_values("node")
+    assert got["node"].tolist() == [0, 1, 2]
+    assert got["triangles"].tolist() == [1, 1, 1]
 
 
 def test_kmeans_separates_obvious_clusters(ray_session):

@@ -87,7 +87,8 @@ ORACLE_KEYS = [
     "ann_ivf", "merge_crawl", "cssmerge", "events_consolidated",
     "patch_dfns", "duplicated_substrings", "substring_dedup",
     "check_missing_dfns", "unigram_logppl", "bigram_logppl", "semantic_dedup",
-    "fuzzy_decontaminate", "kmeans", "pagerank",
+    "fuzzy_decontaminate", "kmeans", "pagerank", "cc_components",
+    "triangle_count",
 ]
 
 
