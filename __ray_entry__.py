@@ -352,6 +352,18 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, n_nodes=n, iters=3)
 
 
+def q_bm25(sf_dir: str):
+    """BM25 relevance (ops/text.bm25_scores) of every document against
+    a fixed 4-term query over the corpus vocabulary; integer ×1e6
+    emission."""
+    from reffy_ray.ops.text import bm25_scores
+
+    return bm25_scores(
+        _docs(sf_dir, columns=("doc_id", "text")),
+        terms=("hash", "join", "vector", "stream"),
+    )
+
+
 def _doc_graph_edges(sf_dir: str):
     """Deterministic undirected test graph over doc ids: intra-block
     chain (i, i+1) and skip link (i, i+2) within blocks of 10 (the
@@ -1852,6 +1864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "cc_components": q_cc_components,
         "triangle_count": q_triangle_count,
+        "bm25": q_bm25,
     }
 
 
@@ -2987,6 +3000,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(r * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                      AS rank_e9
             FROM r3
+        """,
+        # ops/text.bm25_scores over terms (hash, join, vector,
+        # stream), k1=1.2 b=0.75: the SQL mirrors the engine's float
+        # expression token-for-token (same literal casts, same
+        # left-to-right association), idf snapped at 6 dp on both
+        # sides, floor(x*1e6+0.5) on the identical double.
+        "bm25": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(len(t)) AS BIGINT) AS tot
+              FROM toks
+            ), consts AS (
+              SELECT n, CAST(tot AS DOUBLE) / n AS avgdl FROM stats
+            ), q AS (
+              SELECT * FROM (VALUES ('hash'), ('join'), ('vector'),
+                                    ('stream')) v(term)
+            ), df AS (
+              SELECT q.term, CAST(count(*) AS BIGINT) AS df
+              FROM q JOIN toks ON list_contains(toks.t, q.term)
+              GROUP BY q.term
+            ), idf AS (
+              SELECT term,
+                     round(ln((CAST((SELECT n FROM consts) AS DOUBLE)
+                                 - df + CAST(0.5 AS DOUBLE))
+                              / (df + CAST(0.5 AS DOUBLE))
+                              + CAST(1 AS DOUBLE)), 6) AS idf
+              FROM df
+            ), tf AS (
+              SELECT toks.doc_id, q.term,
+                     len(list_filter(toks.t, x -> x = q.term)) AS f,
+                     len(toks.t) AS dl
+              FROM toks CROSS JOIN q
+            ), per AS (
+              SELECT tf.doc_id,
+                     i.idf
+                       * (tf.f * (CAST(1.2 AS DOUBLE)
+                                  + CAST(1 AS DOUBLE)))
+                       / (tf.f + CAST(1.2 AS DOUBLE)
+                          * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * tf.dl
+                               / (SELECT avgdl FROM consts))) AS s
+              FROM tf JOIN idf i ON tf.term = i.term
+              WHERE tf.f > 0
+            )
+            SELECT doc_id,
+                   CAST(floor(sum(s) * 1e6 + CAST(0.5 AS DOUBLE))
+                        AS BIGINT) AS bm25_e6
+            FROM per GROUP BY doc_id
         """,
         # ops/sampling.connected_components over the derived doc
         # graph (_doc_graph_edges): generic min-reachability closure —

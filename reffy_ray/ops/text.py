@@ -376,6 +376,106 @@ def top_terms(ds, n: int = 5, max_df_frac: float = 0.5):
     return ds.map_batches(rank_terms, batch_format="pyarrow")
 
 
+def bm25_scores(ds, terms, k1: float = 1.2, b: float = 0.75):
+    """BM25 relevance of every document against a fixed query-term
+    list (the retrieval tier under decontamination / targeted
+    curation). Returns ``(doc_id, bm25_e6)`` — score ×1e6 as int64,
+    only for documents containing at least one query term (idf uses
+    the +1 "BM25+" form, so any hit scores > 0).
+
+    Two passes, no shuffle at all: a census ``map_batches`` emits one
+    partial row per block (doc count, total token count — exact
+    integer sums — and per-term document frequencies), reduced on the
+    driver to the idf table and avgdl; the scoring pass is a stateless
+    ``map_batches`` with those few constants captured in the closure.
+    Determinism: idf is snapped to 6 decimals (numpy vs another
+    engine's ``ln`` may differ in the last ulp), every other factor is
+    plain IEEE arithmetic on exact integers, and the final
+    ``floor(x*1e6 + 0.5)`` is evaluated on the same double either
+    side.
+    """
+    terms = list(terms)
+
+    def census(batch: pa.Table) -> pa.Table:
+        n = 0
+        tot = 0
+        dfs = [0] * len(terms)
+        for text in batch.column("text").to_pylist():
+            toks = _TOK.findall((text or "").lower())
+            n += 1
+            tot += len(toks)
+            seen = set(toks)
+            for i, t in enumerate(terms):
+                if t in seen:
+                    dfs[i] += 1
+        cols = {"n": [n], "tot": [tot]}
+        for i, d in enumerate(dfs):
+            cols[f"df{i}"] = [d]
+        return pa.table(cols)
+
+    parts = ds.map_batches(census, batch_format="pyarrow").to_pandas()
+    # an empty input yields zero census rows (and no columns at all)
+    n_docs = int(parts["n"].sum()) if "n" in parts.columns else 0
+    if n_docs == 0:
+        return _empty_bm25()
+    avgdl = int(parts["tot"].sum()) / n_docs
+    idf = [
+        round(
+            float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)), 6
+        )
+        for df in (int(parts[f"df{i}"].sum()) for i in range(len(terms)))
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        import math
+
+        out_id, out_s = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = _TOK.findall((text or "").lower())
+            dl = len(toks)
+            tf = Counter(toks)
+            s = 0.0
+            hit = False
+            for i, t in enumerate(terms):
+                f = tf.get(t, 0)
+                if f:
+                    hit = True
+                    s += (
+                        idf[i]
+                        * (f * (k1 + 1.0))
+                        / (f + k1 * (1.0 - b + b * dl / avgdl))
+                    )
+            if hit:
+                out_id.append(doc_id)
+                out_s.append(int(math.floor(s * 1e6 + 0.5)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "bm25_e6": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _empty_bm25() -> "object":
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bm25_e6": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
 # --- unigram LM perplexity (CCNet-style quality signal) --------------------
 
 

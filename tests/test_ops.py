@@ -703,3 +703,51 @@ def test_line_dedup_keep_first(ray_session):
     )
     assert list(out["text"]) == ["alpha\nbeta\n\ngamma", "delta", "", ""]
     assert list(out["n_removed"]) == [0, 2, 2, 0]
+
+
+def test_bm25_known_values(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from reffy_ray.ops.text import bm25_scores
+
+    docs = [
+        (0, "cat dog cat"),       # tf(cat)=2, dl=3
+        (1, "dog dog dog dog"),   # no query hit
+        (2, "cat bird"),          # tf(cat)=1, dl=2
+        (3, "fish"),              # no query hit
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })).repartition(3)
+    out = (
+        bm25_scores(ds, terms=("cat",))
+        .to_pandas()
+        .set_index("doc_id")["bm25_e6"]
+    )
+    # manual BM25: N=4, df(cat)=2, avgdl=(3+4+2+1)/4
+    idf = round(math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0), 6)
+    avgdl = 10 / 4
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl):
+        s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return math.floor(s * 1e6 + 0.5)
+
+    assert sorted(out.index) == [0, 2]
+    assert out.loc[0] == score(2, 3)
+    assert out.loc[2] == score(1, 2)
+
+
+def test_bm25_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.text import bm25_scores
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert bm25_scores(empty, terms=("cat",)).count() == 0
