@@ -352,6 +352,28 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, n_nodes=n, iters=3)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted Bernoulli sampling
+    (ops/sampling.weighted_sample): keep probability n_chars/1000,
+    integer hash threshold, pure map."""
+    from reffy_ray.ops.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(sf_dir, columns=("doc_id", "text", "lang", "source", "n_chars")),
+        weight_col="n_chars",
+        denom=1000,
+    )
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user lag features (ops/window.event_gaps): microseconds
+    since the previous event (-1 on stream starts) and 0-based stream
+    position — one sort + census stitch, no per-group dispatch."""
+    from reffy_ray.ops.window import event_gaps
+
+    return event_gaps(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_bm25(sf_dir: str):
     """BM25 relevance (ops/text.bm25_scores) of every document against
     a fixed 4-term query over the corpus vocabulary; integer ×1e6
@@ -1865,6 +1887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_components": q_cc_components,
         "triangle_count": q_triangle_count,
         "bm25": q_bm25,
+        "weighted_sample": q_weighted_sample,
+        "event_gaps": q_event_gaps,
     }
 
 
@@ -3000,6 +3024,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(r * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                      AS rank_e9
             FROM r3
+        """,
+        # ops/sampling.weighted_sample(weight=n_chars, denom=1000):
+        # keep iff H(id|salt) mod 1000 < n_chars — integer-only
+        # Bernoulli inclusion, same md5 kernel as sample_split
+        "weighted_sample": """
+            SELECT * FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                      || '|wsample-42'), 1, 16))::UBIGINT
+                  % 1000 < n_chars
+        """,
+        # ops/window.event_gaps: lag(ts) + row_number per user stream,
+        # -1 sentinel keeps gap_us NULL-free int64 (hash-type safety)
+        "event_gaps": """
+            SELECT event_id,
+                   coalesce(date_diff('microsecond',
+                                      lag(ts) OVER w, ts),
+                            CAST(-1 AS BIGINT)) AS gap_us,
+                   CAST(row_number() OVER w - 1 AS BIGINT) AS seq
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         # ops/text.bm25_scores over terms (hash, join, vector,
         # stream), k1=1.2 b=0.75: the SQL mirrors the engine's float

@@ -120,6 +120,38 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds: rd.Dataset,
+    weight_col: str,
+    denom: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample-42",
+) -> rd.Dataset:
+    """Weighted Bernoulli (Poisson) sampling: each row is kept
+    independently with probability ``min(weight / denom, 1)`` — the
+    importance-sampling step of a curation pipeline (keep long / rare /
+    high-quality documents proportionally more often). Decision rule is
+    integer-only: keep iff ``H(str(id) + '|' + salt) mod denom <
+    weight``, same hash kernel as :func:`hash_split`, so runs are
+    idempotent, exactly SQL-restatable, and compose with the other
+    hash-keyed samplers (independent salts ⇒ independent decisions).
+    Pure map — no shuffle; weights must be integers (scale floats to a
+    fixed grid first).
+    """
+    if denom <= 0:
+        raise ValueError("denom must be a positive integer")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        w = batch.column(weight_col).to_pylist()
+        mask = [
+            _h64(f"{i}|{salt}") % denom < wi for i, wi in zip(ids, w)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # source_cap
 # ---------------------------------------------------------------------------

@@ -88,7 +88,7 @@ ORACLE_KEYS = [
     "patch_dfns", "duplicated_substrings", "substring_dedup",
     "check_missing_dfns", "unigram_logppl", "bigram_logppl", "semantic_dedup",
     "fuzzy_decontaminate", "kmeans", "pagerank", "cc_components",
-    "triangle_count", "bm25",
+    "triangle_count", "bm25", "weighted_sample", "event_gaps",
 ]
 
 

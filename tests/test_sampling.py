@@ -355,3 +355,28 @@ def test_rank_buckets_exact_deciles(ray_session):
     # value 18 appears twice (doc 1 and doc 19): doc 1 ranks first
     tie = out[out["n_chars"] == 18]
     assert tie["doc_id"].tolist() == [1, 19]
+
+
+def test_weighted_sample_matches_manual_rule(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reffy_ray.ops.sampling import _h64, weighted_sample
+
+    n = 200
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "w": pa.array([(i * 37) % 120 for i in range(n)], pa.int64()),
+    })
+    kept = (
+        weighted_sample(rd.from_arrow(tbl).repartition(4), "w", denom=100)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    expect = [
+        i for i in range(n)
+        if _h64(f"{i}|wsample-42") % 100 < (i * 37) % 120
+    ]
+    assert kept["doc_id"].tolist() == expect
+    # weight >= denom -> always kept
+    assert all((i * 37) % 120 < 100 or i in expect for i in range(n))

@@ -86,3 +86,36 @@ def test_rolling_stable_under_block_layout(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_event_gaps_stitches_across_blocks(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import event_gaps
+
+    # two users interleaved; shuffled input and a tiny block size force
+    # cross-block stitching of both gap and seq
+    rows = []
+    for u, times in ((7, [10, 25, 25, 90]), (9, [5, 6, 100])):
+        for k, t in enumerate(times):
+            rows.append((u * 100 + k, t, u))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    out = (
+        event_gaps(rd.from_pandas(df).repartition(5))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # user 7: ids 700..703 at ts 10,25,25,90 (tie broken by event_id)
+    assert out.loc[700].tolist() == [-1, 0]
+    assert out.loc[701].tolist() == [15, 1]
+    assert out.loc[702].tolist() == [0, 2]
+    assert out.loc[703].tolist() == [65, 3]
+    # user 9: ids 900..902 at ts 5,6,100
+    assert out.loc[900].tolist() == [-1, 0]
+    assert out.loc[901].tolist() == [1, 1]
+    assert out.loc[902].tolist() == [94, 2]
+    assert (out.dtypes == np.int64).all()
