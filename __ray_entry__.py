@@ -352,6 +352,45 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, n_nodes=n, iters=3)
 
 
+def _custkey_big_orders(sf_dir: str):
+    """Customer dim side + the key column of orders over 300k total
+    price (threshold keeps BOTH the semi and anti results non-empty at
+    every test scale), key renamed so the join is single-key."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    okeys = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice"],
+        )
+        .filter(expr="o_totalprice > 300000")
+        .select_columns(["o_custkey"])
+        .map_batches(
+            lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+        )
+    )
+    return cust, okeys
+
+
+def q_semi_join(sf_dir: str):
+    """Customers with >= 1 order over 300k (ops/joins.semi_join,
+    shuffle tier: Ray native left_semi hash join, deduped key side)."""
+    from reffy_ray.ops.joins import semi_join
+
+    cust, okeys = _custkey_big_orders(sf_dir)
+    return semi_join(cust, okeys, on="c_custkey")
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no order over 300k (ops/joins.anti_join — NOT
+    EXISTS, Ray native left_anti hash join)."""
+    from reffy_ray.ops.joins import anti_join
+
+    cust, okeys = _custkey_big_orders(sf_dir)
+    return anti_join(cust, okeys, on="c_custkey")
+
+
 def q_weighted_sample(sf_dir: str):
     """Length-weighted Bernoulli sampling
     (ops/sampling.weighted_sample): keep probability n_chars/1000,
@@ -1889,6 +1928,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q_bm25,
         "weighted_sample": q_weighted_sample,
         "event_gaps": q_event_gaps,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
     }
 
 
@@ -3024,6 +3065,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(r * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                      AS rank_e9
             FROM r3
+        """,
+        # ops/joins.semi_join (shuffle tier): EXISTS semantics over
+        # the >300k-order key side
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+        """,
+        # ops/joins.anti_join: NOT EXISTS
+        "anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
         """,
         # ops/sampling.weighted_sample(weight=n_chars, denom=1000):
         # keep iff H(id|salt) mod 1000 < n_chars — integer-only

@@ -206,3 +206,85 @@ def range_join(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def semi_join(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    on: str,
+    anti: bool = False,
+    mode: str = "shuffle",
+    broadcast_max_keys: int = 5_000_000,
+) -> rd.Dataset:
+    """Distributed semi / anti join: left rows WITH (semi) or WITHOUT
+    (anti) a key match in ``right_keys`` (a Dataset carrying the key
+    column ``on``; extra columns are dropped, duplicates are fine —
+    EXISTS semantics, never a fan-out).
+
+    Two tiers:
+
+    - ``shuffle`` (default, the 100 TB path): Ray's native
+      ``left_semi`` / ``left_anti`` hash join — both sides partition
+      by the key, nothing is collected.
+    - ``broadcast``: the right key set is deduped, collected and
+      shipped once via ``ray.put`` (bounded by
+      ``broadcast_max_keys``), then the pass over ``left`` is a pure
+      map filter with no shuffle at all — the decontaminate shape, for
+      when the probe side is corpus-sized and the key side is not.
+    """
+    import pyarrow.compute as pc
+
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    keys = right_keys.select_columns([on])
+
+    if mode == "broadcast":
+        import ray as _ray
+
+        kset = set()
+        for batch in keys.iter_batches(batch_format="pyarrow"):
+            kset.update(batch.column(on).to_pylist())
+        if len(kset) > broadcast_max_keys:
+            raise ValueError(
+                f"broadcast side has {len(kset)} keys "
+                f"(> {broadcast_max_keys}); use mode='shuffle'"
+            )
+        kref = _ray.put(kset)
+
+        def flt(batch: pa.Table) -> pa.Table:
+            import ray as _ray2
+
+            ks = _ray2.get(kref)
+            mask = pa.array(
+                [(v in ks) != anti for v in batch.column(on).to_pylist()],
+                pa.bool_(),
+            )
+            return batch.filter(mask)
+
+        return left.map_batches(flt, batch_format="pyarrow")
+
+    if mode != "shuffle":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # EXISTS semantics: dedup the key side so semi never multiplies
+    from ray.data.aggregate import Count
+
+    distinct = (
+        keys.groupby(on).aggregate(Count(alias_name="_m")).drop_columns(["_m"])
+    )
+    return left.join(
+        join_ready(distinct),
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=safe_num_blocks(left),
+        on=(on,),
+    )
+
+
+def anti_join(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    on: str,
+    mode: str = "shuffle",
+) -> rd.Dataset:
+    """Left rows with NO key match in ``right_keys`` (NOT EXISTS)."""
+    return semi_join(left, right_keys, on, anti=True, mode=mode)

@@ -106,3 +106,40 @@ def test_range_join_no_right_rows_for_key(ray_session):
     iv = rd.from_arrow(pa.table({"k": [1], "lo": [0], "hi": [10], "ivid": [7]}))
     out = range_join(li, iv, by="k", left_on="x", lo="lo", hi="hi").to_pandas()
     assert out["lid"].tolist() == [1]  # key 9 drops out (inner semantics)
+
+
+def test_semi_and_anti_join_tiers(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.joins import anti_join, semi_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": pd.Series([1, 2, 3, 4, 5], dtype="int64"),
+        "v": ["a", "b", "c", "d", "e"],
+    })).repartition(3)
+    # duplicate keys on the right must not fan out (EXISTS semantics)
+    right = rd.from_pandas(pd.DataFrame({
+        "k": pd.Series([2, 2, 4, 9], dtype="int64"),
+        "junk": [0, 1, 2, 3],
+    }))
+    for mode in ("shuffle", "broadcast"):
+        s = semi_join(left, right, on="k", mode=mode).to_pandas()
+        a = anti_join(left, right, on="k", mode=mode).to_pandas()
+        assert sorted(s["k"]) == [2, 4], mode
+        assert sorted(a["k"]) == [1, 3, 5], mode
+        assert set(s.columns) == {"k", "v"}
+
+
+def test_semi_join_broadcast_cap(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from reffy_ray.ops.joins import semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": pd.Series([1], dtype="int64")}))
+    right = rd.from_pandas(pd.DataFrame({"k": pd.Series(range(10), dtype="int64")}))
+    with pytest.raises(ValueError, match="broadcast side"):
+        semi_join(left, right, on="k", mode="broadcast",
+                  broadcast_max_keys=5).to_pandas()
