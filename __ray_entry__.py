@@ -391,6 +391,96 @@ def q_anti_join(sf_dir: str):
     return anti_join(cust, okeys, on="c_custkey")
 
 
+def q_nation_revenue(sf_dir: str):
+    """TPC-H Q5-style star join: lineitem → orders → customer →
+    nation, revenue per nation. Scale shape: revenue is converted to
+    integer cents PER ROW (floor(x*100+0.5) on the identical double in
+    both engines — from there every sum is exact int64, no float
+    accumulation anywhere), lineitem is pre-aggregated by orderkey
+    before the first join (combiner: the join moves one row per order,
+    not one per line item), the two fact joins are hash joins
+    materialized apart, and the 25-row nation dim is a broadcast
+    lookup, never a shuffle."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_cents(b: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        p = b["l_extendedprice"].to_numpy()
+        d = b["l_discount"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].astype("int64"),
+                "c": np.floor(p * (1.0 - d) * 100.0 + 0.5).astype("int64"),
+            }
+        )
+
+    per_order = (
+        li.map_batches(rev_cents, batch_format="pandas")
+        .groupby("o_orderkey")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    with_cust = orders.join(
+        join_ready(per_order),
+        join_type="inner",
+        num_partitions=safe_num_blocks(per_order),
+        on=("o_orderkey",),
+    ).materialize()
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    with_nat = with_cust.join(
+        join_ready(cust),
+        join_type="inner",
+        num_partitions=safe_num_blocks(with_cust),
+        on=("o_custkey",),
+    ).materialize()
+
+    nation = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in rd.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).take_all()
+    }
+    import ray as _ray
+
+    nref = _ray.put(nation)
+
+    def name_of(b: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        import ray as _ray2
+
+        nm = _ray2.get(nref)
+        return pd.DataFrame(
+            {
+                "n_name": b["c_nationkey"].map(nm),
+                "c": b["c"].astype("int64"),
+            }
+        )
+
+    return (
+        with_nat.map_batches(name_of, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("c", alias_name="revenue_c"))
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Length-weighted Bernoulli sampling
     (ops/sampling.weighted_sample): keep probability n_chars/1000,
@@ -1930,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
+        "nation_revenue": q_nation_revenue,
     }
 
 
@@ -3065,6 +3156,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(r * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                      AS rank_e9
             FROM r3
+        """,
+        # q_nation_revenue star join: revenue is floored to integer
+        # cents PER ROW on the identical double, so every sum is exact
+        # int64 — no float accumulation, no cents-boundary risk.
+        # CAST(sum(...) AS BIGINT): DuckDB sum(BIGINT) is HUGEINT.
+        "nation_revenue": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(
+                       l.l_extendedprice
+                       * (CAST(1 AS DOUBLE) - l.l_discount)
+                       * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                     AS BIGINT) AS revenue_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         # ops/joins.semi_join (shuffle tier): EXISTS semantics over
         # the >300k-order key side
