@@ -391,6 +391,22 @@ def q_anti_join(sf_dir: str):
     return anti_join(cust, okeys, on="c_custkey")
 
 
+def q_lang_fertility(sf_dir: str):
+    """Per-language tokenizer fertility (ops/text.lang_fertility):
+    exact integer word / BPE-ish subword totals, combiner shape."""
+    from reffy_ray.ops.text import lang_fertility
+
+    return lang_fertility(_docs(sf_dir, columns=("text", "lang")))
+
+
+def q_daily_new_users(sf_dir: str):
+    """Daily acquisition curve (ops/stats.daily_new_users): first-seen
+    day per user -> per-day new users + running cumulative total."""
+    from reffy_ray.ops.stats import daily_new_users
+
+    return daily_new_users(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_nation_revenue(sf_dir: str):
     """TPC-H Q5-style star join: lineitem → orders → customer →
     nation, revenue per nation. Scale shape: revenue is converted to
@@ -2021,6 +2037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "nation_revenue": q_nation_revenue,
+        "lang_fertility": q_lang_fertility,
+        "daily_new_users": q_daily_new_users,
     }
 
 
@@ -3156,6 +3174,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(r * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                      AS rank_e9
             FROM r3
+        """,
+        # ops/text.lang_fertility: exact integer token totals per lang
+        "lang_fertility": r"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '\w+')))
+                     AS BIGINT) AS words,
+                   CAST(sum(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+                     AS BIGINT) AS bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        # ops/stats.daily_new_users: first-seen epoch-us per user,
+        # floor-divided to days; running total over the day table
+        "daily_new_users": """
+            WITH firsts AS (
+              SELECT user_id, min(epoch_us(ts)) AS f
+              FROM events GROUP BY user_id
+            ), per AS (
+              SELECT f // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS new_users
+              FROM firsts GROUP BY f // 86400000000
+            )
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM per
         """,
         # q_nation_revenue star join: revenue is floored to integer
         # cents PER ROW on the identical double, so every sum is exact

@@ -295,3 +295,59 @@ def cohort_retention(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def daily_new_users(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+) -> "object":
+    """Daily acquisition curve: for each day (epoch-us floor-divided),
+    how many users appear for the FIRST time, plus the running
+    cumulative total — all int64.
+
+    Scale shape: one ``groupby(user)`` min reduces the corpus to one
+    row per user; a second groupby reduces to one row per day. Only
+    the day table (calendar-sized, not corpus-sized) reaches the
+    driver for the prefix sum."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    firsts = (
+        events.select_columns([user_col, ts_col])
+        .map_batches(to_us, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Min("t", alias_name="f"))
+    )
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"day": pc.divide(batch.column("f"), day_us)}
+        )
+
+    per_day = (
+        firsts.map_batches(day_of, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="new_users"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    per_day["cum_users"] = per_day["new_users"].cumsum().astype("int64")
+    per_day["day"] = per_day["day"].astype("int64")
+    per_day["new_users"] = per_day["new_users"].astype("int64")
+    return rd.from_pandas(per_day)

@@ -812,3 +812,63 @@ def char_entropy(batch: pa.Table) -> pa.Table:
             "entropy": pa.array(ents, pa.float64()),
         }
     )
+
+
+def lang_fertility(ds) -> "object":
+    """Per-language tokenizer-fertility table: documents, total word
+    count (``\\w+``) and total BPE-ish subword count — fertility =
+    bpe_tokens / words is the standard "how expensive is this language
+    for the tokenizer" diagnostic, emitted as the two exact integer
+    sums so no ratio float ever enters the hash.
+
+    Combiner shape: both token counts come from Arrow's re2 kernel
+    (vectorized, zero per-row Python), partial-summed per (block, lang)
+    before the tiny per-language groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        words = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\w+"),
+            pa.int64(),
+        )
+        bpe = pc.cast(
+            pc.count_substring_regex(
+                batch.column("text"), BpeishTokenCount.PATTERN
+            ),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pylist(),
+                "words": words.to_pylist(),
+                "bpe_tokens": bpe.to_pylist(),
+            }
+        )
+        g = (
+            df.groupby("lang", sort=True)
+            .agg(
+                n_docs=("words", "size"),
+                words=("words", "sum"),
+                bpe_tokens=("bpe_tokens", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_docs": pa.array(g["n_docs"], pa.int64()),
+                "words": pa.array(g["words"], pa.int64()),
+                "bpe_tokens": pa.array(g["bpe_tokens"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("words", alias_name="words"),
+            Sum("bpe_tokens", alias_name="bpe_tokens"),
+        )
+    )

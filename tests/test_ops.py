@@ -751,3 +751,24 @@ def test_bm25_empty_corpus(ray_session):
         "text": pa.array([], pa.string()),
     }))
     assert bm25_scores(empty, terms=("cat",)).count() == 0
+
+
+def test_lang_fertility_exact_sums(ray_session):
+    import ray.data as rd
+
+    from reffy_ray.ops.text import lang_fertility
+
+    tbl = pa.table({
+        "text": pa.array(["ab cd!", "x1 y,z", "een twee"], pa.string()),
+        "lang": pa.array(["en", "en", "nl"], pa.string()),
+    })
+    out = (
+        lang_fertility(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    # en: words: ab,cd + x1,y,z -> 2+3=5; bpe: ab,cd,! + x,1,y,',',z -> 3+5=8
+    assert out.loc["en"].tolist() == [2, 5, 8]
+    # nl: een twee -> 2 words, 2 bpe
+    assert out.loc["nl"].tolist() == [1, 2, 2]

@@ -89,7 +89,8 @@ ORACLE_KEYS = [
     "check_missing_dfns", "unigram_logppl", "bigram_logppl", "semantic_dedup",
     "fuzzy_decontaminate", "kmeans", "pagerank", "cc_components",
     "triangle_count", "bm25", "weighted_sample", "event_gaps",
-    "semi_join", "anti_join", "nation_revenue",
+    "semi_join", "anti_join", "nation_revenue", "lang_fertility",
+    "daily_new_users",
 ]
 
 

@@ -110,3 +110,28 @@ def test_funnel_conversion_empty_log(ray_session):
     assert funnel_conversion(empty).to_pydict() == {
         "n_view": [0], "n_click": [0], "n_purchase": [0],
     }
+
+
+def test_daily_new_users_known_curve(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import daily_new_users
+
+    DAY = 86_400_000_000
+    rows = [
+        # user 1 first appears day 0, user 2 day 0, user 3 day 2;
+        # repeat visits never count again
+        (1, 10), (2, DAY - 1), (1, DAY + 5), (3, 2 * DAY + 7),
+        (2, 3 * DAY), (3, 3 * DAY + 1),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = (
+        daily_new_users(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert out["day"].tolist() == [0, 2]
+    assert out["new_users"].tolist() == [2, 1]
+    assert out["cum_users"].tolist() == [2, 3]
