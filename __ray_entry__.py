@@ -407,6 +407,34 @@ def q_daily_new_users(sf_dir: str):
     return daily_new_users(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram (ops/stats.histogram) of lineitem
+    extended price, 10k-wide buckets; exact integer bucket ids."""
+    from reffy_ray.ops.stats import histogram
+
+    return histogram(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        ),
+        value_col="l_extendedprice",
+        width=10_000.0,
+    )
+
+
+def q_user_top_event(sf_dir: str):
+    """Per-user modal event type (ops/stats.top_value_per_group),
+    ties -> lexicographically smallest type."""
+    from reffy_ray.ops.stats import top_value_per_group
+
+    return top_value_per_group(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ),
+        group_col="user_id",
+        value_col="event_type",
+    )
+
+
 def q_nation_revenue(sf_dir: str):
     """TPC-H Q5-style star join: lineitem → orders → customer →
     nation, revenue per nation. Scale shape: revenue is converted to
@@ -2039,6 +2067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": q_nation_revenue,
         "lang_fertility": q_lang_fertility,
         "daily_new_users": q_daily_new_users,
+        "price_histogram": q_price_histogram,
+        "user_top_event": q_user_top_event,
     }
 
 
@@ -3174,6 +3204,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(r * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                      AS rank_e9
             FROM r3
+        """,
+        # ops/stats.histogram(width=10000): bucket = floor(v/10000),
+        # identical IEEE division+floor in both engines
+        "price_histogram": """
+            SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT)
+                     AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        # ops/stats.top_value_per_group: per-user modal event type,
+        # ties -> smallest type string
+        "user_top_event": """
+            SELECT user_id, event_type, n FROM (
+              SELECT user_id, event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type ASC) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         # ops/text.lang_fertility: exact integer token totals per lang
         "lang_fertility": r"""

@@ -351,3 +351,80 @@ def daily_new_users(
     per_day["day"] = per_day["day"].astype("int64")
     per_day["new_users"] = per_day["new_users"].astype("int64")
     return rd.from_pandas(per_day)
+
+
+def histogram(
+    events,
+    value_col: str,
+    width: float,
+    by: str | None = None,
+) -> "object":
+    """Fixed-width histogram of a numeric column, optionally per
+    group: bucket = floor(value / width) (the identical IEEE division
+    + floor in any engine, so bucket ids are exact), count per bucket.
+    Combiner shape: buckets are computed and partially counted inside
+    each block, so the groupby shuffles (group, bucket) partials, not
+    rows."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    keys = (["g"] if by else []) + ["bucket"]
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy()
+        d = {"bucket": np.floor(v / width).astype("int64")}
+        if by:
+            d["g"] = b[by].to_numpy()
+        df = pd.DataFrame(d)
+        out = df.groupby(keys, sort=True).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = (
+        events.map_batches(partials, batch_format="pandas")
+        .groupby(keys[0] if len(keys) == 1 else keys)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if by:
+        return agg.map_batches(
+            lambda t: t.rename_columns([by, "bucket", "n"]),
+            batch_format="pyarrow",
+        )
+    return agg
+
+
+def top_value_per_group(
+    ds,
+    group_col: str,
+    value_col: str,
+) -> "object":
+    """Per-group mode: the most frequent value of ``value_col`` in each
+    group (ties -> lexicographically smallest value, so the winner is
+    deterministic and SQL-restatable). Two stages: a (group, value)
+    count groupby (partials combined per block first), then a per-group
+    argmax via ``map_groups`` over the already-tiny count table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.groupby([group_col, value_col], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partials, batch_format="pandas")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values(["n", value_col], ascending=[False, True]).iloc[:1]
+        return w[[group_col, value_col, "n"]]
+
+    return counts.groupby(group_col).map_groups(argmax, batch_format="pandas")

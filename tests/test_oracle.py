@@ -90,7 +90,7 @@ ORACLE_KEYS = [
     "fuzzy_decontaminate", "kmeans", "pagerank", "cc_components",
     "triangle_count", "bm25", "weighted_sample", "event_gaps",
     "semi_join", "anti_join", "nation_revenue", "lang_fertility",
-    "daily_new_users",
+    "daily_new_users", "price_histogram", "user_top_event",
 ]
 
 

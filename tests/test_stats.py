@@ -135,3 +135,47 @@ def test_daily_new_users_known_curve(ray_session):
     assert out["day"].tolist() == [0, 2]
     assert out["new_users"].tolist() == [2, 1]
     assert out["cum_users"].tolist() == [2, 3]
+
+
+def test_histogram_grouped_and_global(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import histogram
+
+    df = pd.DataFrame({
+        "v": [0.5, 9.9, 10.0, 25.0, -0.1, 19.99],
+        "g": ["a", "a", "b", "b", "a", "b"],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    g = histogram(ds, "v", 10.0).to_pandas().set_index("bucket")["n"]
+    # floor semantics: -0.1 -> bucket -1; 10.0 -> bucket 1 (boundary up)
+    assert g.to_dict() == {-1: 1, 0: 2, 1: 2, 2: 1}
+    byg = (
+        histogram(ds, "v", 10.0, by="g")
+        .to_pandas()
+        .set_index(["g", "bucket"])["n"]
+        .to_dict()
+    )
+    assert byg == {("a", -1): 1, ("a", 0): 2, ("b", 1): 2, ("b", 2): 1}
+
+
+def test_top_value_per_group_tiebreak(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import top_value_per_group
+
+    df = pd.DataFrame({
+        "u": pd.Series([1, 1, 1, 2, 2, 3], dtype="int64"),
+        "e": ["b", "b", "a", "z", "a", "q"],  # user 2: tie a/z -> a
+    })
+    out = (
+        top_value_per_group(rd.from_pandas(df).repartition(3), "u", "e")
+        .to_pandas()
+        .set_index("u")
+        .sort_index()
+    )
+    assert out.loc[1].tolist() == ["b", 2]
+    assert out.loc[2].tolist() == ["a", 1]
+    assert out.loc[3].tolist() == ["q", 1]
