@@ -435,6 +435,38 @@ def q_user_top_event(sf_dir: str):
     )
 
 
+def q_kmv_distinct(sf_dir: str):
+    """KMV bottom-k distinct-count sketch (ops/stats.kmv_distinct)
+    over the corpus vocabulary (lowercased \\w+ words). Deterministic
+    md5 hashing + integer floor division make the *estimate* itself
+    exactly restatable in SQL — a sketch with an exact oracle."""
+    import re as _re
+
+    from reffy_ray.ops.stats import kmv_distinct
+
+    tok = _re.compile(r"\w+")
+
+    def words(batch):
+        out = []
+        for t in batch.column("text").to_pylist():
+            out.extend(tok.findall(t.lower()))
+        return out
+
+    return kmv_distinct(_docs(sf_dir, columns=("text",)), words, k=1024)
+
+
+def q_event_type_pairs(sf_dir: str):
+    """Market-basket pair support (ops/stats.event_type_pairs): for
+    every unordered pair of event types, how many users did both."""
+    from reffy_ray.ops.stats import event_type_pairs
+
+    return event_type_pairs(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+    )
+
+
 def q_nation_revenue(sf_dir: str):
     """TPC-H Q5-style star join: lineitem → orders → customer →
     nation, revenue per nation. Scale shape: revenue is converted to
@@ -2069,6 +2101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_new_users": q_daily_new_users,
         "price_histogram": q_price_histogram,
         "user_top_event": q_user_top_event,
+        "kmv_distinct": q_kmv_distinct,
+        "event_type_pairs": q_event_type_pairs,
     }
 
 
@@ -3224,6 +3258,47 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY count(*) DESC, event_type ASC) AS rn
               FROM events GROUP BY user_id, event_type
             ) WHERE rn = 1
+        """,
+        # ops/stats.kmv_distinct: bottom-k (k=1024) sketch of the
+        # vocabulary; same md5-prefix uint64 hash and integer floor
+        # division as the kernel, so the ESTIMATE matches exactly
+        "kmv_distinct": r"""
+            WITH words AS (
+              SELECT DISTINCT unnest(
+                regexp_split_to_array(lower(text), '\W+')) AS w
+              FROM documents
+            ),
+            hs AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5(w), 1, 16))
+                       AS UBIGINT) AS h
+              FROM words WHERE w <> ''
+            ),
+            bottom AS (SELECT h FROM hs ORDER BY h LIMIT 1024)
+            SELECT CAST(count(*) AS BIGINT) AS n_seen,
+                   CAST(CASE WHEN count(*) < 1024 THEN count(*)
+                        ELSE CAST(1023 AS HUGEINT)
+                             * CAST(18446744073709551616 AS HUGEINT)
+                             // CAST(max(h) AS HUGEINT)
+                        END AS BIGINT) AS estimate
+            FROM bottom
+        """,
+        # ops/stats.event_type_pairs: users-who-did-both support for
+        # every unordered type pair (zero-support pairs included)
+        "event_type_pairs": """
+            WITH t AS (SELECT DISTINCT event_type FROM events),
+                 u AS (SELECT DISTINCT user_id, event_type FROM events),
+                 s AS (
+                   SELECT a.event_type AS e1, b.event_type AS e2,
+                          count(*) AS c
+                   FROM u a JOIN u b
+                     ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2
+                 )
+            SELECT t1.event_type AS e1, t2.event_type AS e2,
+                   CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+            FROM t t1 JOIN t t2 ON t1.event_type < t2.event_type
+            LEFT JOIN s ON s.e1 = t1.event_type AND s.e2 = t2.event_type
         """,
         # ops/text.lang_fertility: exact integer token totals per lang
         "lang_fertility": r"""

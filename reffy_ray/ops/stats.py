@@ -428,3 +428,126 @@ def top_value_per_group(
         return w[[group_col, value_col, "n"]]
 
     return counts.groupby(group_col).map_groups(argmax, batch_format="pandas")
+
+
+def kmv_distinct(
+    ds,
+    value_expr,
+    k: int = 1024,
+):
+    """KMV (k-minimum-values) distinct-count sketch — the classic
+    bottom-k estimator (Bar-Yossef et al. 2002): hash every value to
+    uint64, keep the k smallest DISTINCT hashes, estimate
+    ``D ≈ (k-1) * 2^64 / h_k``.
+
+    Deterministic (md5 hashes, integer floor division), so the result
+    is bit-identical to a SQL restatement — a *sketch* with an exact
+    oracle. Combiner shape: each block contributes at most ``k``
+    hashes (``partials``), the global bottom-k merge sees only
+    ``k × #blocks`` rows. At 100 TB the merge input is a few MB — no
+    shuffle, no full distinct materialization (which is the entire
+    point of KMV over ``COUNT(DISTINCT)``).
+
+    ``value_expr(batch) -> list[str]`` maps an Arrow batch to the
+    string values to sketch (e.g. tokens of a text column).
+
+    Returns a one-row Arrow table ``(n_seen:int64, estimate:int64)``
+    where ``n_seen = min(D, k)`` and ``estimate`` is exact (= D) when
+    D < k.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    kk = int(k)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vals = value_expr(batch)
+        hs = {
+            int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "big")
+            for v in vals
+        }
+        bottom = sorted(hs)[:kk]
+        return pa.table({"h": pa.array(bottom, pa.uint64())})
+
+    rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    merged = sorted({int(r["h"]) for r in rows})[:kk]
+    n_seen = len(merged)
+    if n_seen < kk:
+        est = n_seen
+    else:
+        est = (kk - 1) * (1 << 64) // merged[-1]
+    return pa.table(
+        {
+            "n_seen": pa.array([n_seen], pa.int64()),
+            "estimate": pa.array([int(est)], pa.int64()),
+        }
+    )
+
+
+def event_type_pairs(ds, user_col: str = "user_id", type_col: str = "event_type"):
+    """Co-occurrence support counts: for every unordered pair of event
+    types, how many users performed BOTH (market-basket pair support).
+
+    Fully vectorized indicator-matrix shape — no per-user dispatch:
+
+    1. tiny pass collecting the global distinct type list t (broadcast);
+    2. per-block partial indicator rows (pandas pivot: one 0/1 column
+       per type, groupby-max within the block) → ONE user-keyed
+       groupby with ``Max`` per type column — the only shuffle, and
+       its payload is #users × t bits;
+    3. per-block partial co-occurrence matrices ``Xᵀ·X`` (t × t int64
+       numpy matmul) → the driver sums a handful of t × t matrices
+       and emits the upper triangle.
+
+    Works because t (#distinct event types) is a small constant; the
+    user dimension — the one that grows with data — only ever flows
+    through the hash groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Max
+
+    types = sorted(ds.select_columns([type_col]).unique(type_col))
+    tcols = [f"t_{i}" for i in range(len(types))]
+    tindex = {t: i for i, t in enumerate(types)}
+
+    def indicator_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({user_col: b[user_col]})
+        code = b[type_col].map(tindex).to_numpy()
+        onehot = np.zeros((len(b), len(types)), dtype="int64")
+        onehot[np.arange(len(b)), code] = 1
+        for j, c in enumerate(tcols):
+            out[c] = onehot[:, j]
+        return out.groupby(user_col, as_index=False, sort=False).max()
+
+    per_user = (
+        ds.select_columns([user_col, type_col])
+        .map_batches(indicator_partial, batch_format="pandas")
+        .groupby(user_col)
+        .aggregate(*[Max(c, alias_name=c) for c in tcols])
+    )
+
+    def cooc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[tcols].to_numpy(dtype="int64")
+        m = x.T @ x
+        return pd.DataFrame({"cell": [m.tobytes()]})
+
+    cells = per_user.map_batches(cooc_partial, batch_format="pandas").take_all()
+    t = len(types)
+    total = np.zeros((t, t), dtype="int64")
+    for r in cells:
+        total += np.frombuffer(r["cell"], dtype="int64").reshape(t, t)
+    e1, e2, support = [], [], []
+    for i in range(t):
+        for j in range(i + 1, t):
+            e1.append(types[i])
+            e2.append(types[j])
+            support.append(int(total[i, j]))
+    return pa.table(
+        {
+            "e1": pa.array(e1, pa.string()),
+            "e2": pa.array(e2, pa.string()),
+            "support": pa.array(support, pa.int64()),
+        }
+    )

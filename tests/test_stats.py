@@ -179,3 +179,62 @@ def test_top_value_per_group_tiebreak(ray_session):
     assert out.loc[1].tolist() == ["b", 2]
     assert out.loc[2].tolist() == ["a", 1]
     assert out.loc[3].tolist() == ["q", 1]
+
+
+def test_kmv_distinct_small_exact(ray_session):
+    """D < k ⇒ the sketch degenerates to an exact distinct count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import kmv_distinct
+
+    df = pd.DataFrame({"text": ["a b c", "b c d", "d e"]})
+    ds = rd.from_pandas(df).repartition(2)
+    out = kmv_distinct(
+        ds, lambda b: [w for t in b.column("text").to_pylist() for w in t.split()]
+    ).to_pandas()
+    assert out["n_seen"].iloc[0] == 5
+    assert out["estimate"].iloc[0] == 5
+
+
+def test_kmv_distinct_estimates_within_bound(ray_session):
+    """D ≫ k ⇒ the bottom-k estimate lands within the KMV error bound
+    (~1/sqrt(k) relative), and is deterministic across block layouts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import kmv_distinct
+
+    vals = [f"w{i}" for i in range(20_000)]
+    df = pd.DataFrame({"text": [" ".join(vals[i : i + 50]) for i in range(0, 20_000, 50)]})
+
+    def expr(b):
+        return [w for t in b.column("text").to_pylist() for w in t.split()]
+
+    est1 = kmv_distinct(rd.from_pandas(df).repartition(2), expr, k=256).to_pandas()
+    est2 = kmv_distinct(rd.from_pandas(df).repartition(7), expr, k=256).to_pandas()
+    assert est1["estimate"].iloc[0] == est2["estimate"].iloc[0]
+    rel = abs(est1["estimate"].iloc[0] - 20_000) / 20_000
+    assert rel < 0.2  # 1/sqrt(256) ≈ 0.0625; generous bound
+
+
+def test_event_type_pairs_support(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import event_type_pairs
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3, 3, 3],
+            "event_type": ["a", "b", "a", "a", "c", "b", "c", "b"],
+        }
+    )
+    out = (
+        event_type_pairs(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index(["e1", "e2"])["support"]
+        .to_dict()
+    )
+    # users with both a,b: {1}; a,c: {2}; b,c: {3}
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
