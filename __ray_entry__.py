@@ -467,6 +467,34 @@ def q_event_type_pairs(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact two-pass φ-frequent vocabulary words
+    (ops/stats.heavy_hitters): per-block local-frequency candidates,
+    then broadcast-verified exact counts — no full-vocabulary shuffle."""
+    import re as _re
+
+    from reffy_ray.ops.stats import heavy_hitters
+
+    tok = _re.compile(r"\w+")
+
+    def words(batch):
+        out = []
+        for t in batch.column("text").to_pylist():
+            out.extend(tok.findall(t.lower()))
+        return out
+
+    return heavy_hitters(_docs(sf_dir, columns=("text",)), words, phi=0.01)
+
+
+def q_priority_sample(sf_dir: str):
+    """Deterministic bottom-k uniform sample
+    (ops/sampling.priority_sample): k=256 smallest salted-md5
+    priorities, per-block partial bottom-k, no global sort."""
+    from reffy_ray.ops.sampling import priority_sample
+
+    return priority_sample(_docs(sf_dir, columns=("doc_id",)), k=256)
+
+
 def q_nation_revenue(sf_dir: str):
     """TPC-H Q5-style star join: lineitem → orders → customer →
     nation, revenue per nation. Scale shape: revenue is converted to
@@ -2103,6 +2131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": q_user_top_event,
         "kmv_distinct": q_kmv_distinct,
         "event_type_pairs": q_event_type_pairs,
+        "heavy_hitters": q_heavy_hitters,
+        "priority_sample": q_priority_sample,
     }
 
 
@@ -3281,6 +3311,35 @@ def oracle_sql() -> dict[str, str]:
                              // CAST(max(h) AS HUGEINT)
                         END AS BIGINT) AS estimate
             FROM bottom
+        """,
+        # ops/stats.heavy_hitters: exact phi=0.01 frequent words
+        # (two-pass candidates+verify == plain GROUP BY ... HAVING)
+        "heavy_hitters": r"""
+            WITH t2 AS (
+              SELECT w FROM (
+                SELECT unnest(
+                  regexp_split_to_array(lower(text), '\W+')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            tot AS (SELECT count(*) AS n FROM t2)
+            SELECT w AS term, CAST(count(*) AS BIGINT) AS n
+            FROM t2, tot
+            GROUP BY w, tot.n
+            HAVING count(*) >= CAST(ceil(0.01 * tot.n) AS BIGINT)
+        """,
+        # ops/sampling.priority_sample: bottom-k by salted md5-prefix
+        # priority; emitted prio = H >> 1 (signed-safe)
+        "priority_sample": """
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(
+                       md5('prio-42:' || CAST(doc_id AS VARCHAR)),
+                       1, 16)) AS UBIGINT) >> 1 AS BIGINT) AS prio
+            FROM documents
+            ORDER BY CAST(('0x' || substr(
+                       md5('prio-42:' || CAST(doc_id AS VARCHAR)),
+                       1, 16)) AS UBIGINT), doc_id
+            LIMIT 256
         """,
         # ops/stats.event_type_pairs: users-who-did-both support for
         # every unordered type pair (zero-support pairs included)

@@ -737,3 +737,50 @@ def rank_buckets(
         return b
 
     return ranked.map_batches(bucketize, batch_format="pandas")
+
+
+def priority_sample(
+    ds: rd.Dataset,
+    k: int = 256,
+    id_col: str = "doc_id",
+    salt: str = "prio-42",
+) -> pa.Table:
+    """Deterministic uniform sample of exactly ``k`` rows with NO
+    global sort and no shuffle: priority = md5-uint64 of the salted id,
+    keep the k smallest priorities (bottom-k sampling — the fixed-size
+    cousin of :func:`hash_split`). Each block emits its own bottom-k
+    (id, priority) partials, the driver merges k × #blocks tiny rows —
+    the same census shape as :func:`reffy_ray.ops.stats.kmv_distinct`,
+    and at 100 TB the merge input is a few MB while a naive
+    ``ORDER BY hash LIMIT k`` would be an all-to-all sort.
+
+    Deterministic across runs, cluster sizes and row order; re-crawling
+    the corpus leaves the sample stable except where sampled ids
+    themselves appeared/disappeared. Returns ``(id, prio:int64)`` with
+    ``prio = H >> 1`` (kept in-range for signed SQL engines; ordering
+    ties under the shift are broken by the full hash internally and by
+    id in the emission, so the kept SET is exact either way).
+    """
+
+    def bottom(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        pr = np.fromiter(
+            (_h64(f"{salt}:{i}") for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        order = np.argsort(pr, kind="stable")[:k]
+        return pa.table(
+            {
+                id_col: pa.array([ids[j] for j in order]),
+                "_h": pa.array(pr[order], pa.uint64()),
+            }
+        )
+
+    rows = ds.map_batches(bottom, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (int(r["_h"]), r[id_col]))
+    kept = rows[:k]
+    return pa.table(
+        {
+            id_col: pa.array([r[id_col] for r in kept]),
+            "prio": pa.array([int(r["_h"]) >> 1 for r in kept], pa.int64()),
+        }
+    )

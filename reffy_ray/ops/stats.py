@@ -551,3 +551,92 @@ def event_type_pairs(ds, user_col: str = "user_id", type_col: str = "event_type"
             "support": pa.array(support, pa.int64()),
         }
     )
+
+
+def heavy_hitters(
+    ds,
+    value_expr,
+    phi: float = 0.01,
+):
+    """Exact φ-frequent items in two streaming passes — the classic
+    alternative to a full ``groupby`` over a heavy-tailed key column
+    whose tail you do not care about.
+
+    Pass 1 (candidate generation): each block emits the values whose
+    LOCAL frequency is ≥ φ (``np.unique`` + threshold — a combiner that
+    outputs at most ⌊1/φ⌋ rows per block). Averaging argument: any
+    value with GLOBAL frequency ≥ φ must reach local frequency ≥ φ in
+    at least one block, so the union of block candidates is a superset
+    of the true heavy hitters. The distinct-candidate set is ≤ ⌊1/φ⌋ ×
+    #blocks worst case but concentrates to O(1/φ) in practice; it is
+    deduplicated by a tiny groupby before leaving the cluster.
+
+    Pass 2 (exact verification): the candidate set is broadcast
+    (``ray.put`` once), each block counts ONLY candidate occurrences
+    plus its total item count under a sentinel key, and one small
+    groupby-sum yields exact counts and the exact grand total N.
+    Survivors have count ≥ ⌈φ·N⌉ — no false positives, no false
+    negatives, and the shuffle volume is O(1/φ) rows per block
+    instead of the full key distribution.
+
+    ``value_expr(batch) -> list[str]`` as in :func:`kmv_distinct`.
+    Returns an Arrow table ``(term:string, n:int64)``.
+    """
+    import pyarrow as pa
+    import ray as _ray
+
+    TOTAL = "\x00total"  # cannot collide with real values
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(value_expr(batch), dtype=object)
+        if not len(vals):
+            return pa.table({"term": pa.array([], pa.string())})
+        uniq, counts = np.unique(vals, return_counts=True)
+        keep = uniq[counts >= phi * len(vals)]
+        return pa.table({"term": pa.array(list(keep), pa.string())})
+
+    cand = sorted(
+        ds.map_batches(candidates, batch_format="pyarrow").unique("term")
+    )
+    cref = _ray.put(np.asarray(cand, dtype=object))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        cands = _ray.get(cref)
+        vals = np.asarray(value_expr(batch), dtype=object)
+        terms = [TOTAL]
+        ns = [len(vals)]
+        if len(vals):
+            uniq, counts = np.unique(vals, return_counts=True)
+            mask = np.isin(uniq, cands)
+            terms.extend(uniq[mask].tolist())
+            ns.extend(counts[mask].tolist())
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "n": pa.array([int(x) for x in ns], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(verify, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    total = sum(int(r["n"]) for r in rows if r["term"] == TOTAL)
+    cut = math.ceil(phi * total)
+    kept = sorted(
+        (r["term"], int(r["n"]))
+        for r in rows
+        if r["term"] != TOTAL and int(r["n"]) >= cut
+    )
+    import pyarrow as pa2
+
+    return pa2.table(
+        {
+            "term": pa2.array([t for t, _ in kept], pa2.string()),
+            "n": pa2.array([n for _, n in kept], pa2.int64()),
+        }
+    )

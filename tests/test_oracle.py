@@ -91,7 +91,7 @@ ORACLE_KEYS = [
     "triangle_count", "bm25", "weighted_sample", "event_gaps",
     "semi_join", "anti_join", "nation_revenue", "lang_fertility",
     "daily_new_users", "price_histogram", "user_top_event",
-    "kmv_distinct", "event_type_pairs",
+    "kmv_distinct", "event_type_pairs", "heavy_hitters", "priority_sample",
 ]
 
 

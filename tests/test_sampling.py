@@ -380,3 +380,18 @@ def test_weighted_sample_matches_manual_rule(ray_session):
     assert kept["doc_id"].tolist() == expect
     # weight >= denom -> always kept
     assert all((i * 37) % 120 < 100 or i in expect for i in range(n))
+
+
+def test_priority_sample_deterministic(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.sampling import priority_sample
+
+    df = pd.DataFrame({"doc_id": range(1000)})
+    a = priority_sample(rd.from_pandas(df).repartition(3), k=50).to_pandas()
+    b = priority_sample(rd.from_pandas(df).repartition(11), k=50).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert len(a) == 50
+    assert a["prio"].is_monotonic_increasing
+    assert (a["prio"] >= 0).all()

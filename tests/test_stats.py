@@ -238,3 +238,30 @@ def test_event_type_pairs_support(ray_session):
     )
     # users with both a,b: {1}; a,c: {2}; b,c: {3}
     assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_heavy_hitters_exact_across_blocks(ray_session):
+    """Two-pass result == exact groupby-having, regardless of how the
+    heavy key is spread across blocks (the averaging-argument case:
+    'hot' is never locally dominant in any single row group)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import heavy_hitters
+
+    # 40 docs: every doc mentions 'hot' once among 9 fillers unique to
+    # the doc -> hot global freq = 40/400 = 10%, fillers 0.25% each
+    docs = [
+        "hot " + " ".join(f"w{i}_{j}" for j in range(9)) for i in range(40)
+    ]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(5)
+
+    def words(b):
+        out = []
+        for t in b.column("text").to_pylist():
+            out.extend(t.split())
+        return out
+
+    out = heavy_hitters(ds, words, phi=0.05).to_pandas()
+    assert out["term"].tolist() == ["hot"]
+    assert out["n"].tolist() == [40]
