@@ -467,6 +467,33 @@ def q_event_type_pairs(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts between event types within
+    each user's stream (ops/window.event_transitions): one sort,
+    per-block partial counts, census-stitched block boundaries."""
+    from reffy_ray.ops.window import event_transitions
+
+    return event_transitions(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
+def q_user_paths(sf_dir: str):
+    """Ordered collect: each user's full event-type path string
+    (ops/window.user_paths — string_agg ORDER BY ts, event_id)."""
+    from reffy_ray.ops.window import user_paths
+
+    return user_paths(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact two-pass φ-frequent vocabulary words
     (ops/stats.heavy_hitters): per-block local-frequency candidates,
@@ -2133,6 +2160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pairs": q_event_type_pairs,
         "heavy_hitters": q_heavy_hitters,
         "priority_sample": q_priority_sample,
+        "event_transitions": q_event_transitions,
+        "user_paths": q_user_paths,
     }
 
 
@@ -3311,6 +3340,28 @@ def oracle_sql() -> dict[str, str]:
                              // CAST(max(h) AS HUGEINT)
                         END AS BIGINT) AS estimate
             FROM bottom
+        """,
+        # ops/window.event_transitions: lag(type) per user then count
+        "event_transitions": """
+            SELECT prev, event_type AS "next",
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            )
+            WHERE prev IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        # ops/window.user_paths: ordered string_agg per user
+        "user_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                     AS path,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
         """,
         # ops/stats.heavy_hitters: exact phi=0.01 frequent words
         # (two-pass candidates+verify == plain GROUP BY ... HAVING)

@@ -310,3 +310,205 @@ def event_gaps(
         )
 
     return srt.map_batches(assign, batch_format="pandas", batch_size=None)
+
+
+def event_transitions(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """First-order Markov transition counts: for each ordered pair of
+    event types (prev → next), how many adjacent event pairs within a
+    user's stream (ordered by ``(ts, event_id)``) made that transition
+    — the funnel/behavior-model primitive (``lag(type) OVER
+    (PARTITION BY user ORDER BY ts, id)`` then GROUP BY).
+
+    Scale shape: ONE key-collocating sort on ``(user, ts, id)``; each
+    block reduces its interior adjacencies to partial ``(prev, next,
+    n)`` counts (≤ t² rows per block for t distinct types), block
+    boundaries are stitched from a #blocks-row census on the driver and
+    re-injected as unit rows, and one tiny ``groupby(prev, next)`` sums
+    the partials. No per-group dispatch; the shuffle moves partial
+    counts, never events.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "i": batch.column(id_col).cast(pa.int64()),
+                "e": batch.column(type_col).cast(pa.string()),
+            }
+        )
+
+    srt = (
+        events.select_columns([user_col, ts_col, id_col, type_col])
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["u", "t", "i"])
+        .materialize()
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "prev": pd.Series([], dtype="object"),
+                "next": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(b) < 2:
+            return empty
+        u = b["u"].to_numpy()
+        e = b["e"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        pairs = pd.DataFrame({"prev": e[:-1][same], "next": e[1:][same]})
+        out = pairs.groupby(["prev", "next"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "fu": pd.Series([], dtype="int64"),
+                    "ft": pd.Series([], dtype="int64"),
+                    "fi": pd.Series([], dtype="int64"),
+                    "fe": pd.Series([], dtype="object"),
+                    "lu": pd.Series([], dtype="int64"),
+                    "le": pd.Series([], dtype="object"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "fu": [int(b["u"].iloc[0])],
+                "ft": [int(b["t"].iloc[0])],
+                "fi": [int(b["i"].iloc[0])],
+                "fe": [b["e"].iloc[0]],
+                "lu": [int(b["u"].iloc[-1])],
+                "le": [b["e"].iloc[-1]],
+            }
+        )
+
+    blocks = sorted(
+        (
+            (int(r["fu"]), int(r["ft"]), int(r["fi"])),
+            r["fe"],
+            int(r["lu"]),
+            r["le"],
+        )
+        for r in srt.map_batches(
+            census, batch_format="pandas", batch_size=None
+        ).take_all()
+    )
+    bprev, bnext = [], []
+    prev_lu, prev_le = None, None
+    for (fu, _ft, _fi), fe, lu, le in blocks:
+        if prev_lu is not None and prev_lu == fu:
+            bprev.append(prev_le)
+            bnext.append(fe)
+        prev_lu, prev_le = lu, le
+
+    parts = srt.map_batches(partials, batch_format="pandas", batch_size=None)
+    if bprev:
+        boundary = rd.from_pandas(
+            pd.DataFrame(
+                {"prev": bprev, "next": bnext, "n": np.ones(len(bprev), "int64")}
+            )
+        )
+        parts = parts.union(boundary)
+
+    out = parts.groupby(["prev", "next"]).aggregate(Sum("n", alias_name="n"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev": b.column("prev"),
+                "next": b.column("next"),
+                "n": b.column("n").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def user_paths(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    sep: str = ">",
+) -> rd.Dataset:
+    """Ordered collect per group: each user's full event-type sequence
+    as a ``sep``-joined string (``string_agg(type, sep ORDER BY ts,
+    id)``), plus the event count — the path-analysis primitive.
+
+    Scale shape: ONE key-collocating sort on ``(user, ts, id)``, then
+    each block pre-concatenates every user's run WITHIN the block into
+    one ``(user, block-first-key, part, n)`` partial row — the shuffle
+    that follows moves one row per (user, block) pair, not one per
+    event — and a ``groupby(user).map_groups`` joins each user's few
+    parts in key order. Per-user output is bounded by the user's own
+    stream length (the natural bound for any ordered-collect)."""
+    import pyarrow as pa
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "i": batch.column(id_col).cast(pa.int64()),
+                "e": batch.column(type_col).cast(pa.string()),
+            }
+        )
+
+    srt = (
+        events.select_columns([user_col, ts_col, id_col, type_col])
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["u", "t", "i"])
+        .materialize()
+    )
+
+    def parts(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype="int64"),
+                    "kt": pd.Series([], dtype="int64"),
+                    "ki": pd.Series([], dtype="int64"),
+                    "part": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        g = b.groupby("u", sort=True)
+        return pd.DataFrame(
+            {
+                "u": g["u"].first().to_numpy(),
+                "kt": g["t"].first().to_numpy(),
+                "ki": g["i"].first().to_numpy(),
+                "part": g["e"].agg(sep.join).to_numpy(),
+                "n": g.size().to_numpy().astype("int64"),
+            }
+        )
+
+    def join_parts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["kt", "ki"])
+        return pd.DataFrame(
+            {
+                user_col: [int(g["u"].iloc[0])],
+                "path": [sep.join(g["part"])],
+                "n_events": [int(g["n"].sum())],
+            }
+        )
+
+    return (
+        srt.map_batches(parts, batch_format="pandas", batch_size=None)
+        .groupby("u")
+        .map_groups(join_parts, batch_format="pandas")
+    )

@@ -119,3 +119,61 @@ def test_event_gaps_stitches_across_blocks(ray_session):
     assert out.loc[901].tolist() == [1, 1]
     assert out.loc[902].tolist() == [94, 2]
     assert (out.dtypes == np.int64).all()
+
+
+def test_event_transitions_across_blocks(ray_session):
+    """Boundary stitching: a user's stream split across many blocks
+    must count the cross-block adjacency exactly once."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import event_transitions
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 6 + [2] * 3,
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:0{i}:00" for i in range(6)]
+                + [f"2024-01-02 00:0{i}:00" for i in range(3)]
+            ),
+            "event_id": range(9),
+            "event_type": ["a", "b", "a", "b", "c", "c", "x", "y", "x"],
+        }
+    )
+    out = (
+        event_transitions(rd.from_pandas(df).repartition(5))
+        .to_pandas()
+        .set_index(["prev", "next"])["n"]
+        .to_dict()
+    )
+    assert out == {
+        ("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1, ("c", "c"): 1,
+        ("x", "y"): 1, ("y", "x"): 1,
+    }
+
+
+def test_user_paths_ordered_concat(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import user_paths
+
+    df = pd.DataFrame(
+        {
+            "user_id": [7, 7, 7, 7, 8],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+                 "2024-01-01"]
+            ),
+            "event_id": [4, 3, 2, 1, 9],
+            "event_type": ["s", "t", "u", "v", "w"],
+        }
+    )
+    out = (
+        user_paths(rd.from_pandas(df).repartition(4))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc[7, "path"] == "s>t>u>v"
+    assert out.loc[7, "n_events"] == 4
+    assert out.loc[8, "path"] == "w"
