@@ -467,6 +467,53 @@ def q_event_type_pairs(sf_dir: str):
     )
 
 
+def q_corr_stats(sf_dir: str):
+    """Per-event-type Pearson sufficient statistics
+    (ops/stats.corr_stats) between hour-of-day and value cents — six
+    exact int64 sums; corr itself is a driver-side formula."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.stats import corr_stats
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour": pc.cast(pc.hour(b.column("ts")), pa.int64()),
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(b.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return corr_stats(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="event_type",
+        x="hour",
+        y="cents",
+    )
+
+
+def q_winsorize(sf_dir: str):
+    """Per-returnflag winsorization of extended price at the exact
+    discrete [p01, p99] quantiles (ops/stats.winsorize): tiny bounds
+    broadcast + pure vectorized clip, the fact table never shuffles."""
+    from reffy_ray.ops.stats import winsorize
+
+    return winsorize(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice"],
+        ),
+        by="l_returnflag",
+        value="l_extendedprice",
+    )
+
+
 def q_event_transitions(sf_dir: str):
     """First-order Markov transition counts between event types within
     each user's stream (ops/window.event_transitions): one sort,
@@ -2162,6 +2209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample": q_priority_sample,
         "event_transitions": q_event_transitions,
         "user_paths": q_user_paths,
+        "corr_stats": q_corr_stats,
+        "winsorize": q_winsorize,
     }
 
 
@@ -3340,6 +3389,39 @@ def oracle_sql() -> dict[str, str]:
                              // CAST(max(h) AS HUGEINT)
                         END AS BIGINT) AS estimate
             FROM bottom
+        """,
+        # ops/stats.corr_stats: exact int64 sufficient statistics for
+        # corr(hour-of-day, value cents) per event type
+        "corr_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                   CAST(sum(y * y) AS BIGINT) AS sum_yy,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy
+            FROM (
+              SELECT event_type,
+                     CAST(extract(hour FROM ts) AS BIGINT) AS x,
+                     CAST(floor(value * 100) AS BIGINT) AS y
+              FROM events
+            )
+            GROUP BY event_type
+        """,
+        # ops/stats.winsorize: clip to exact discrete [p01, p99]
+        # per-group quantiles (clip limits are data elements)
+        "winsorize": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_disc(l_extendedprice, 0.01) AS lo,
+                     quantile_disc(l_extendedprice, 0.99) AS hi
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag, l.l_extendedprice,
+                   CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+                        WHEN l.l_extendedprice > b.hi THEN b.hi
+                        ELSE l.l_extendedprice END AS clipped
+            FROM lineitem l JOIN b USING (l_returnflag)
         """,
         # ops/window.event_transitions: lag(type) per user then count
         "event_transitions": """

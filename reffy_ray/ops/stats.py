@@ -640,3 +640,107 @@ def heavy_hitters(
             "n": pa2.array([n for _, n in kept], pa2.int64()),
         }
     )
+
+
+def corr_stats(
+    ds,
+    by: str,
+    x: str,
+    y: str,
+):
+    """Per-group sufficient statistics for Pearson correlation /
+    OLS slope between two INTEGER columns: ``(n, sum_x, sum_y,
+    sum_xx, sum_yy, sum_xy)``, all exact int64 — the classic
+    parallelizable form (corr is a pure driver-side formula over the
+    six sums, so the distributed part is float-free and bitwise
+    engine-independent).
+
+    Combiner shape: each block reduces to one partial row per group it
+    contains (pandas groupby-sum inside ``map_batches``), then ONE
+    small ``groupby(by)`` sums partials — shuffle volume is
+    #groups × #blocks rows, never the data. Caller guarantees the
+    products fit int64 (|x·y| × rows < 2⁶³ — true for cents-scale
+    values up to ~10¹⁰ rows; shard the sums by row-range first past
+    that).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        xv = b[x].to_numpy(dtype="int64")
+        yv = b[y].to_numpy(dtype="int64")
+        t = pd.DataFrame(
+            {
+                by: b[by],
+                "n": np.ones(len(b), dtype="int64"),
+                "sum_x": xv,
+                "sum_y": yv,
+                "sum_xx": xv * xv,
+                "sum_yy": yv * yv,
+                "sum_xy": xv * yv,
+            }
+        )
+        return t.groupby(by, as_index=False, sort=False).sum()
+
+    out = (
+        ds.select_columns([by, x, y])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        t = {by: b.column(by)}
+        for c in cols:
+            t[c] = b.column(c).cast(pa.int64())
+        return pa.table(t)
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def winsorize(
+    ds,
+    by: str,
+    value: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+):
+    """Per-group winsorization: clip ``value`` to its group's exact
+    discrete [lo_q, hi_q] quantiles (``percentile_disc`` bounds — the
+    clip limits are actual data elements, so outputs are bitwise
+    engine-independent; no interpolation arithmetic touches the kept
+    values either).
+
+    Scale shape: the bounds come from :func:`group_quantiles` (one
+    group shuffle over the value column); the tiny #groups-row bounds
+    table is ``ray.put``-broadcast and the clip itself is a pure
+    vectorized map — the big table never shuffles.
+    """
+    import pyarrow as pa
+    import ray as _ray
+
+    qname_lo = f"q{int(round(lo_q * 100))}"
+    qname_hi = f"q{int(round(hi_q * 100))}"
+    bounds = {
+        r[by]: (r[qname_lo], r[qname_hi])
+        for r in group_quantiles(ds, by, value, qs=(lo_q, hi_q)).take_all()
+    }
+    bref = _ray.put(bounds)
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        bd = _ray.get(bref)
+        keys = b[by]
+        v = b[value].to_numpy()
+        lo = keys.map({k: t[0] for k, t in bd.items()}).to_numpy()
+        hi = keys.map({k: t[1] for k, t in bd.items()}).to_numpy()
+        return pd.DataFrame(
+            {
+                by: keys.to_numpy(),
+                value: v,
+                "clipped": np.minimum(np.maximum(v, lo), hi),
+            }
+        )
+
+    return ds.select_columns([by, value]).map_batches(clip, batch_format="pandas")

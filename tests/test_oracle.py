@@ -92,7 +92,7 @@ ORACLE_KEYS = [
     "semi_join", "anti_join", "nation_revenue", "lang_fertility",
     "daily_new_users", "price_histogram", "user_top_event",
     "kmv_distinct", "event_type_pairs", "heavy_hitters", "priority_sample",
-    "event_transitions", "user_paths",
+    "event_transitions", "user_paths", "corr_stats", "winsorize",
 ]
 
 

@@ -265,3 +265,52 @@ def test_heavy_hitters_exact_across_blocks(ray_session):
     out = heavy_hitters(ds, words, phi=0.05).to_pandas()
     assert out["term"].tolist() == ["hot"]
     assert out["n"].tolist() == [40]
+
+
+def test_corr_stats_sums(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import corr_stats
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b"],
+            "x": pd.Series([1, 2, 3, 10], dtype="int64"),
+            "y": pd.Series([2, 4, 6, -5], dtype="int64"),
+        }
+    )
+    out = (
+        corr_stats(rd.from_pandas(df).repartition(3), "g", "x", "y")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert out.loc["a"].to_dict() == {
+        "n": 3, "sum_x": 6, "sum_y": 12, "sum_xx": 14, "sum_yy": 56,
+        "sum_xy": 28,
+    }
+    assert out.loc["b", "sum_xy"] == -50
+    # perfect correlation in group a from the sufficient statistics
+    r = out.loc["a"]
+    num = r.n * r.sum_xy - r.sum_x * r.sum_y
+    den = ((r.n * r.sum_xx - r.sum_x**2) * (r.n * r.sum_yy - r.sum_y**2)) ** 0.5
+    assert abs(num / den - 1.0) < 1e-12
+
+
+def test_winsorize_clips_to_group_quantiles(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import winsorize
+
+    v = np.arange(1, 101, dtype="float64")
+    df = pd.DataFrame({"g": ["a"] * 100, "v": v})
+    out = winsorize(
+        rd.from_pandas(df).repartition(4), "g", "v", lo_q=0.05, hi_q=0.95
+    ).to_pandas()
+    # percentile_disc: lo = v[ceil(.05*100)-1] = 5, hi = v[ceil(.95*100)-1] = 95
+    assert out["clipped"].min() == 5.0
+    assert out["clipped"].max() == 95.0
+    mid = out[(out["v"] >= 5) & (out["v"] <= 95)]
+    assert (mid["clipped"] == mid["v"]).all()
