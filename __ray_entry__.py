@@ -467,6 +467,161 @@ def q_event_type_pairs(sf_dir: str):
     )
 
 
+def q_debounce(sf_dir: str):
+    """At-least-once stream dedup (ops/window.debounce_events): drop
+    events repeating the same (user, type) within 1 h — lag-gap
+    semantics, one sort + census-stitched block boundaries."""
+    from reffy_ray.ops.window import debounce_events
+
+    return debounce_events(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+    )
+
+
+def q_table_diff(sf_dir: str):
+    """Snapshot diff (ops/joins.table_diff): old = docs with id%4≠0,
+    new = docs with id%7≠0 and text mutated when id%5=0 — added /
+    removed / changed verdicts via one bucketed outer-merge shuffle."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.joins import table_diff
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    import numpy as np
+
+    def keep_mod(m: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % m != 0))
+
+        return fn
+
+    old = docs.map_batches(keep_mod(4), batch_format="pyarrow")
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mod5 = pa.array(ids % 5 == 0)
+        text = pc.if_else(
+            mod5,
+            pc.binary_join_element_wise(b.column("text"), "X", ""),
+            b.column("text"),
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": text})
+
+    new = docs.map_batches(keep_mod(7), batch_format="pyarrow").map_batches(
+        mutate, batch_format="pyarrow"
+    )
+    return table_diff(old, new, key="doc_id", payload="text")
+
+
+def q_tumbling_window(sf_dir: str):
+    """Hourly tumbling event-time windows (ops/window.tumbling_agg):
+    count + integer-cents sum per (window_start_us, event_type)."""
+    from reffy_ray.ops.window import tumbling_agg
+
+    return tumbling_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+    )
+
+
+def q_hopping_window(sf_dir: str):
+    """1-hour windows hopping every 15 min (ops/window.hopping_agg):
+    each event lands in 4 overlapping windows; in-block combiner
+    re-reduces before the shuffle."""
+    from reffy_ray.ops.window import hopping_agg
+
+    return hopping_agg(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+    )
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch estimates (ops/stats.cms_counts) for the bm25
+    query terms over the corpus vocabulary — deterministic hashing
+    makes the sketch (collisions included) exactly SQL-restatable."""
+    import re as _re
+
+    from reffy_ray.ops.stats import cms_counts
+
+    tok = _re.compile(r"\w+")
+
+    def words(batch):
+        out = []
+        for t in batch.column("text").to_pylist():
+            out.extend(tok.findall(t.lower()))
+        return out
+
+    return cms_counts(
+        _docs(sf_dir, columns=("text",)),
+        words,
+        terms=("hash", "join", "vector", "stream"),
+    )
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Per-event-type |x−μ|>3σ outliers with zero float arithmetic
+    (ops/stats.zscore_outliers — the test cross-multiplied into exact
+    int64): combiner stats pass + broadcast + vectorized filter."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.stats import zscore_outliers
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "x": pc.cast(pc.floor(b.column("value")), pa.int64()),
+            }
+        )
+
+    return zscore_outliers(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="event_type",
+        value="x",
+        id_col="event_id",
+        z=3,
+    )
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter pre-join (ops/joins.bloom_semi_join): lineitem rows
+    whose order key passes an m=8192/k=3 filter of urgent orders —
+    deterministic false positives, so the oracle reproduces them."""
+    from reffy_ray.ops.joins import bloom_semi_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    return bloom_semi_join(
+        li, urgent, probe_key="l_orderkey", build_key="o_orderkey"
+    )
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (ops/text.tfidf_terms) with
+    all-integer (tf×1e6)//df scores and a DISTRIBUTED token join for
+    the df attachment (no vocabulary broadcast)."""
+    from reffy_ray.ops.text import tfidf_terms
+
+    return tfidf_terms(_docs(sf_dir, columns=("doc_id", "text")), k=3)
+
+
 def q_corr_stats(sf_dir: str):
     """Per-event-type Pearson sufficient statistics
     (ops/stats.corr_stats) between hour-of-day and value cents — six
@@ -2211,6 +2366,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": q_user_paths,
         "corr_stats": q_corr_stats,
         "winsorize": q_winsorize,
+        "cms_counts": q_cms_counts,
+        "zscore_outliers": q_zscore_outliers,
+        "bloom_semi_join": q_bloom_semi_join,
+        "tfidf_terms": q_tfidf_terms,
+        "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
+        "table_diff": q_table_diff,
+        "debounce": q_debounce,
     }
 
 
@@ -3389,6 +3552,179 @@ def oracle_sql() -> dict[str, str]:
                              // CAST(max(h) AS HUGEINT)
                         END AS BIGINT) AS estimate
             FROM bottom
+        """,
+        # ops/window.debounce_events: lag-gap stream dedup per
+        # (user, type), 1h window
+        "debounce": """
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS t_us, event_id
+            FROM (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                     ) AS pt
+              FROM events
+            )
+            WHERE pt IS NULL
+               OR CAST(epoch_us(ts) AS BIGINT) - pt > 3600000000
+        """,
+        # ops/joins.table_diff: CDC verdicts via FULL JOIN
+        "table_diff": """
+            WITH o AS (
+              SELECT doc_id, text AS p FROM documents
+              WHERE doc_id % 4 <> 0
+            ),
+            n AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || 'X'
+                          ELSE text END AS p
+              FROM documents WHERE doc_id % 7 <> 0
+            )
+            SELECT doc_id, status FROM (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.p <> n.p THEN 'changed'
+                          ELSE 'same' END AS status
+              FROM o FULL JOIN n ON o.doc_id = n.doc_id
+            ) WHERE status <> 'same'
+        """,
+        # ops/window.tumbling_agg: hourly tumbling event-time windows
+        "tumbling_window": """
+            SELECT (CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                     * 3600000000 AS w,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        """,
+        # ops/window.hopping_agg: 1h windows hopping every 15min (k=4)
+        "hopping_window": """
+            WITH ev AS (
+              SELECT CAST(epoch_us(ts) AS BIGINT) AS t, event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            ks AS (SELECT unnest([0, 1, 2, 3]) AS i)
+            SELECT ((t // 900000000) - i) * 900000000 AS w, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM ev, ks GROUP BY 1, 2
+        """,
+        # ops/stats.cms_counts: count-min sketch, exactly restated
+        # (same md5-prefix cell hash, min over depth=4 rows)
+        "cms_counts": r"""
+            WITH t2 AS (
+              SELECT w FROM (
+                SELECT unnest(
+                  regexp_split_to_array(lower(text), '\W+')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (
+              SELECT r,
+                     CAST(CAST(('0x' || substr(md5(
+                       'cms' || CAST(r AS VARCHAR) || ':' || w),
+                       1, 16)) AS UBIGINT) % 1024 AS BIGINT) AS cell,
+                     count(*) AS n
+              FROM t2, rs GROUP BY 1, 2
+            ),
+            q AS (SELECT unnest(
+                    ['hash', 'join', 'stream', 'vector']) AS term),
+            qc AS (
+              SELECT term, r,
+                     CAST(CAST(('0x' || substr(md5(
+                       'cms' || CAST(r AS VARCHAR) || ':' || term),
+                       1, 16)) AS UBIGINT) % 1024 AS BIGINT) AS cell
+              FROM q, rs
+            )
+            SELECT term, CAST(min(COALESCE(cells.n, 0)) AS BIGINT) AS est
+            FROM qc LEFT JOIN cells USING (r, cell)
+            GROUP BY term
+        """,
+        # ops/stats.zscore_outliers: (n*x-S)^2 > 9*(n*Sxx-S^2), exact ints
+        "zscore_outliers": """
+            WITH ev AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value) AS BIGINT) AS x
+              FROM events
+            ),
+            s AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM ev GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.x
+            FROM ev e JOIN s USING (event_type)
+            WHERE (s.n * e.x - s.sx) * (s.n * e.x - s.sx)
+                  > 9 * (s.n * s.sxx - s.sx * s.sx)
+        """,
+        # ops/joins.bloom_semi_join: m=8192/k=3 filter of urgent order
+        # keys; passers = rows whose 3 cells are all set (false
+        # positives reproduced exactly)
+        "bloom_semi_join": """
+            WITH bk AS (
+              SELECT DISTINCT o_orderkey AS key FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+            ),
+            rs AS (SELECT unnest([0, 1, 2]) AS i),
+            bits AS (
+              SELECT DISTINCT
+                CAST(CAST(('0x' || substr(md5(
+                  'bloom' || CAST(i AS VARCHAR) || ':'
+                          || CAST(key AS VARCHAR)),
+                  1, 16)) AS UBIGINT) % 8192 AS BIGINT) AS pos
+              FROM bk, rs
+            ),
+            pk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+            pos AS (
+              SELECT key,
+                CAST(CAST(('0x' || substr(md5(
+                  'bloom' || CAST(i AS VARCHAR) || ':'
+                          || CAST(key AS VARCHAR)),
+                  1, 16)) AS UBIGINT) % 8192 AS BIGINT) AS pos
+              FROM pk, rs
+            ),
+            passk AS (
+              SELECT key FROM pos JOIN bits USING (pos)
+              GROUP BY key HAVING count(*) = 3
+            )
+            SELECT l.l_orderkey, l.l_linenumber
+            FROM lineitem l JOIN passk ON l.l_orderkey = passk.key
+        """,
+        # ops/text.tfidf_terms: integer (tf*1e6)//df, top-3 per doc
+        "tfidf_terms": r"""
+            WITH t2 AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(
+                  regexp_split_to_array(lower(text), '\W+')) AS w
+                FROM documents
+              ) WHERE w <> ''
+            ),
+            tf AS (
+              SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+              FROM t2 GROUP BY 1, 2
+            ),
+            df AS (
+              SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM t2 GROUP BY 1
+            ),
+            sc AS (
+              SELECT tf.doc_id, tf.w AS token,
+                     (tf.tf * 1000000) // df.df AS score,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf * 1000000) // df.df DESC, tf.w
+                     ) AS rn
+              FROM tf JOIN df USING (w)
+            )
+            SELECT doc_id, token, CAST(score AS BIGINT) AS score
+            FROM sc WHERE rn <= 3
         """,
         # ops/stats.corr_stats: exact int64 sufficient statistics for
         # corr(hour-of-day, value cents) per event type

@@ -744,3 +744,146 @@ def winsorize(
         )
 
     return ds.select_columns([by, value]).map_batches(clip, batch_format="pandas")
+
+
+def cms_counts(
+    ds,
+    value_expr,
+    terms,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+):
+    """Count-min sketch frequency estimates for ``terms`` — the
+    bounded-memory alternative to a full token ``groupby`` when you
+    only need point estimates: every token increments one cell per
+    row (``cell = H(salt·r ‖ token) mod width``), estimate = min over
+    the ``depth`` rows of the queried cell (overestimates only, by at
+    most the classic εN bound).
+
+    Deterministic md5 hashing ⇒ the whole sketch — collisions included
+    — is exactly restatable in SQL, like :func:`kmv_distinct`.
+
+    Combiner shape: each block emits at most ``depth × width`` partial
+    ``(r, cell, n)`` rows regardless of block size; one small groupby
+    sums them; the queried estimates are a ``len(terms) × depth``
+    lookup on the driver. Nothing token-shaped ever shuffles.
+    """
+    import hashlib
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def h(r: int, tok: str) -> int:
+        dig = hashlib.md5(f"{salt}{r}:{tok}".encode("utf-8")).digest()[:8]
+        return int.from_bytes(dig, "big") % width
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = value_expr(batch)
+        rs, cells = [], []
+        for r in range(depth):
+            for v in vals:
+                rs.append(r)
+                cells.append(h(r, v))
+        t = pd.DataFrame({"r": rs, "cell": cells})
+        g = t.groupby(["r", "cell"], as_index=False, sort=False).size()
+        return pa.table(
+            {
+                "r": pa.array(g["r"].to_numpy(), pa.int64()),
+                "cell": pa.array(g["cell"].to_numpy(), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    sketch = {
+        (int(row["r"]), int(row["cell"])): int(row["n"])
+        for row in ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r", "cell"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    }
+    out_terms, ests = [], []
+    for t in sorted(terms):
+        est = min(sketch.get((r, h(r, t)), 0) for r in range(depth))
+        out_terms.append(t)
+        ests.append(est)
+    import pyarrow as pa2
+
+    return pa2.table(
+        {
+            "term": pa2.array(out_terms, pa2.string()),
+            "est": pa2.array(ests, pa2.int64()),
+        }
+    )
+
+
+def zscore_outliers(
+    ds,
+    by: str,
+    value: str,
+    id_col: str,
+    z: int = 3,
+):
+    """Per-group z-score outlier flags with ZERO float arithmetic:
+    row ``x`` is an outlier iff ``(n·x − S)² > z²·(n·Sxx − S²)`` —
+    the |x−μ| > z·σ test cross-multiplied into integers, so the flag
+    set is bitwise engine-independent (no sqrt, no division).
+
+    Two passes: a :func:`corr_stats`-style combiner collects per-group
+    ``(n, S, Sxx)`` (#groups rows, broadcast), then a pure vectorized
+    filter — the big table never shuffles. Caller keeps magnitudes
+    int64-safe: ``(n·|x|+|S|)²`` must stay below 2⁶³ (true for
+    dollar-scale values up to ~10⁸ rows per group; shard the group by
+    row-range past that).
+    """
+    import pyarrow as pa
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        xv = b[value].to_numpy(dtype="int64")
+        t = pd.DataFrame(
+            {
+                by: b[by],
+                "n": np.ones(len(b), dtype="int64"),
+                "s": xv,
+                "sxx": xv * xv,
+            }
+        )
+        return t.groupby(by, as_index=False, sort=False).sum()
+
+    stats = {
+        r[by]: (int(r["n"]), int(r["s"]), int(r["sxx"]))
+        for r in ds.select_columns([by, value])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .take_all()
+    }
+    sref = _ray.put(stats)
+    zz = int(z) * int(z)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        st = _ray.get(sref)
+        keys = b[by]
+        x = b[value].to_numpy(dtype="int64")
+        n = keys.map({k: v[0] for k, v in st.items()}).to_numpy(dtype="int64")
+        s = keys.map({k: v[1] for k, v in st.items()}).to_numpy(dtype="int64")
+        sxx = keys.map({k: v[2] for k, v in st.items()}).to_numpy(dtype="int64")
+        dev = n * x - s
+        keep = dev * dev > zz * (n * sxx - s * s)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[keep],
+                by: keys.to_numpy()[keep],
+                value: x[keep],
+            }
+        )
+
+    return ds.select_columns([id_col, by, value]).map_batches(
+        flag, batch_format="pandas"
+    )

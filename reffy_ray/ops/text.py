@@ -872,3 +872,92 @@ def lang_fertility(ds) -> "object":
             Sum("bpe_tokens", alias_name="bpe_tokens"),
         )
     )
+
+
+def tfidf_terms(ds, k: int = 3, scale: int = 1_000_000):
+    """Per-document TF-IDF salient terms with ALL-INTEGER scoring:
+    ``score = (tf × scale) // df`` (rarity weighting as exact integer
+    division — same ranking as tf/df, no float drift), top ``k`` terms
+    per document by (score desc, term asc).
+
+    Scale shape — the df attachment is a DISTRIBUTED join, not a
+    broadcast (contrast :func:`top_terms`, which broadcasts only a
+    tiny stopword set; a full vocabulary df map would NOT broadcast at
+    open-vocab corpus scale): per-doc tf rows (combiner: one row per
+    distinct token per doc) union the df table, ONE ``groupby(token)``
+    attaches df to every tf row, then ONE ``groupby(doc)`` ranks.
+    Token-shaped shuffles only; nothing vocabulary-sized ever lands on
+    one node except single-token groups."""
+    from collections import Counter
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        out_doc, out_tok, out_tf = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for t, c in Counter(_TOK.findall((text or "").lower())).items():
+                out_doc.append(doc_id)
+                out_tok.append(t)
+                out_tf.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+    df_tbl = doc_freq(ds)
+
+    def tag_tf(b: pa.Table) -> pa.Table:
+        return b.append_column("df", pa.nulls(len(b), pa.int64()))
+
+    def tag_df(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.nulls(len(b), pa.int64()),
+                "token": b.column("token"),
+                "tf": pa.nulls(len(b), pa.int64()),
+                "df": b.column("df").cast(pa.int64()),
+            }
+        )
+
+    unioned = tf.map_batches(tag_tf, batch_format="pyarrow").union(
+        df_tbl.map_batches(tag_df, batch_format="pyarrow")
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        dfv = g["df"].dropna()
+        if not len(dfv):  # tf rows without a df row cannot happen, but guard
+            return g.iloc[0:0][["doc_id", "token", "score"]]
+        d = int(dfv.iloc[0])
+        rows = g[g["doc_id"].notna()]
+        return pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"].astype("int64"),
+                "token": rows["token"],
+                "score": (rows["tf"].astype("int64") * scale) // d,
+            }
+        )
+
+    scored = unioned.groupby("token").map_groups(attach, batch_format="pandas")
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "token"], ascending=[False, True]
+        ).head(k)
+        return g[["doc_id", "token", "score"]]
+
+    out = scored.groupby("doc_id").map_groups(rank, batch_format="pandas")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "token": b.column("token").cast(pa.string()),
+                "score": b.column("score").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")

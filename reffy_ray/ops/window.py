@@ -90,7 +90,7 @@ def sessionize(
         return pa.table(
             {
                 "u": batch.column(user_col).cast(pa.int64()),
-                "t": batch.column(ts_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
                 "i": batch.column(id_col).cast(pa.int64()),
             }
         )
@@ -225,7 +225,7 @@ def event_gaps(
         return pa.table(
             {
                 "u": batch.column(user_col).cast(pa.int64()),
-                "t": batch.column(ts_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
                 "i": batch.column(id_col).cast(pa.int64()),
             }
         )
@@ -340,7 +340,7 @@ def event_transitions(
         return pa.table(
             {
                 "u": batch.column(user_col).cast(pa.int64()),
-                "t": batch.column(ts_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
                 "i": batch.column(id_col).cast(pa.int64()),
                 "e": batch.column(type_col).cast(pa.string()),
             }
@@ -462,7 +462,7 @@ def user_paths(
         return pa.table(
             {
                 "u": batch.column(user_col).cast(pa.int64()),
-                "t": batch.column(ts_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
                 "i": batch.column(id_col).cast(pa.int64()),
                 "e": batch.column(type_col).cast(pa.string()),
             }
@@ -512,3 +512,253 @@ def user_paths(
         .groupby("u")
         .map_groups(join_parts, batch_format="pandas")
     )
+
+
+def tumbling_agg(
+    events: rd.Dataset,
+    every_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Tumbling event-time window aggregate: count and integer-cents
+    sum per ``(window_start, by)`` where ``window_start = (t //
+    every) × every`` epoch-µs — the batch restatement of a streaming
+    tumbling window (each event in exactly one window).
+
+    Combiner shape: per-block pandas groupby partials (≤ #windows ×
+    #groups rows per block) → ONE small groupby-sum. Window starts are
+    int64 epoch-µs so output hashes are engine-independent.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (
+            b.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = (
+            pc.cast(pc.floor(pc.multiply(b.column(value_col), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        g = pd.DataFrame(
+            {
+                "w": (t // every_us) * every_us,
+                by: b.column(by).to_pandas(),
+                "n": np.ones(len(t), dtype="int64"),
+                "cents": cents,
+            }
+        ).groupby(["w", by], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        events.select_columns([ts_col, by, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["w", by])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w": b.column("w").cast(pa.int64()),
+                by: b.column(by),
+                "n": b.column("n").cast(pa.int64()),
+                "cents": b.column("cents").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def hopping_agg(
+    events: rd.Dataset,
+    every_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Hopping (sliding) event-time window aggregate: like
+    :func:`tumbling_agg` but each event lands in ``every/hop``
+    overlapping windows (window starts at every ``hop`` µs, length
+    ``every``). Requires ``every % hop == 0`` so the expansion factor
+    is a constant k — the per-block expansion is then a fully
+    vectorized ``np.repeat`` + tiled offsets, immediately re-reduced
+    by the in-block combiner before anything shuffles (the shuffle
+    sees ≤ k × #windows × #groups partial rows per block, never k ×
+    #events)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if every_us % hop_us:
+        raise ValueError("every_us must be a multiple of hop_us")
+    k = every_us // hop_us
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (
+            b.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = (
+            pc.cast(pc.floor(pc.multiply(b.column(value_col), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        grp = b.column(by).to_pandas().to_numpy()
+        base = (t // hop_us) * hop_us
+        # windows covering t: base, base-hop, ..., base-(k-1)*hop
+        w = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, len(t)
+        )
+        g = pd.DataFrame(
+            {
+                "w": w,
+                by: np.repeat(grp, k),
+                "n": np.ones(len(w), dtype="int64"),
+                "cents": np.repeat(cents, k),
+            }
+        ).groupby(["w", by], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        events.select_columns([ts_col, by, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["w", by])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w": b.column("w").cast(pa.int64()),
+                by: b.column(by),
+                "n": b.column("n").cast(pa.int64()),
+                "cents": b.column("cents").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def debounce_events(
+    events: rd.Dataset,
+    window_us: int = 3_600_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """Debounce: drop an event when the SAME (user, type) fired within
+    the previous ``window_us`` µs (lag-gap semantics — the dedup you
+    run on at-least-once event streams before counting anything).
+
+    Scale shape: ONE key-collocating sort on ``(user, type, ts, id)``;
+    in-block the drop mask is a vectorized shift-compare, and each
+    block's first row is resolved against the previous block's last
+    ``(user, type, ts)`` from a #blocks-row census on the driver. No
+    joins, no per-group dispatch.
+    """
+    import pyarrow as pa
+    import ray as _ray
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "e": batch.column(type_col).cast(pa.string()),
+                "t": batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+                "i": batch.column(id_col).cast(pa.int64()),
+            }
+        )
+
+    srt = (
+        events.select_columns([user_col, type_col, ts_col, id_col])
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["u", "e", "t", "i"])
+        .materialize()
+    )
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "fu": pd.Series([], dtype="int64"),
+                    "fe": pd.Series([], dtype="object"),
+                    "ft": pd.Series([], dtype="int64"),
+                    "fi": pd.Series([], dtype="int64"),
+                    "lu": pd.Series([], dtype="int64"),
+                    "le": pd.Series([], dtype="object"),
+                    "lt": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "fu": [int(b["u"].iloc[0])],
+                "fe": [b["e"].iloc[0]],
+                "ft": [int(b["t"].iloc[0])],
+                "fi": [int(b["i"].iloc[0])],
+                "lu": [int(b["u"].iloc[-1])],
+                "le": [b["e"].iloc[-1]],
+                "lt": [int(b["t"].iloc[-1])],
+            }
+        )
+
+    blocks = sorted(
+        (
+            (int(r["fu"]), r["fe"], int(r["ft"]), int(r["fi"])),
+            int(r["lu"]),
+            r["le"],
+            int(r["lt"]),
+        )
+        for r in srt.map_batches(
+            census, batch_format="pandas", batch_size=None
+        ).take_all()
+    )
+    # for each block's first row: the previous block's tail state
+    stitch = {}
+    prev = None  # (lu, le, lt)
+    for fkey, lu, le, lt in blocks:
+        stitch[fkey] = prev
+        prev = (lu, le, lt)
+    sref = _ray.put(stitch)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype="int64"),
+                    type_col: pd.Series([], dtype="object"),
+                    "t_us": pd.Series([], dtype="int64"),
+                    id_col: pd.Series([], dtype="int64"),
+                }
+            )
+        u = b["u"].to_numpy()
+        e = b["e"].to_numpy()
+        t = b["t"].to_numpy()
+        same = np.zeros(len(b), dtype=bool)
+        same[1:] = (u[1:] == u[:-1]) & (e[1:] == e[:-1])
+        gap_ok = np.ones(len(b), dtype=bool)
+        gap_ok[1:] = (t[1:] - t[:-1]) > window_us
+        kp = ~same | gap_ok
+        tail = _ray.get(sref)[
+            (int(u[0]), e[0], int(t[0]), int(b["i"].iloc[0]))
+        ]
+        if tail is not None and tail[0] == u[0] and tail[1] == e[0]:
+            kp[0] = (t[0] - tail[2]) > window_us
+        return pd.DataFrame(
+            {
+                user_col: u[kp],
+                type_col: e[kp],
+                "t_us": t[kp],
+                id_col: b["i"].to_numpy()[kp],
+            }
+        )
+
+    return srt.map_batches(keep, batch_format="pandas", batch_size=None)

@@ -143,3 +143,50 @@ def test_semi_join_broadcast_cap(ray_session):
     with pytest.raises(ValueError, match="broadcast side"):
         semi_join(left, right, on="k", mode="broadcast",
                   broadcast_max_keys=5).to_pandas()
+
+
+def test_bloom_semi_join_superset_of_exact(ray_session):
+    """Bloom passers contain every true match; with m >> keys the
+    false-positive set is empty at this size."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.joins import bloom_semi_join
+
+    probe = pd.DataFrame({"k": list(range(200)), "payload": range(200)})
+    build = pd.DataFrame({"bk": [3, 7, 150]})
+    out = bloom_semi_join(
+        rd.from_pandas(probe).repartition(3),
+        rd.from_pandas(build),
+        probe_key="k",
+        build_key="bk",
+        m=16384,
+        k_hashes=3,
+    ).to_pandas()
+    got = set(out["k"])
+    assert {3, 7, 150} <= got
+    # false positives allowed in principle, but vanishingly unlikely
+    # at 3 keys / 16384 bits; determinism matters more than the bound
+    assert got == {3, 7, 150}
+
+
+def test_table_diff_verdicts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.joins import table_diff
+
+    old = pd.DataFrame({"k": [1, 2, 3], "p": ["a", "b", "c"]})
+    new = pd.DataFrame({"k": [2, 3, 4], "p": ["b", "C", "d"]})
+    out = (
+        table_diff(
+            rd.from_pandas(old).repartition(2),
+            rd.from_pandas(new).repartition(2),
+            key="k",
+            payload="p",
+        )
+        .to_pandas()
+        .set_index("k")["status"]
+        .to_dict()
+    )
+    assert out == {1: "removed", 3: "changed", 4: "added"}

@@ -772,3 +772,27 @@ def test_lang_fertility_exact_sums(ray_session):
     assert out.loc["en"].tolist() == [2, 5, 8]
     # nl: een twee -> 2 words, 2 bpe
     assert out.loc["nl"].tolist() == [1, 2, 2]
+
+
+def test_tfidf_terms_integer_ranking(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.text import tfidf_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+            # 'common' in all docs (df=3); 'rare' only in doc 0 (df=1)
+            "text": [
+                "common rare rare",
+                "common common other",
+                "common other other",
+            ],
+        }
+    )
+    out = tfidf_terms(rd.from_pandas(df).repartition(2), k=2).to_pandas()
+    d0 = out[out["doc_id"] == 0].sort_values("score", ascending=False)
+    # doc 0: rare tf=2 df=1 -> 2e6; common tf=1 df=3 -> 333333
+    assert d0["token"].tolist() == ["rare", "common"]
+    assert d0["score"].tolist() == [2_000_000, 333_333]

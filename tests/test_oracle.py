@@ -93,6 +93,8 @@ ORACLE_KEYS = [
     "daily_new_users", "price_histogram", "user_top_event",
     "kmv_distinct", "event_type_pairs", "heavy_hitters", "priority_sample",
     "event_transitions", "user_paths", "corr_stats", "winsorize",
+    "cms_counts", "zscore_outliers", "bloom_semi_join", "tfidf_terms",
+    "tumbling_window", "hopping_window", "table_diff", "debounce",
 ]
 
 

@@ -314,3 +314,45 @@ def test_winsorize_clips_to_group_quantiles(ray_session):
     assert out["clipped"].max() == 95.0
     mid = out[(out["v"] >= 5) & (out["v"] <= 95)]
     assert (mid["clipped"] == mid["v"]).all()
+
+
+def test_cms_counts_overestimates_only(ray_session):
+    """CMS estimates are >= true counts, exact when no collision."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import cms_counts
+
+    df = pd.DataFrame({"text": ["a a a b", "b c", "a c c"]})
+    out = cms_counts(
+        rd.from_pandas(df).repartition(2),
+        lambda b: [w for t in b.column("text").to_pylist() for w in t.split()],
+        terms=("a", "b", "c", "zzz"),
+        width=512,
+        depth=4,
+    ).to_pandas().set_index("term")["est"]
+    true = {"a": 4, "b": 2, "c": 3, "zzz": 0}
+    for t, n in true.items():
+        assert out[t] >= n
+    # 8 distinct tokens in 512*4 cells: no collision expected
+    assert out.to_dict() == true
+
+
+def test_zscore_outliers_flags_extreme(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import zscore_outliers
+
+    # group a: 40 values at ~10, one at 1000 (clear >3 sigma)
+    df = pd.DataFrame(
+        {
+            "id": range(41),
+            "g": ["a"] * 41,
+            "x": pd.Series([10, 11, 9, 10] * 10 + [1000], dtype="int64"),
+        }
+    )
+    out = zscore_outliers(
+        rd.from_pandas(df).repartition(3), by="g", value="x", id_col="id"
+    ).to_pandas()
+    assert out["id"].tolist() == [40]

@@ -177,3 +177,64 @@ def test_user_paths_ordered_concat(ray_session):
     assert out.loc[7, "path"] == "s>t>u>v"
     assert out.loc[7, "n_events"] == 4
     assert out.loc[8, "path"] == "w"
+
+
+def test_tumbling_and_hopping_windows(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import hopping_agg, tumbling_agg
+
+    HOUR = 3_600_000_000
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:50",
+                 "2024-01-01 01:10", "2024-01-01 03:10"]
+            ),
+            "event_type": ["a", "a", "a", "b"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    tw = (
+        tumbling_agg(ds, every_us=HOUR)
+        .to_pandas()
+        .set_index(["w", "event_type"])
+        .sort_index()
+    )
+    base = int(pd.Timestamp("2024-01-01").value // 1000)
+    assert tw.loc[(base, "a"), "n"] == 2
+    assert tw.loc[(base, "a"), "cents"] == 300
+    assert tw.loc[(base + HOUR, "a"), "n"] == 1
+    assert tw.loc[(base + 3 * HOUR, "b"), "cents"] == 400
+
+    # hopping: 1h window, 30min hop -> each event in 2 windows
+    hw = hopping_agg(ds, every_us=HOUR, hop_us=HOUR // 2).to_pandas()
+    assert hw["n"].sum() == 2 * len(df)
+    # the 00:10 event belongs to windows starting 23:30 and 00:00
+    w0 = hw[(hw["w"] == base) & (hw["event_type"] == "a")]
+    assert w0["n"].iloc[0] == 2  # 00:10 and 00:50 both in [00:00, 01:00)
+
+
+def test_debounce_events_lag_gap(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import debounce_events
+
+    # user 1 type a: 00:00, 00:20, 01:30 -> keep 00:00 and 01:30
+    # (00:20 within 1h of 00:00; 01:30 is 70min after 00:20 -> kept)
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:20",
+                 "2024-01-01 01:30", "2024-01-01 00:05"]
+            ),
+            "event_id": [0, 1, 2, 3],
+        }
+    )
+    out = debounce_events(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert sorted(out["event_id"].tolist()) == [0, 2, 3]
