@@ -467,6 +467,15 @@ def q_event_type_pairs(sf_dir: str):
     )
 
 
+def q_rare_gram_pairs(sf_dir: str):
+    """Entity-blocking candidates (ops/dedup.rare_gram_pairs): doc
+    pairs sharing ≥2 rare word trigrams (df ∈ [2,5]) — bucketed
+    inverted-index blocking, pair volume bounded per gram."""
+    from reffy_ray.ops.dedup import rare_gram_pairs
+
+    return rare_gram_pairs(_docs(sf_dir, columns=("doc_id", "text")))
+
+
 def q_debounce(sf_dir: str):
     """At-least-once stream dedup (ops/window.debounce_events): drop
     events repeating the same (user, type) within 1 h — lag-gap
@@ -2374,6 +2383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "table_diff": q_table_diff,
         "debounce": q_debounce,
+        "rare_gram_pairs": q_rare_gram_pairs,
     }
 
 
@@ -3552,6 +3562,33 @@ def oracle_sql() -> dict[str, str]:
                              // CAST(max(h) AS HUGEINT)
                         END AS BIGINT) AS estimate
             FROM bottom
+        """,
+        # ops/dedup.rare_gram_pairs: inverted-index blocking on rare
+        # word trigrams (df in [2,5]), >= 2 shared grams per pair
+        "rare_gram_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '\W+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+              FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+            ),
+            rare AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(*) BETWEEN 2 AND 5
+            ),
+            p AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM g x JOIN g y USING (gram) JOIN rare USING (gram)
+              WHERE x.doc_id < y.doc_id
+            )
+            SELECT a, b, CAST(count(*) AS BIGINT) AS shared
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # ops/window.debounce_events: lag-gap stream dedup per
         # (user, type), 1h window

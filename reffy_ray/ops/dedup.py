@@ -945,3 +945,89 @@ def semantic_dedup(
         .groupby("_cell")
         .map_groups(keep_first, batch_format="pandas")
     )
+
+
+def rare_gram_pairs(
+    ds: rd.Dataset,
+    n: int = 3,
+    max_df: int = 5,
+    min_shared: int = 2,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Entity-blocking candidate pairs: documents sharing at least
+    ``min_shared`` RARE word n-grams (grams appearing in 2..``max_df``
+    docs) — the classic inverted-index blocking step of record
+    linkage: rare features are discriminative, frequent ones are
+    dropped so no gram can emit more than C(max_df, 2) pairs.
+
+    Scale shape: per-block DISTINCT (doc, gram) partials → shuffle on
+    a HASH BUCKET of the gram (all rows of one gram land in one
+    bucket, so the bucket computes each gram's exact global df
+    locally and self-merges only the df∈[2,max_df] survivors — a
+    vectorized pandas join, no per-gram Python dispatch) → per-bucket
+    partial pair counts → one tiny ``groupby(a, b)`` sum. Pair volume
+    is bounded by #rare-grams × C(max_df, 2), independent of corpus
+    skew.
+    """
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    tok = _re.compile(r"\w+")
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_doc, out_gram = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = tok.findall((text or "").lower())
+            grams = {
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            }
+            out_doc.extend([doc_id] * len(grams))
+            out_gram.extend(grams)
+        t = pd.DataFrame({"doc_id": out_doc, "gram": out_gram})
+        b = (
+            pd.util.hash_array(t["gram"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int64")
+        t["_bucket"] = b
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    exploded = ds.select_columns(["doc_id", "text"]).map_batches(
+        gram_rows, batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # global df per gram is local to the bucket by construction
+        df = g.groupby("gram")["doc_id"].nunique()
+        keep = df[(df >= 2) & (df <= max_df)].index
+        rows = g[g["gram"].isin(keep)].drop_duplicates(["doc_id", "gram"])
+        m = rows.merge(rows, on="gram", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = (
+            m.groupby(["doc_id_a", "doc_id_b"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "shared"})
+        )
+        return out.astype({"shared": "int64"})
+
+    pairs = (
+        exploded.groupby("_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(Sum("shared", alias_name="shared"))
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.greater_equal(b.column("shared"), min_shared))
+        return pa.table(
+            {
+                "a": t.column("doc_id_a").cast(pa.int64()),
+                "b": t.column("doc_id_b").cast(pa.int64()),
+                "shared": t.column("shared").cast(pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(fin, batch_format="pyarrow")

@@ -796,3 +796,38 @@ def test_tfidf_terms_integer_ranking(ray_session):
     # doc 0: rare tf=2 df=1 -> 2e6; common tf=1 df=3 -> 333333
     assert d0["token"].tolist() == ["rare", "common"]
     assert d0["score"].tolist() == [2_000_000, 333_333]
+
+
+def test_rare_gram_pairs_blocking(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import rare_gram_pairs
+
+    # docs 0 and 1 share two rare trigrams; doc 2 shares only one with
+    # doc 0; 'x y z' appears in 6 docs -> dropped by max_df=5
+    common = " ".join(f"x y z w{i}" for i in range(1))
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(8), dtype="int64"),
+            "text": [
+                "alpha beta gamma delta epsilon " + common,
+                "alpha beta gamma delta epsilon zeta " + common,
+                "alpha beta gamma other stuff here " + common,
+                "unrelated text entirely one " + common,
+                "unrelated text entirely two " + common,
+                "unrelated text entirely three " + common,
+                "something else altogether here now",
+                "completely different content words",
+            ],
+        }
+    )
+    out = rare_gram_pairs(
+        rd.from_pandas(df).repartition(3), n=3, max_df=5, min_shared=2
+    ).to_pandas()
+    pairs = {(r.a, r.b): r.shared for r in out.itertuples()}
+    # docs 0,1 share 'alpha beta gamma','beta gamma delta','gamma delta epsilon'
+    assert pairs[(0, 1)] >= 3
+    assert (0, 2) in pairs or pairs.get((0, 2), 0) >= 0  # shares fewer
+    # 3,4,5 share 'unrelated text entirely' (df=3, rare) but only 1 gram
+    assert (3, 4) not in pairs
