@@ -476,6 +476,135 @@ def q_rare_gram_pairs(sf_dir: str):
     return rare_gram_pairs(_docs(sf_dir, columns=("doc_id", "text")))
 
 
+def q_pivot_counts(sf_dir: str):
+    """Crosstab activity matrix (ops/stats.pivot_counts): one row per
+    user with an int64 count column per event type — per-block
+    crosstab partials, one groupby(user) shuffle of partials."""
+    from reffy_ray.ops.stats import pivot_counts
+
+    return pivot_counts(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ),
+        key_col="user_id",
+        cat_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def q_rollup(sf_dir: str):
+    """ROLLUP subtotals (ops/stats.rollup_agg): exact quantity
+    sums/counts at (returnflag, linestatus), (returnflag, ALL) and
+    (ALL, ALL) — finest-level combiner partials, one tiny groupby,
+    coarser levels derived from the cardinality-bounded result."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.stats import rollup_agg
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    return rollup_agg(
+        li.map_batches(to_int, batch_format="pyarrow"),
+        dims=["l_returnflag", "l_linestatus"],
+        value_col="qty",
+    )
+
+
+def q_cumulative(sf_dir: str):
+    """Per-user running spend (ops/window.cumulative_agg): cumulative
+    integer-cents sum + 1-based running count over (ts, event_id)
+    order — one sort, census-stitched carry, vectorized cumsum."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.window import cumulative_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        return b.drop_columns(["value"]).append_column("cents", cents)
+
+    return cumulative_agg(
+        ev.map_batches(to_cents, batch_format="pyarrow"), value_col="cents"
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact per-day COUNT(DISTINCT user) (ops/stats.distinct_count):
+    local dedup → (day,user) groupby for global distinctness → tiny
+    per-day sum. The exact counterpart of the kmv_distinct sketch."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.stats import distinct_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(b.column("ts"), unit="day"),
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    return distinct_count(
+        ev.map_batches(to_day, batch_format="pyarrow"),
+        by="day",
+        value="user_id",
+        out_col="n_users",
+    )
+
+
+def q_rrf(sf_dir: str):
+    """Reciprocal-rank fusion (ops/similarity.rrf_fuse) of two ranked
+    doc lists — by whitespace token count and by char length — exact
+    integer contributions scale//(k+rank), rank via the distributed
+    prefix-count primitive; missing-side rank reports -1."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.similarity import rrf_fuse
+    from reffy_ray.ops.text import token_count
+
+    docs = _docs(sf_dir)
+    a = docs.map_batches(token_count, batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(["doc_id", "score"]), batch_format="pyarrow"
+    )
+
+    def by_chars(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "score": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+            }
+        )
+
+    b = docs.map_batches(by_chars, batch_format="pyarrow")
+    return rrf_fuse(a, b, id_col="doc_id", score_col="score")
+
+
+def q_er_pairs(sf_dir: str):
+    """Two-stage entity resolution (ops/dedup.er_verified_pairs):
+    rare-gram blocking → exact trigram-Jaccard verification (≥0.3,
+    integer cross-multiplication) on the bounded candidate set."""
+    from reffy_ray.ops.dedup import er_verified_pairs
+
+    return er_verified_pairs(_docs(sf_dir, columns=("doc_id", "text")))
+
+
 def q_debounce(sf_dir: str):
     """At-least-once stream dedup (ops/window.debounce_events): drop
     events repeating the same (user, type) within 1 h — lag-gap
@@ -2384,6 +2513,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff": q_table_diff,
         "debounce": q_debounce,
         "rare_gram_pairs": q_rare_gram_pairs,
+        "pivot_counts": q_pivot_counts,
+        "rollup": q_rollup,
+        "cumulative": q_cumulative,
+        "distinct_users": q_distinct_users,
+        "rrf": q_rrf,
+        "er_pairs": q_er_pairs,
     }
 
 
@@ -3589,6 +3724,124 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, CAST(count(*) AS BIGINT) AS shared
             FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # ops/stats.pivot_counts: conditional-aggregation crosstab
+        "pivot_counts": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        # ops/stats.rollup_agg: GROUP BY ROLLUP with 'ALL' sentinels
+        "rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # ops/window.cumulative_agg: ROWS UNBOUNDED PRECEDING running
+        # sum of integer cents + running count per user
+        "cumulative": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS t_us,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS cum_sum,
+                   CAST(count(*) OVER w AS BIGINT) AS cum_n
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        """,
+        # ops/stats.distinct_count: exact per-day distinct users
+        "distinct_users": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        # ops/similarity.rrf_fuse: reciprocal-rank fusion, integer
+        # contributions scale//(k+rank), row_number ranks
+        "rrf": r"""
+            WITH a AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS score
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, length(text) AS score FROM documents
+            ),
+            ra AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS r
+              FROM a
+            ),
+            rb AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS r
+              FROM b
+            )
+            SELECT doc_id,
+                   CAST(COALESCE(1000000000000 // (60 + ra.r), 0)
+                      + COALESCE(1000000000000 // (60 + rb.r), 0)
+                        AS BIGINT) AS fused,
+                   CAST(COALESCE(ra.r, -1) AS BIGINT) AS rank_a,
+                   CAST(COALESCE(rb.r, -1) AS BIGINT) AS rank_b
+            FROM ra FULL JOIN rb USING (doc_id)
+        """,
+        # ops/dedup.er_verified_pairs: rare-gram blocking + exact
+        # trigram-Jaccard verification (>= 30/100, integer compare)
+        "er_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '\W+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+              FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+            ),
+            rare AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(*) BETWEEN 2 AND 5
+            ),
+            pr AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM g x JOIN g y USING (gram) JOIN rare USING (gram)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            c AS (
+              SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+            ),
+            i AS (
+              SELECT pr.a, pr.b, count(*) AS inter
+              FROM pr
+              JOIN g ga ON ga.doc_id = pr.a
+              JOIN g gb ON gb.doc_id = pr.b AND gb.gram = ga.gram
+              GROUP BY 1, 2
+            )
+            SELECT i.a, i.b,
+                   CAST(i.inter AS BIGINT) AS inter,
+                   CAST(ca.ng + cb.ng - i.inter AS BIGINT) AS uni
+            FROM i
+            JOIN c ca ON ca.doc_id = i.a
+            JOIN c cb ON cb.doc_id = i.b
+            WHERE i.inter * 100 >= (ca.ng + cb.ng - i.inter) * 30
         """,
         # ops/window.debounce_events: lag-gap stream dedup per
         # (user, type), 1h window

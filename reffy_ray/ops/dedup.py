@@ -1031,3 +1031,125 @@ def rare_gram_pairs(
         )
 
     return pairs.map_batches(fin, batch_format="pyarrow")
+
+
+def er_verified_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 5,
+    min_shared: int = 2,
+    threshold_num: int = 30,
+    threshold_den: int = 100,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Record-linkage composite: :func:`rare_gram_pairs` blocking →
+    exact word n-gram Jaccard verification — the classic two-stage ER
+    pipeline (bounded candidate generation, then the expensive exact
+    measure ONLY on candidates). A pair survives when
+    ``|A∩B| / |A∪B| ≥ threshold_num/threshold_den`` over each doc's
+    full distinct word n-gram set, decided in exact integer
+    cross-multiplication (no float ratios).
+
+    Scale shape: the candidate pair table is bounded by the blocking
+    stage (#rare-grams × C(max_df,2) pairs, independent of corpus
+    skew); texts are attached by TWO bucketed hash joins (tag + union
+    + one ``groupby(_bucket)`` per side, the same co-partitioning
+    shape as :func:`reffy_ray.ops.joins.range_join` — never a
+    broadcast of the corpus), and the per-pair set intersection runs
+    only over that bounded pair table.
+    """
+    import re as _re
+
+    pairs = rare_gram_pairs(
+        ds,
+        n=n,
+        max_df=max_df,
+        min_shared=min_shared,
+        num_buckets=num_buckets,
+    )
+    docs = ds.select_columns([id_col, text_col])
+
+    def _attach_text(
+        pair_ds: rd.Dataset, key: str, text_out: str
+    ) -> rd.Dataset:
+        """Inner-join ``docs`` text onto ``pair_ds`` via bucketed
+        union+groupby: pairs are side 0, docs side 1; one vectorized
+        pandas merge per hash bucket."""
+        p_schema = pair_ds.schema()
+        pair_cols = list(p_schema.names)
+
+        def _as_arrow(t):
+            # pandas-block schemas report numpy dtypes / `object`
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()
+
+        p_types = {
+            c: _as_arrow(t) for c, t in zip(p_schema.names, p_schema.types)
+        }
+        int_cols = [c for c in pair_cols if pa.types.is_integer(p_types[c])]
+
+        def tag_pairs(t: pa.Table) -> pa.Table:
+            keys = t.column(key).to_numpy(zero_copy_only=False)
+            bucket = (pd.util.hash_array(keys) % num_buckets).astype("int64")
+            t = t.append_column("_bucket", pa.array(bucket, pa.int64()))
+            t = t.append_column("_side", pa.array([0] * t.num_rows, pa.int8()))
+            return t.append_column(text_out, pa.nulls(t.num_rows, pa.string()))
+
+        def tag_docs(t: pa.Table) -> pa.Table:
+            out = {key: t.column(id_col).cast(pa.int64())}
+            for c in pair_cols:
+                if c != key:
+                    out[c] = pa.nulls(t.num_rows, p_types[c])
+            keys = out[key].to_numpy(zero_copy_only=False)
+            bucket = (pd.util.hash_array(keys) % num_buckets).astype("int64")
+            out["_bucket"] = pa.array(bucket, pa.int64())
+            out["_side"] = pa.array([1] * t.num_rows, pa.int8())
+            out[text_out] = t.column(text_col).cast(pa.string())
+            return pa.table(out)
+
+        tagged = pair_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+            docs.map_batches(tag_docs, batch_format="pyarrow")
+        )
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            l = g[g["_side"] == 0][pair_cols]
+            r = g[g["_side"] == 1][[key, text_out]]
+            out = l.merge(r, on=key)
+            for c in int_cols:
+                out[c] = out[c].astype("int64")
+            return out.reset_index(drop=True)
+
+        return tagged.groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas"
+        )
+
+    joined = _attach_text(_attach_text(pairs, "a", "text_a"), "b", "text_b")
+
+    tok = _re.compile(r"\w+")
+
+    def grams(text: str) -> set:
+        ws = tok.findall((text or "").lower())
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"a": [], "b": [], "inter": [], "uni": []}
+        for a_id, b_id, ta, tb in zip(
+            b["a"], b["b"], b["text_a"], b["text_b"]
+        ):
+            ga, gb = grams(ta), grams(tb)
+            inter = len(ga & gb)
+            uni = len(ga) + len(gb) - inter
+            if inter * threshold_den >= uni * threshold_num:
+                rows["a"].append(int(a_id))
+                rows["b"].append(int(b_id))
+                rows["inter"].append(inter)
+                rows["uni"].append(uni)
+        return pd.DataFrame(rows).astype("int64")
+
+    return joined.map_batches(verify, batch_format="pandas")

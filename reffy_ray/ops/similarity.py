@@ -572,3 +572,72 @@ def kmeans(
         )
 
     return ds.map_batches(label, batch_format="pandas")
+
+
+def rrf_fuse(
+    a: "rd.Dataset",
+    b: "rd.Dataset",
+    id_col: str,
+    score_col: str,
+    k: int = 60,
+    scale: int = 10**12,
+) -> "rd.Dataset":
+    """Reciprocal-rank fusion of two ranked retrieval lists
+    (Cormack et al.: fused(d) = Σ 1/(k + rank_i(d))). Ranks are dense
+    1-based positions in (score DESC, id ASC) order; each
+    contribution is the exact integer ``scale // (k + rank)`` so the
+    fused score is engine-independent int64 arithmetic, and an id
+    missing from one list contributes 0 (its rank reports -1).
+
+    Scale shape: each list is ranked with the distributed prefix-count
+    primitive (:func:`reffy_ray.ops.sampling.global_rank` — one sort +
+    #blocks census, no driver rows), the two ranked sides are tagged
+    and UNIONed, and ONE ``groupby(id)`` sum/max merges them — no
+    join, one shuffle of 2 rows per id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from reffy_ray.ops.sampling import global_rank
+
+    def prep(ds: "rd.Dataset") -> "rd.Dataset":
+        def neg(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "_id": t.column(id_col).cast(pa.int64()),
+                    "_ns": pc.negate(
+                        t.column(score_col).cast(pa.float64())
+                    ),
+                }
+            )
+
+        return ds.select_columns([id_col, score_col]).map_batches(
+            neg, batch_format="pyarrow"
+        )
+
+    def tagged(ds: "rd.Dataset", which: int) -> "rd.Dataset":
+        ranked, _ = global_rank(prep(ds), keys=["_ns", "_id"])
+
+        def out(t: pa.Table) -> pa.Table:
+            rank = pc.add(t.column("rank_idx").cast(pa.int64()), 1)
+            contrib = pc.divide(
+                pa.scalar(scale, pa.int64()), pc.add(rank, k)
+            )
+            neg1 = pa.array([-1] * len(t), pa.int64())
+            return pa.table(
+                {
+                    id_col: t.column("_id"),
+                    "contrib": contrib,
+                    "rank_a": rank if which == 0 else neg1,
+                    "rank_b": rank if which == 1 else neg1,
+                }
+            )
+
+        return ranked.map_batches(out, batch_format="pyarrow")
+
+    both = tagged(a, 0).union(tagged(b, 1))
+    return both.groupby(id_col).aggregate(
+        Sum("contrib", alias_name="fused"),
+        Max("rank_a", alias_name="rank_a"),
+        Max("rank_b", alias_name="rank_b"),
+    )

@@ -887,3 +887,137 @@ def zscore_outliers(
     return ds.select_columns([id_col, by, value]).map_batches(
         flag, batch_format="pandas"
     )
+
+
+def pivot_counts(
+    ds,
+    key_col: str,
+    cat_col: str,
+    categories: "list[str] | None" = None,
+) -> "object":
+    """Crosstab / pivot: one row per ``key_col`` with an int64 count
+    column ``n_<category>`` per category of ``cat_col`` (the SQL
+    ``count(*) FILTER (WHERE cat = ...)`` conditional-aggregation
+    shape — wide features for a per-user/per-source activity matrix).
+
+    Combiner shape: each block computes its local (key × category)
+    count matrix (one pandas crosstab, vectorized), so the single
+    ``groupby(key)`` shuffles #keys-per-block × #categories partial
+    rows, never events. ``categories`` must be the closed category
+    vocabulary; when None it is derived with one tiny projected
+    ``unique()`` pass (only ever do that for low-cardinality columns —
+    pass the list explicitly in pipelines where it is known)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if categories is None:
+        categories = sorted(ds.select_columns([cat_col]).unique(cat_col))
+    cols = [f"n_{c}" for c in categories]
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b[key_col], b[cat_col])
+        ct = ct.reindex(columns=categories, fill_value=0).astype("int64")
+        ct.columns = cols
+        return ct.reset_index()
+
+    return (
+        ds.select_columns([key_col, cat_col])
+        .map_batches(partials, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
+def rollup_agg(
+    ds,
+    dims: "list[str]",
+    value_col: str,
+    total_label: str = "ALL",
+) -> "object":
+    """``GROUP BY ROLLUP(dims...)`` — exact sums and counts at every
+    rollup level: the finest (d1, d2, ...), each prefix (d1, ALL),
+    and the grand total (ALL, ALL). Rolled-up dimension positions
+    carry ``total_label`` so every column stays a non-null string
+    (type-stable across engines; callers must pick a label that is
+    not a live dimension value).
+
+    Scale shape: blocks pre-aggregate to finest-level partials
+    (combiner), ONE small ``groupby(dims)`` shuffle produces the
+    finest table — bounded by the dimension-combination cardinality,
+    not the fact-table size — and every coarser level is derived from
+    that tiny table in a single-batch pass. The fact table is read
+    once and never re-shuffled per level."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(dims, sort=True)[value_col]
+        out = g.sum().reset_index(name="s")
+        out["s"] = out["s"].astype("int64")
+        out["n"] = g.size().reset_index(name="n")["n"].astype("int64")
+        return out
+
+    finest = (
+        ds.select_columns(dims + [value_col])
+        .map_batches(partials, batch_format="pandas")
+        .groupby(dims)
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def levels(b: pd.DataFrame) -> pd.DataFrame:
+        outs = [b[dims + ["s", "n"]]]
+        for keep in range(len(dims) - 1, -1, -1):
+            head = dims[:keep]
+            if head:
+                lv = b.groupby(head, sort=True)[["s", "n"]].sum().reset_index()
+            else:
+                lv = pd.DataFrame({"s": [b["s"].sum()], "n": [b["n"].sum()]})
+            for d in dims[keep:]:
+                lv[d] = total_label
+            outs.append(lv[dims + ["s", "n"]])
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype({"s": "int64", "n": "int64"})
+
+    # the finest table is dimension-cardinality-sized; collapse it to
+    # one batch so each coarser level is computed exactly once
+    return finest.repartition(1).map_batches(
+        levels, batch_format="pandas", batch_size=None
+    )
+
+
+def distinct_count(
+    ds,
+    by: str,
+    value: str,
+    out_col: str = "n_distinct",
+) -> "object":
+    """Exact per-group COUNT(DISTINCT value) — the exact counterpart
+    of the :func:`kmv_distinct` sketch. Two-stage shape: blocks first
+    drop local duplicates (so the shuffle carries per-block distinct
+    pairs, not rows), ONE ``groupby((by, value))`` establishes global
+    distinctness with (by, value)-partitioned parallelism — no
+    per-group row concentration even when one group dominates — then
+    per-block count partials feed a tiny ``groupby(by)`` sum."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates([by, value])
+
+    dedup = (
+        ds.select_columns([by, value])
+        .map_batches(local_dedup, batch_format="pandas")
+        .groupby([by, value])
+        .aggregate(Count())
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(by, sort=True).size().reset_index(name="pn")
+        out["pn"] = out["pn"].astype("int64")
+        return out
+
+    return (
+        dedup.map_batches(partials, batch_format="pandas")
+        .groupby(by)
+        .aggregate(Sum("pn", alias_name=out_col))
+    )

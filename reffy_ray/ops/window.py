@@ -762,3 +762,129 @@ def debounce_events(
         )
 
     return srt.map_batches(keep, batch_format="pandas", batch_size=None)
+
+
+def cumulative_agg(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value_i",
+) -> rd.Dataset:
+    """Per-key running totals — ``sum(value) OVER (PARTITION BY user
+    ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` plus the matching
+    running ``count(*)`` (``cum_n``, 1-based, inclusive). ``value_col``
+    must be int64 (convert money to integer cents upstream) so every
+    partial and total is exact.
+
+    Scale shape: same as :func:`sessionize` / :func:`event_gaps` —
+    ONE key-collocating sort on ``(user, ts, id)``, a per-block census
+    (first key + the tail user's in-block sum/count: #blocks rows)
+    stitched on the driver into a per-block carry, broadcast back for
+    one fully vectorized cumsum pass per block. Only key-boundary
+    users contribute carry state; no join, no second shuffle.
+    """
+    import pyarrow as pa
+    import ray as _ray
+
+    def to_i(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+                "i": batch.column(id_col).cast(pa.int64()),
+                "v": batch.column(value_col).cast(pa.int64()),
+            }
+        )
+
+    srt = (
+        events.select_columns([user_col, ts_col, id_col, value_col])
+        .map_batches(to_i, batch_format="pyarrow")
+        .sort(["u", "t", "i"])
+        .materialize()
+    )
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("fu", "ft", "fi", "lu", "ls", "ln")}
+            )
+        u = b["u"].to_numpy()
+        tail = u == u[-1]  # sorted block: the last user's rows are a suffix
+        return pd.DataFrame(
+            {
+                "fu": [int(u[0])],
+                "ft": [int(b["t"].iloc[0])],
+                "fi": [int(b["i"].iloc[0])],
+                "lu": [int(u[-1])],
+                "ls": [int(b["v"].to_numpy()[tail].sum())],
+                "ln": [int(tail.sum())],
+            }
+        )
+
+    blocks = sorted(
+        (int(r["fu"]), int(r["ft"]), int(r["fi"]),
+         int(r["lu"]), int(r["ls"]), int(r["ln"]))
+        for r in srt.map_batches(
+            census, batch_format="pandas", batch_size=None
+        ).take_all()
+    )
+    # key-ordered stitch: carry = the first user's totals accumulated
+    # across all earlier blocks (nonzero only for boundary users)
+    stitch: dict = {}
+    cur_u, cur_s, cur_n = None, 0, 0
+    for fu, ft, fi, lu, ls, ln in blocks:
+        if fu == cur_u:
+            stitch[(fu, ft, fi)] = (cur_s, cur_n)
+        else:
+            stitch[(fu, ft, fi)] = (0, 0)
+            cur_s, cur_n = 0, 0
+        if lu == fu:
+            cur_s, cur_n = cur_s + ls, cur_n + ln
+        else:
+            cur_s, cur_n = ls, ln
+        cur_u = lu
+    st_ref = _ray.put(stitch)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    user_col: pd.Series([], dtype="int64"),
+                    "t_us": pd.Series([], dtype="int64"),
+                    "cum_sum": pd.Series([], dtype="int64"),
+                    "cum_n": pd.Series([], dtype="int64"),
+                }
+            )
+        u = b["u"].to_numpy()
+        v = b["v"].to_numpy()
+        cs = v.cumsum()
+        cn = np.arange(1, len(b) + 1, dtype="int64")
+        # subtract each user's prefix offset (vectorized group reset)
+        starts = np.zeros(len(b), dtype=bool)
+        starts[0] = True
+        starts[1:] = u[1:] != u[:-1]
+        idx = np.flatnonzero(starts)
+        off_s = np.repeat(cs[idx] - v[idx], np.diff(np.append(idx, len(b))))
+        off_n = np.repeat(cn[idx] - 1, np.diff(np.append(idx, len(b))))
+        cs = cs - off_s
+        cn = cn - off_n
+        carry_s, carry_n = _ray.get(st_ref)[
+            (int(u[0]), int(b["t"].iloc[0]), int(b["i"].iloc[0]))
+        ]
+        first = u == u[0]
+        cs[first] += carry_s
+        cn[first] += carry_n
+        return pd.DataFrame(
+            {
+                id_col: b["i"].to_numpy(),
+                user_col: u,
+                "t_us": b["t"].to_numpy(),
+                "cum_sum": cs.astype("int64"),
+                "cum_n": cn.astype("int64"),
+            }
+        )
+
+    return srt.map_batches(assign, batch_format="pandas", batch_size=None)

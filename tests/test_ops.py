@@ -831,3 +831,189 @@ def test_rare_gram_pairs_blocking(ray_session):
     assert (0, 2) in pairs or pairs.get((0, 2), 0) >= 0  # shares fewer
     # 3,4,5 share 'unrelated text entirely' (df=3, rare) but only 1 gram
     assert (3, 4) not in pairs
+
+
+def test_pivot_counts_crosstab(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_type": ["click", "click", "view", "view", "purchase", "click"],
+        }
+    )
+    out = (
+        pivot_counts(
+            rd.from_pandas(df).repartition(3),
+            key_col="user_id",
+            cat_col="event_type",
+            categories=["click", "purchase", "view"],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_click"].tolist() == [2, 0, 1]
+    assert out["n_purchase"].tolist() == [0, 1, 0]
+    assert out["n_view"].tolist() == [1, 1, 0]
+    assert all(str(out[c].dtype) == "int64" for c in out.columns)
+
+
+def test_pivot_counts_derives_categories(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import pivot_counts
+
+    df = pd.DataFrame({"k": [1, 2], "c": ["b", "a"]})
+    out = pivot_counts(rd.from_pandas(df), key_col="k", cat_col="c").to_pandas()
+    assert sorted(out.columns) == ["k", "n_a", "n_b"]
+
+
+def test_rollup_agg_levels(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import rollup_agg
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y", "y"],
+            "b": ["p", "q", "p", "p"],
+            "v": pd.Series([1, 2, 3, 4], dtype="int64"),
+        }
+    )
+    out = rollup_agg(
+        rd.from_pandas(df).repartition(2), dims=["a", "b"], value_col="v"
+    ).to_pandas()
+    got = {(r.a, r.b): (r.s, r.n) for r in out.itertuples()}
+    assert got[("x", "p")] == (1, 1)
+    assert got[("x", "q")] == (2, 1)
+    assert got[("y", "p")] == (7, 2)
+    assert got[("x", "ALL")] == (3, 2)
+    assert got[("y", "ALL")] == (7, 2)
+    assert got[("ALL", "ALL")] == (10, 4)
+    assert len(got) == 6
+
+
+def test_cumulative_agg_carry_across_blocks(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import cumulative_agg
+
+    # one user spanning many blocks plus a second short user
+    n = 50
+    df = pd.DataFrame(
+        {
+            "event_id": pd.Series(range(n + 2), dtype="int64"),
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:{i:02d}:00" for i in range(n)]
+                + ["2024-01-01 00:00:00", "2024-01-01 00:01:00"]
+            ),
+            "user_id": pd.Series([7] * n + [9, 9], dtype="int64"),
+            "value_i": pd.Series(list(range(n)) + [10, 20], dtype="int64"),
+        }
+    )
+    out = (
+        cumulative_agg(rd.from_pandas(df).repartition(8))
+        .to_pandas()
+        .sort_values(["user_id", "t_us"])
+        .reset_index(drop=True)
+    )
+    u7 = out[out["user_id"] == 7]
+    import numpy as np
+
+    assert u7["cum_sum"].tolist() == np.cumsum(np.arange(n)).tolist()
+    assert u7["cum_n"].tolist() == list(range(1, n + 1))
+    u9 = out[out["user_id"] == 9]
+    assert u9["cum_sum"].tolist() == [10, 30]
+    assert u9["cum_n"].tolist() == [1, 2]
+
+
+def test_distinct_count_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import distinct_count
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "b", "b"],
+            "v": [1, 1, 2, 5, 5, 5, 6],
+        }
+    )
+    out = (
+        distinct_count(rd.from_pandas(df).repartition(4), by="g", value="v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["g"].tolist() == ["a", "b"]
+    assert out["n_distinct"].tolist() == [2, 2]
+
+
+def test_rrf_fuse_ranks_and_missing_side(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.similarity import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "score": [30, 20, 10]})
+    b = pd.DataFrame({"doc_id": [2, 3, 4], "score": [5, 9, 1]})
+    out = (
+        rrf_fuse(
+            rd.from_pandas(a).repartition(2),
+            rd.from_pandas(b).repartition(2),
+            id_col="doc_id",
+            score_col="score",
+            k=60,
+            scale=10**12,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = {
+        int(r.doc_id): (int(r.fused), int(r.rank_a), int(r.rank_b))
+        for r in out.itertuples()
+    }
+    s = 10**12
+    # list a ranks: 1->1, 2->2, 3->3 ; list b ranks: 3->1, 2->2, 4->3
+    assert got[1] == (s // 61, 1, -1)
+    assert got[2] == (s // 62 + s // 62, 2, 2)
+    assert got[3] == (s // 63 + s // 61, 3, 1)
+    assert got[4] == (s // 63, -1, 3)
+
+
+def test_er_verified_pairs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import er_verified_pairs
+
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    near_b = "the quick brown fox jumps over the lazy dog near the river shore"
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(5), dtype="int64"),
+            "text": [
+                near_a,
+                near_b,
+                "completely different text about other topics entirely here",
+                "yet another unrelated document with its own words inside",
+                "final filler document mentioning nothing shared at all",
+            ],
+        }
+    )
+    out = er_verified_pairs(
+        rd.from_pandas(df).repartition(2), threshold_num=30, threshold_den=100
+    ).to_pandas()
+    got = {(r.a, r.b): (r.inter, r.uni) for r in out.itertuples()}
+    assert (0, 1) in got
+    inter, uni = got[(0, 1)]
+    assert inter * 100 >= uni * 30
+    assert len(got) == 1

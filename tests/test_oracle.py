@@ -95,7 +95,8 @@ ORACLE_KEYS = [
     "event_transitions", "user_paths", "corr_stats", "winsorize",
     "cms_counts", "zscore_outliers", "bloom_semi_join", "tfidf_terms",
     "tumbling_window", "hopping_window", "table_diff", "debounce",
-    "rare_gram_pairs",
+    "rare_gram_pairs", "pivot_counts", "rollup", "cumulative",
+    "distinct_users", "rrf", "er_pairs",
 ]
 
 
