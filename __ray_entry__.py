@@ -605,6 +605,177 @@ def q_er_pairs(sf_dir: str):
     return er_verified_pairs(_docs(sf_dir, columns=("doc_id", "text")))
 
 
+def q_max_concurrency(sf_dir: str):
+    """Sweep-line interval overlap (ops/window.max_concurrency): each
+    event held open 60 s; per event type, the max number of
+    simultaneously open intervals — end-exclusive tie rule, one sort +
+    census-stitched running sum, per-(block,key) max partials."""
+    from reffy_ray.ops.window import max_concurrency
+
+    return max_concurrency(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "event_type"],
+        )
+    ).sort("event_type")
+
+
+def q_rolling_distinct(sf_dir: str):
+    """Rolling 7-day distinct users per day (ops/window.rolling_distinct):
+    local (day,user) dedup → constant-fanout window-end explode
+    filtered to the broadcast live-day set → distinct_count's
+    two-stage groupby. The rolling-DAU metric plain window functions
+    can't express."""
+    from reffy_ray.ops.window import rolling_distinct
+
+    return rolling_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ).sort("day_num")
+
+
+def q_pair_lift(sf_dir: str):
+    """Co-occurrence lift (ops/stats.pair_lift): support>0 event-type
+    pairs ranked by exact integer lift_ppm = support·n_users·10⁶ //
+    (cnt_a·cnt_b); joints, marginals and the user total fall out of
+    one ones-augmented XᵀX matmul."""
+    from reffy_ray.ops.stats import pair_lift
+
+    return pair_lift(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+    )
+
+
+def q_streaks(sf_dir: str):
+    """Longest consecutive-day streak per user (ops/window.
+    activity_streaks): global (user,day) dedup, then sessionize with
+    the day number as a 1-us clock and gap_us=1 — gaps-and-islands
+    without a dedicated kernel."""
+    from reffy_ray.ops.window import activity_streaks
+
+    return activity_streaks(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ).sort("user_id")
+
+
+def q_inverted_index(sf_dir: str):
+    """Rare-term inverted index (ops/text.inverted_index): terms with
+    df ≤ n_docs/5 and ordered comma-joined postings, built with ONE
+    term-hash bucket shuffle (df filter and ordered join local to the
+    bucket). The df cap is a corpus FRACTION (rare = appears in <20%
+    of docs), so the query yields rows at every scale of the fixed
+    31-term synthetic vocab."""
+    import pyarrow.parquet as pq
+
+    from reffy_ray.ops.text import inverted_index
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return inverted_index(
+        _docs(sf_dir, columns=("doc_id", "text")), max_df=n_docs // 5
+    ).sort("term")
+
+
+def q_ab_test(sf_dir: str):
+    """A/B rollup (ops/sampling.ab_test_summary): md5-bucket arm
+    assignment (hash_split scheme, SQL-restatable), converts on ≥1
+    purchase event, exact integer conv_ppm per arm."""
+    from reffy_ray.ops.sampling import ab_test_summary
+
+    return ab_test_summary(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+    ).sort("arm")
+
+
+def q_share_of_total(sf_dir: str):
+    """Ratio-to-report (ops/stats.share_of_total): each event type's
+    exact integer-ppm share of global spend (integer cents) — the
+    ``sum(x)/sum(sum(x)) OVER ()`` report without float division."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.stats import share_of_total
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(b.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {"event_type": b.column("event_type"), "cents": cents}
+        )
+
+    return share_of_total(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        key_col="event_type",
+        value_col="cents",
+    )
+
+
+def q_edit_distance(sf_dir: str):
+    """Bounded-Levenshtein linkage (ops/dedup.edit_distance_pairs):
+    rare-gram blocking → banded edit-distance DP on 64-char prefixes,
+    pairs kept at distance ≤ 10 — candidate set bounded by blocking,
+    never corpus × corpus."""
+    from reffy_ray.ops.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _docs(sf_dir, columns=("doc_id", "text"))
+    ).sort(["a", "b"])
+
+
+def q_trending_terms(sf_dir: str):
+    """Per-source trending terms: document frequency per (source,
+    term) via combiner partials, then ops/sampling.top_k_per_group
+    keeps each source's top-3 terms (ties broken by ascending term)."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    from reffy_ray.ops.sampling import top_k_per_group
+
+    tok = _re.compile(r"\w+")
+
+    def explode(b):
+        import pandas as pd
+
+        src_out, term_out = [], []
+        for src, text in zip(b["source"], b["text"]):
+            for t in set(tok.findall((text or "").lower())):
+                src_out.append(src)
+                term_out.append(t)
+        out = pd.DataFrame({"source": src_out, "term": term_out})
+        out = out.groupby(["source", "term"], as_index=False).size()
+        return out.rename(columns={"size": "pn"}).astype({"pn": "int64"})
+
+    counts = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(explode, batch_format="pandas")
+        .groupby(["source", "term"])
+        .aggregate(Sum("pn", alias_name="df"))
+    )
+    top = top_k_per_group(
+        counts, k=3, key_col="source", order_col="df", id_col="term"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source").cast(pa.string()),
+                "term": t.column("term").cast(pa.string()),
+                "df": t.column("df").cast(pa.int64()),
+            }
+        )
+
+    return top.map_batches(fin, batch_format="pyarrow").sort(
+        ["source", "term"]
+    )
+
+
 def q_debounce(sf_dir: str):
     """At-least-once stream dedup (ops/window.debounce_events): drop
     events repeating the same (user, type) within 1 h — lag-gap
@@ -2519,6 +2690,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "rrf": q_rrf,
         "er_pairs": q_er_pairs,
+        "max_concurrency": q_max_concurrency,
+        "rolling_distinct": q_rolling_distinct,
+        "pair_lift": q_pair_lift,
+        "streaks": q_streaks,
+        "inverted_index": q_inverted_index,
+        "ab_test": q_ab_test,
+        "share_of_total": q_share_of_total,
+        "edit_distance": q_edit_distance,
+        "trending_terms": q_trending_terms,
     }
 
 
@@ -3842,6 +4022,206 @@ def oracle_sql() -> dict[str, str]:
             JOIN c ca ON ca.doc_id = i.a
             JOIN c cb ON cb.doc_id = i.b
             WHERE i.inter * 100 >= (ca.ng + cb.ng - i.inter) * 30
+        """,
+        # ops/window.max_concurrency: sweep-line interval overlap,
+        # 60s half-open intervals, end-exclusive ties (-1 before +1)
+        "max_concurrency": """
+            WITH d AS (
+              SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t,
+                     1 AS dd, event_id AS i
+              FROM events
+              UNION ALL
+              SELECT event_type, CAST(epoch_us(ts) AS BIGINT) + 60000000,
+                     -1, event_id
+              FROM events
+            ),
+            r AS (
+              SELECT event_type,
+                     CAST(sum(dd) OVER (
+                       PARTITION BY event_type ORDER BY t, dd, i
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS BIGINT) AS conc
+              FROM d
+            )
+            SELECT event_type, CAST(max(conc) AS BIGINT) AS max_conc
+            FROM r GROUP BY event_type ORDER BY event_type
+        """,
+        # ops/window.rolling_distinct: trailing 7-day distinct users
+        # per live day (integer day numbers since epoch)
+        "rolling_distinct": """
+            WITH du AS (
+              SELECT DISTINCT
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+                     user_id
+              FROM events
+            ),
+            days AS (SELECT DISTINCT day_num FROM du)
+            SELECT d.day_num,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_w
+            FROM days d
+            JOIN du u ON u.day_num BETWEEN d.day_num - 6 AND d.day_num
+            GROUP BY d.day_num ORDER BY d.day_num
+        """,
+        # ops/stats.pair_lift: integer lift_ppm over support>0
+        # unordered event-type pairs
+        "pair_lift": """
+            WITH pu AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ),
+            cnt AS (
+              SELECT event_type, count(*) AS c FROM pu GROUP BY 1
+            ),
+            n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+            pr AS (
+              SELECT x.event_type AS e1, y.event_type AS e2,
+                     count(*) AS support
+              FROM pu x JOIN pu y
+                ON x.user_id = y.user_id AND x.event_type < y.event_type
+              GROUP BY 1, 2
+            )
+            SELECT pr.e1, pr.e2, CAST(pr.support AS BIGINT) AS support,
+                   CAST(pr.support * n.nu * 1000000 // (ca.c * cb.c)
+                        AS BIGINT) AS lift_ppm
+            FROM pr
+            CROSS JOIN n
+            JOIN cnt ca ON ca.event_type = pr.e1
+            JOIN cnt cb ON cb.event_type = pr.e2
+            ORDER BY e1, e2
+        """,
+        # ops/window.activity_streaks: longest consecutive-day streak
+        # per user (gaps-and-islands via day - row_number grouping)
+        "streaks": """
+            WITH du AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events
+            ),
+            g AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day
+                     ) AS grp
+              FROM du
+            ),
+            s AS (
+              SELECT user_id, count(*) AS len
+              FROM g GROUP BY user_id, grp
+            )
+            SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        # ops/text.inverted_index: rare-term postings (df <= n_docs/5),
+        # comma-joined ascending doc ids
+        "inverted_index": r"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, t AS term
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '')) AS u(t)
+            ),
+            rare AS (
+              SELECT term FROM tok GROUP BY term
+              HAVING count(*) <= (SELECT count(*) // 5 FROM documents)
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM tok JOIN rare USING (term)
+            GROUP BY term ORDER BY term
+        """,
+        # ops/sampling.ab_test_summary: md5-bucket arms (hash_split
+        # scheme), converts on >=1 purchase, integer conv_ppm
+        "ab_test": """
+            WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS conv
+              FROM events GROUP BY user_id
+            ),
+            arms AS (
+              SELECT CASE WHEN ('0x' || substr(
+                         md5(CAST(user_id AS VARCHAR) || '|ab-42'),
+                         1, 16))::UBIGINT % 10000 < 5000
+                          THEN 'A' ELSE 'B' END AS arm,
+                     conv
+              FROM pu
+            )
+            SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(conv) AS BIGINT) AS converters,
+                   CAST(sum(conv) * 1000000 // count(*) AS BIGINT)
+                     AS conv_ppm
+            FROM arms GROUP BY arm ORDER BY arm
+        """,
+        # ops/stats.share_of_total: integer-ppm ratio-to-report over
+        # event-type spend (cents = floor(value*100))
+        "share_of_total": """
+            WITH s AS (
+              SELECT event_type,
+                     sum(CAST(floor(value * 100) AS BIGINT)) AS key_sum
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, CAST(key_sum AS BIGINT) AS key_sum,
+                   CAST(key_sum * 1000000 //
+                        (SELECT sum(key_sum) FROM s) AS BIGINT) AS share_ppm
+            FROM s ORDER BY event_type
+        """,
+        # ops/dedup.edit_distance_pairs: rare-gram blocking + exact
+        # Levenshtein on 64-char prefixes, dist <= 10
+        "edit_distance": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '\W+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+              FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+            ),
+            rare AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(*) BETWEEN 2 AND 5
+            ),
+            pr AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM g x JOIN g y USING (gram) JOIN rare USING (gram)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            tx AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+            SELECT pr.a, pr.b,
+                   CAST(levenshtein(ta.p, tb.p) AS BIGINT) AS dist
+            FROM pr
+            JOIN tx ta ON ta.doc_id = pr.a
+            JOIN tx tb ON tb.doc_id = pr.b
+            WHERE levenshtein(ta.p, tb.p) <= 10
+            ORDER BY a, b
+        """,
+        # top-3 terms per source by doc frequency, ties by term asc
+        "trending_terms": r"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, source, t AS term
+              FROM documents,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '')) AS u(t)
+            ),
+            cnt AS (
+              SELECT source, term, count(*) AS df
+              FROM tok GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT source, term, df,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY df DESC, term ASC
+                     ) AS rn
+              FROM cnt
+            )
+            SELECT source, term, CAST(df AS BIGINT) AS df
+            FROM r WHERE rn <= 3 ORDER BY source, term
         """,
         # ops/window.debounce_events: lag-gap stream dedup per
         # (user, type), 1h window

@@ -1062,6 +1062,54 @@ def er_verified_pairs(
     """
     import re as _re
 
+    joined = _er_candidates_with_texts(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        max_df=max_df,
+        min_shared=min_shared,
+        num_buckets=num_buckets,
+    )
+
+    tok = _re.compile(r"\w+")
+
+    def grams(text: str) -> set:
+        ws = tok.findall((text or "").lower())
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"a": [], "b": [], "inter": [], "uni": []}
+        for a_id, b_id, ta, tb in zip(
+            b["a"], b["b"], b["text_a"], b["text_b"]
+        ):
+            ga, gb = grams(ta), grams(tb)
+            inter = len(ga & gb)
+            uni = len(ga) + len(gb) - inter
+            if inter * threshold_den >= uni * threshold_num:
+                rows["a"].append(int(a_id))
+                rows["b"].append(int(b_id))
+                rows["inter"].append(inter)
+                rows["uni"].append(uni)
+        return pd.DataFrame(rows).astype("int64")
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+def _er_candidates_with_texts(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 5,
+    min_shared: int = 2,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Shared ER front half: :func:`rare_gram_pairs` blocking, then
+    both texts attached to every candidate pair (columns ``a, b,
+    shared, text_a, text_b``) via bucketed union+groupby hash joins —
+    the candidate table stays bounded by the blocking stage and the
+    corpus is never broadcast."""
     pairs = rare_gram_pairs(
         ds,
         n=n,
@@ -1129,27 +1177,80 @@ def er_verified_pairs(
             per_bucket, batch_format="pandas"
         )
 
-    joined = _attach_text(_attach_text(pairs, "a", "text_a"), "b", "text_b")
+    return _attach_text(_attach_text(pairs, "a", "text_a"), "b", "text_b")
 
-    tok = _re.compile(r"\w+")
 
-    def grams(text: str) -> set:
-        ws = tok.findall((text or "").lower())
-        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+def _lev_banded(a: str, b: str, k: int) -> int:
+    """Exact Levenshtein distance when ≤ ``k``, else ``k + 1`` —
+    classic banded DP: cells farther than k off-diagonal can never
+    reach a distance ≤ k, so each row is a 2k+1 slice and the scan
+    aborts as soon as a full band exceeds k."""
+    if abs(len(a) - len(b)) > k:
+        return k + 1
+    la, lb = len(a), len(b)
+    prev = {j: j for j in range(min(k, lb) + 1)}
+    for i in range(1, la + 1):
+        cur = {}
+        lo, hi = max(1, i - k), min(lb, i + k)
+        if i - k <= 0:
+            cur[0] = i
+        for j in range(lo, hi + 1):
+            best = min(
+                prev.get(j, k + 1) + 1,
+                cur.get(j - 1, k + 1) + 1,
+                prev.get(j - 1, k + 1) + (0 if a[i - 1] == b[j - 1] else 1),
+            )
+            cur[j] = best
+        prev = cur
+        if min(prev.values()) > k:
+            return k + 1
+    d = prev.get(lb, k + 1)
+    return d if d <= k else k + 1
+
+
+def edit_distance_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 10,
+    prefix_len: int = 64,
+    n: int = 3,
+    max_df: int = 5,
+    min_shared: int = 2,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Bounded-Levenshtein record linkage: :func:`rare_gram_pairs`
+    blocking, then EXACT edit distance on each candidate pair's
+    ``prefix_len``-char prefix, keeping pairs with distance ≤
+    ``max_dist``. The O(L·d) banded DP runs ONLY on the
+    blocking-bounded candidate set — never corpus × corpus — and the
+    prefix cap bounds each pair's cost to a constant.
+
+    Texts are attached with the same bucketed union+groupby hash
+    joins as :func:`er_verified_pairs` (no corpus broadcast).
+    """
+    joined = _er_candidates_with_texts(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        max_df=max_df,
+        min_shared=min_shared,
+        num_buckets=num_buckets,
+    )
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
-        rows = {"a": [], "b": [], "inter": [], "uni": []}
+        rows = {"a": [], "b": [], "dist": []}
         for a_id, b_id, ta, tb in zip(
             b["a"], b["b"], b["text_a"], b["text_b"]
         ):
-            ga, gb = grams(ta), grams(tb)
-            inter = len(ga & gb)
-            uni = len(ga) + len(gb) - inter
-            if inter * threshold_den >= uni * threshold_num:
+            d = _lev_banded(
+                (ta or "")[:prefix_len], (tb or "")[:prefix_len], max_dist
+            )
+            if d <= max_dist:
                 rows["a"].append(int(a_id))
                 rows["b"].append(int(b_id))
-                rows["inter"].append(inter)
-                rows["uni"].append(uni)
+                rows["dist"].append(d)
         return pd.DataFrame(rows).astype("int64")
 
     return joined.map_batches(verify, batch_format="pandas")

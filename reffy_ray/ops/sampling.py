@@ -784,3 +784,94 @@ def priority_sample(
             "prio": pa.array([int(r["_h"]) >> 1 for r in kept], pa.int64()),
         }
     )
+
+
+def ab_test_summary(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    salt: str = "ab-42",
+    buckets: int = 10_000,
+    arms=(("A", 0.5), ("B", 0.5)),
+    scale: int = 1_000_000,
+):
+    """A/B experiment rollup: users are assigned to arms by the same
+    deterministic md5 bucket scheme as :func:`hash_split` (so the
+    assignment is restatable in SQL), a user converts when they have
+    ≥1 ``convert_type`` event, and each arm reports exact integer
+    ``(n_users, converters, conv_ppm = converters·scale // n_users)``.
+
+    Scale shape: per-block partials collapse events to (user,
+    converted-indicator) rows → ONE ``groupby(user)`` Max resolves
+    each user once → per-block per-arm combiner sums → a tiny
+    ``groupby(arm)``. The user dimension only ever crosses the wire
+    once, as one row per distinct user per block.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Sum
+
+    bounds = []
+    acc = 0.0
+    for name, w in arms:
+        acc += w
+        bounds.append((name, int(round(acc * buckets))))
+    bounds[-1] = (bounds[-1][0], buckets)
+
+    def user_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": b[user_col].astype("int64"),
+                "conv": (b[type_col] == convert_type).astype("int64"),
+            }
+        )
+        return out.groupby("u", as_index=False, sort=False).max()
+
+    per_user = (
+        events.select_columns([user_col, type_col])
+        .map_batches(user_partial, batch_format="pandas")
+        .groupby("u")
+        .aggregate(Max("conv", alias_name="conv"))
+    )
+
+    def arm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        names = []
+        for u in b["u"]:
+            bkt = _h64(f"{int(u)}|{salt}") % buckets
+            for name, hi in bounds:
+                if bkt < hi:
+                    names.append(name)
+                    break
+        out = pd.DataFrame(
+            {"arm": names, "n": 1, "conv": b["conv"].astype("int64")}
+        )
+        g = out.groupby("arm", as_index=False, sort=False).sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    agg = (
+        per_user.map_batches(arm_partial, batch_format="pandas")
+        .groupby("arm")
+        .aggregate(
+            Sum("n", alias_name="n_users"),
+            Sum("conv", alias_name="converters"),
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t.column("n_users").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = (
+            t.column("converters")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "arm": t.column("arm").cast(pa.string()),
+                "n_users": pa.array(n, pa.int64()),
+                "converters": pa.array(c, pa.int64()),
+                "conv_ppm": pa.array(c * scale // n, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

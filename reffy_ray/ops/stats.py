@@ -1021,3 +1021,138 @@ def distinct_count(
         .groupby(by)
         .aggregate(Sum("pn", alias_name=out_col))
     )
+
+
+def pair_lift(
+    ds,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    scale: int = 1_000_000,
+):
+    """Co-occurrence lift ranking: for every unordered event-type pair
+    with support > 0, ``lift_ppm = support · n_users · scale //
+    (cnt_a · cnt_b)`` — the association strength behind PMI, kept in
+    exact integer floor arithmetic so ordering is bit-stable and
+    restatable in SQL.
+
+    Same indicator-matrix shape as :func:`event_type_pairs` with one
+    twist: an appended all-ones column makes a single t+1 × t+1
+    ``Xᵀ·X`` matmul yield the pair supports (off-diagonal), each
+    type's user count (last column) AND the total distinct-user count
+    (corner cell) — marginals and joints in one pass, no extra
+    aggregation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Max
+
+    types = sorted(ds.select_columns([type_col]).unique(type_col))
+    tcols = [f"t_{i}" for i in range(len(types))] + ["t_one"]
+    tindex = {t: i for i, t in enumerate(types)}
+
+    def indicator_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({user_col: b[user_col]})
+        code = b[type_col].map(tindex).to_numpy()
+        onehot = np.zeros((len(b), len(types) + 1), dtype="int64")
+        onehot[np.arange(len(b)), code] = 1
+        onehot[:, -1] = 1
+        for j, c in enumerate(tcols):
+            out[c] = onehot[:, j]
+        return out.groupby(user_col, as_index=False, sort=False).max()
+
+    per_user = (
+        ds.select_columns([user_col, type_col])
+        .map_batches(indicator_partial, batch_format="pandas")
+        .groupby(user_col)
+        .aggregate(*[Max(c, alias_name=c) for c in tcols])
+    )
+
+    def cooc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[tcols].to_numpy(dtype="int64")
+        m = x.T @ x
+        return pd.DataFrame({"cell": [m.tobytes()]})
+
+    cells = per_user.map_batches(cooc_partial, batch_format="pandas").take_all()
+    t = len(types)
+    total = np.zeros((t + 1, t + 1), dtype="int64")
+    for r in cells:
+        total += np.frombuffer(r["cell"], dtype="int64").reshape(t + 1, t + 1)
+    n_users = int(total[t, t])
+    e1, e2, support, lift = [], [], [], []
+    for i in range(t):
+        for j in range(i + 1, t):
+            s = int(total[i, j])
+            if s == 0:
+                continue
+            ca, cb = int(total[i, t]), int(total[j, t])
+            e1.append(types[i])
+            e2.append(types[j])
+            support.append(s)
+            lift.append(s * n_users * scale // (ca * cb))
+    return pa.table(
+        {
+            "e1": pa.array(e1, pa.string()),
+            "e2": pa.array(e2, pa.string()),
+            "support": pa.array(support, pa.int64()),
+            "lift_ppm": pa.array(lift, pa.int64()),
+        }
+    )
+
+
+def share_of_total(
+    ds,
+    key_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+):
+    """Ratio-to-report: each key's exact integer share of the global
+    ``value_col`` sum, ``share_ppm = key_sum · scale // total`` —
+    SQL's ``sum(x) / sum(sum(x)) OVER ()`` without the float division.
+    ``value_col`` must already be int64 (integer cents upstream).
+
+    Scale shape: per-block per-key partial sums → ONE tiny
+    ``groupby(key)`` (payload #keys × #blocks rows); the total is the
+    sum of the per-key sums, taken on the already-small aggregate —
+    no second pass over the data."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(key_col, as_index=False, sort=False)[value_col].sum()
+        out[value_col] = out[value_col].astype("int64")
+        return out
+
+    agg = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(Sum(value_col, alias_name="key_sum"))
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    parts = [_ray.get(r) for r in agg]
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "key_sum": pa.array([], pa.int64()),
+                "share_ppm": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(live)
+    keys = t.column(key_col).to_pylist()
+    sums = t.column("key_sum").cast(pa.int64()).to_pylist()
+    total = sum(sums) or 1
+    order = sorted(range(len(keys)), key=lambda i: str(keys[i]))
+    return pa.table(
+        {
+            key_col: pa.array([keys[i] for i in order]),
+            "key_sum": pa.array([sums[i] for i in order], pa.int64()),
+            "share_ppm": pa.array(
+                [sums[i] * scale // total for i in order], pa.int64()
+            ),
+        }
+    )

@@ -961,3 +961,73 @@ def tfidf_terms(ds, k: int = 3, scale: int = 1_000_000):
         )
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def inverted_index(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 3,
+    num_buckets: int = 64,
+):
+    """Rare-term inverted index: for every term whose document
+    frequency is ≤ ``max_df``, the full postings list as a
+    comma-joined ascending doc-id string — the retrieval-index build
+    step, restricted to the discriminative tail (frequent terms carry
+    no signal and their postings are corpus-sized; the df cap bounds
+    every output row to ``max_df`` entries by construction).
+
+    Scale shape: per-block DISTINCT (doc, term) partials → ONE shuffle
+    on a hash BUCKET of the term (a term's global posting set is local
+    to its bucket, so the df filter and the ordered join both run as
+    vectorized pandas group ops inside the bucket — no per-term
+    dispatch, no second shuffle).
+    """
+    _tok = re.compile(r"\w+")
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        out_doc, out_term = [], []
+        for doc_id, text in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            for t in set(_tok.findall((text or "").lower())):
+                out_doc.append(doc_id)
+                out_term.append(t)
+        t = pd.DataFrame({"doc_id": out_doc, "term": out_term})
+        t["_bucket"] = (
+            pd.util.hash_array(t["term"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int64")
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        term_rows, batch_format="pyarrow"
+    )
+
+    def bucket_postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "term"])
+        df = g.groupby("term")["doc_id"].nunique()
+        keep = df[df <= max_df].index
+        g = g[g["term"].isin(keep)]
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "df": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype="object"),
+                }
+            )
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        out = g.groupby("term", sort=True).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(str(int(x)) for x in s)),
+        )
+        out = out.reset_index()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    return (
+        exploded.groupby("_bucket")
+        .map_groups(bucket_postings, batch_format="pandas")
+        .select_columns(["term", "df", "postings"])
+    )

@@ -888,3 +888,303 @@ def cumulative_agg(
         )
 
     return srt.map_batches(assign, batch_format="pandas", batch_size=None)
+
+
+def max_concurrency(
+    events: rd.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    duration_us: int = 60_000_000,
+) -> rd.Dataset:
+    """Sweep-line interval-overlap maximum: treat each event as a
+    half-open interval ``[ts, ts + duration)`` and compute, per key,
+    the maximum number of simultaneously open intervals. End-exclusive
+    tie rule: an interval closing at *t* never overlaps one opening at
+    *t* (the -1 delta sorts before the +1 at equal timestamps).
+
+    Scale shape: explode each row into two delta rows (+1 at start,
+    -1 at end) — a 2× map, no join — then the :func:`cumulative_agg`
+    census-stitch: ONE key-collocating sort on ``(key, t, delta,
+    id)``, a per-block census carrying each boundary key's in-block
+    delta sum (#blocks rows to the driver), and a fully vectorized
+    per-block running-sum pass that emits ONE partial-max row per
+    (block, key) segment. A final tiny ``groupby(key).max`` over
+    those partials yields the answer; the row dimension only ever
+    flows through the sort.
+    """
+    import pyarrow as pa
+    import ray as _ray
+    from ray.data.aggregate import Max
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_pylist()
+        t = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        i = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": pa.array(k + k, pa.string()),
+                "t": pa.array(np.concatenate([t, t + duration_us]), pa.int64()),
+                "d": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(n, dtype="int64"),
+                            np.full(n, -1, dtype="int64"),
+                        ]
+                    )
+                ),
+                "i": pa.array(np.concatenate([i, i]), pa.int64()),
+            }
+        )
+
+    srt = (
+        events.select_columns([key_col, ts_col, id_col])
+        .map_batches(deltas, batch_format="pyarrow")
+        .sort(["k", "t", "d", "i"])
+        .materialize()
+    )
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "fk": pd.Series([], dtype="object"),
+                    "ft": pd.Series([], dtype="int64"),
+                    "fd": pd.Series([], dtype="int64"),
+                    "fi": pd.Series([], dtype="int64"),
+                    "lk": pd.Series([], dtype="object"),
+                    "ls": pd.Series([], dtype="int64"),
+                }
+            )
+        k = b["k"].to_numpy()
+        tail = k == k[-1]
+        return pd.DataFrame(
+            {
+                "fk": [str(k[0])],
+                "ft": [int(b["t"].iloc[0])],
+                "fd": [int(b["d"].iloc[0])],
+                "fi": [int(b["i"].iloc[0])],
+                "lk": [str(k[-1])],
+                "ls": [int(b["d"].to_numpy()[tail].sum())],
+            }
+        )
+
+    rows = sorted(
+        (r["fk"], int(r["ft"]), int(r["fd"]), int(r["fi"]), r["lk"], int(r["ls"]))
+        for r in srt.map_batches(
+            census, batch_format="pandas", batch_size=None
+        ).take_all()
+    )
+    stitch: dict = {}
+    cur_k, cur_s = None, 0
+    for fk, ft, fd, fi, lk, ls in rows:
+        base = cur_s if fk == cur_k else 0
+        stitch[(fk, ft, fd, fi)] = base
+        cur_s = (base + ls) if lk == fk else ls
+        cur_k = lk
+    st_ref = _ray.put(stitch)
+
+    def block_max(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="object"),
+                    "pmax": pd.Series([], dtype="int64"),
+                }
+            )
+        k = b["k"].to_numpy()
+        d = b["d"].to_numpy()
+        run = d.cumsum()
+        starts = np.zeros(len(b), dtype=bool)
+        starts[0] = True
+        starts[1:] = k[1:] != k[:-1]
+        idx = np.flatnonzero(starts)
+        off = np.repeat(run[idx] - d[idx], np.diff(np.append(idx, len(b))))
+        run = run - off
+        carry = _ray.get(st_ref)[
+            (str(k[0]), int(b["t"].iloc[0]), int(b["d"].iloc[0]), int(b["i"].iloc[0]))
+        ]
+        run[k == k[0]] += carry
+        seg = np.append(idx, len(b))
+        return pd.DataFrame(
+            {
+                key_col: k[idx],
+                "pmax": np.fromiter(
+                    (run[s:e].max() for s, e in zip(seg[:-1], seg[1:])),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    partials = srt.map_batches(block_max, batch_format="pandas", batch_size=None)
+    agg = partials.groupby(key_col).aggregate(Max("pmax", alias_name="max_conc"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t.column(key_col).cast(pa.string()),
+                "max_conc": t.column("max_conc").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def rolling_distinct(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> rd.Dataset:
+    """Trailing-window distinct count: for every calendar day present
+    in the data, the number of distinct users active in the
+    ``window_days``-day window ending that day — the rolling-DAU
+    metric DISTINCT can't express as a plain window function.
+
+    Scale shape: per-block local dedup to (day, user) pairs first (the
+    shuffle never carries raw events), then each pair EXPLODES into
+    the ≤``window_days`` window-end days it contributes to (constant
+    fan-out np.repeat, no join), filtered against the broadcast set of
+    days that actually occur (bounded: one entry per calendar day of
+    corpus history, a few thousand at any scale). Global distinctness
+    and the per-day count then reuse :func:`~reffy_ray.ops.stats.distinct_count`'s
+    two-stage groupby — no per-day row concentration.
+    """
+    import pyarrow as pa
+    import ray as _ray
+
+    from reffy_ray.ops.stats import distinct_count
+
+    US_PER_DAY = 86_400_000_000
+
+    def day_user(b: pa.Table) -> pa.Table:
+        t = (
+            b.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        out = pa.table(
+            {
+                "day_num": pa.array(t // US_PER_DAY, pa.int64()),
+                "u": b.column(user_col).cast(pa.int64()),
+            }
+        )
+        return out.group_by(["day_num", "u"]).aggregate([])
+
+    pairs = events.select_columns([ts_col, user_col]).map_batches(
+        day_user, batch_format="pyarrow"
+    )
+    day_arr = np.array(
+        sorted(
+            int(d) for d in pairs.select_columns(["day_num"]).unique("day_num")
+        ),
+        dtype="int64",
+    )
+    days_ref = _ray.put(day_arr)
+
+    def explode(b: pa.Table) -> pa.Table:
+        days = b.column("day_num").to_numpy()
+        users = b.column("u").to_numpy()
+        k = np.arange(window_days, dtype="int64")
+        ends = (days[:, None] + k[None, :]).ravel()
+        uu = np.repeat(users, window_days)
+        live = _ray.get(days_ref)
+        mask = np.isin(ends, live)
+        return pa.table(
+            {
+                "day_num": pa.array(ends[mask], pa.int64()),
+                "u": pa.array(uu[mask], pa.int64()),
+            }
+        )
+
+    exploded = pairs.map_batches(explode, batch_format="pyarrow")
+    out = distinct_count(exploded, by="day_num", value="u", out_col="users_w")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day_num": t.column("day_num").cast(pa.int64()),
+                "users_w": t.column("users_w").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def activity_streaks(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands metric at calendar-day granularity.
+
+    Scale shape: per-block (user, day) dedup partials → ONE
+    ``groupby((user, day))`` establishes global distinctness, then the
+    distinct day rows are fed through :func:`sessionize` with the day
+    number as a synthetic microsecond timestamp and ``gap_us=1`` — a
+    day gap ≥ 2 breaks the streak — so the island detection reuses the
+    sorted census-stitch (no second shuffle design). A tiny
+    ``groupby(user).max`` over per-streak lengths finishes.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max
+
+    US_PER_DAY = 86_400_000_000
+
+    def day_rows(b: pa.Table) -> pa.Table:
+        t = (
+            b.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        out = pa.table(
+            {
+                "u": b.column(user_col).cast(pa.int64()),
+                "day": pa.array(t // US_PER_DAY, pa.int64()),
+            }
+        )
+        return out.group_by(["u", "day"]).aggregate([])
+
+    distinct = (
+        events.select_columns([user_col, ts_col])
+        .map_batches(day_rows, batch_format="pyarrow")
+        .groupby(["u", "day"])
+        .aggregate(Count())
+    )
+
+    def as_stream(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("u").cast(pa.int64()),
+                # day number reinterpreted as a 1-us-per-day clock so
+                # sessionize's gap_us=1 means "not the next day"
+                "ts": b.column("day").cast(pa.int64()),
+                "event_id": b.column("day").cast(pa.int64()),
+            }
+        )
+
+    sessions = sessionize(
+        distinct.map_batches(as_stream, batch_format="pyarrow"), gap_us=1
+    )
+    agg = sessions.groupby("user_id").aggregate(
+        Max("n_events", alias_name="max_streak")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "max_streak": t.column("max_streak").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

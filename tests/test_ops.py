@@ -1017,3 +1017,236 @@ def test_er_verified_pairs(ray_session):
     inter, uni = got[(0, 1)]
     assert inter * 100 >= uni * 30
     assert len(got) == 1
+
+
+def test_max_concurrency_sweep_line(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import max_concurrency
+
+    # type A: three intervals overlapping pairwise in a chain — at
+    # t=25 two are open; the third opens at t=70 after #1 closed.
+    # End-exclusive: an event at t=60 does NOT overlap one at t=0.
+    base = pd.Timestamp("2024-01-01")
+    s = lambda x: base + pd.Timedelta(seconds=x)
+    df = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "event_type": ["A", "A", "A", "B", "B", "B"],
+            "ts": [s(0), s(25), s(60), s(0), s(10), s(20)],
+        }
+    )
+    out = (
+        max_concurrency(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("event_type")["max_conc"]
+    )
+    assert out["A"] == 2  # t=25..60 has events 0 and 1; t=60 closes 0
+    assert out["B"] == 3  # all three 60s intervals open at t=20
+
+
+def test_rolling_distinct_window(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import rolling_distinct
+
+    base = pd.Timestamp("2024-01-01")
+    d = lambda k: base + pd.Timedelta(days=k)
+    df = pd.DataFrame(
+        {
+            # user 1 on day0, user 2 on day0+day3, user 3 on day10
+            "user_id": [1, 2, 2, 3],
+            "ts": [d(0), d(0), d(3), d(10)],
+        }
+    )
+    out = (
+        rolling_distinct(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .set_index("day_num")["users_w"]
+    )
+    day0 = int((base - pd.Timestamp("1970-01-01")).days)
+    assert out[day0] == 2        # users 1,2 on day0
+    assert out[day0 + 3] == 2    # day3 window [day-3..day3] covers day0
+    assert out[day0 + 10] == 1   # day10 window excludes day3 (gap > 6)
+    assert set(out.index) == {day0, day0 + 3, day0 + 10}
+
+
+def test_pair_lift_integer_math(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import pair_lift
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3, 4],
+            "event_type": ["a", "b", "a", "b", "a", "c"],
+        }
+    )
+    out = pair_lift(rd.from_pandas(df).repartition(2)).to_pandas()
+    got = {(r.e1, r.e2): (r.support, r.lift_ppm) for r in out.itertuples()}
+    # support(a,b)=2, n_users=4, cnt_a=3, cnt_b=2 -> 2*4*1e6//6
+    assert got[("a", "b")] == (2, 2 * 4 * 1_000_000 // 6)
+    # zero-support pairs (a,c)/(b,c) are not emitted
+    assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_activity_streaks_islands(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import activity_streaks
+
+    base = pd.Timestamp("2024-03-01")
+    d = lambda k: base + pd.Timedelta(days=k)
+    df = pd.DataFrame(
+        {
+            # user 1: days 0,1,2 then 5,6 -> max streak 3 (dup on day 1)
+            # user 2: days 0, 2, 4 -> max streak 1
+            "user_id": [1, 1, 1, 1, 1, 1, 2, 2, 2],
+            "ts": [d(0), d(1), d(1), d(2), d(5), d(6), d(0), d(2), d(4)],
+        }
+    )
+    out = (
+        activity_streaks(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("user_id")["max_streak"]
+    )
+    assert out[1] == 3
+    assert out[2] == 1
+
+
+def test_inverted_index_rare_terms(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.text import inverted_index
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "alpha beta common",
+                "beta common",
+                "common alpha",
+                "common gamma",
+                "common",
+            ],
+        }
+    )
+    out = inverted_index(
+        rd.from_pandas(df).repartition(2), max_df=3
+    ).to_pandas().set_index("term")
+    assert out.loc["alpha", "postings"] == "1,3"
+    assert out.loc["alpha", "df"] == 2
+    assert out.loc["beta", "postings"] == "1,2"
+    assert out.loc["gamma", "postings"] == "4"
+    assert "common" not in out.index  # df=5 > max_df
+
+
+def test_ab_test_summary_deterministic(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.sampling import _h64, ab_test_summary
+
+    users = list(range(40))
+    rows = []
+    for u in users:
+        rows.append({"user_id": u, "event_type": "view"})
+        if u % 3 == 0:
+            rows.append({"user_id": u, "event_type": "purchase"})
+    df = pd.DataFrame(rows)
+    out = (
+        ab_test_summary(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("arm")
+    )
+    exp = {"A": [0, 0], "B": [0, 0]}
+    for u in users:
+        arm = "A" if _h64(f"{u}|ab-42") % 10000 < 5000 else "B"
+        exp[arm][0] += 1
+        exp[arm][1] += 1 if u % 3 == 0 else 0
+    for arm in ("A", "B"):
+        n, c = exp[arm]
+        assert out.loc[arm, "n_users"] == n
+        assert out.loc[arm, "converters"] == c
+        assert out.loc[arm, "conv_ppm"] == c * 1_000_000 // n
+
+
+def test_share_of_total_integer_ppm(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import share_of_total
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "c"],
+            "cents": pd.Series([100, 200, 300, 400], dtype="int64"),
+        }
+    )
+    out = (
+        pd.DataFrame(
+            share_of_total(
+                rd.from_pandas(df).repartition(2), key_col="k", value_col="cents"
+            ).to_pydict()
+        )
+        .set_index("k")
+    )
+    assert out.loc["a", "key_sum"] == 300
+    assert out.loc["a", "share_ppm"] == 300 * 1_000_000 // 1000
+    assert out.loc["c", "share_ppm"] == 400 * 1_000_000 // 1000
+    assert list(out.index) == ["a", "b", "c"]  # sorted
+
+
+def test_edit_distance_pairs_banded(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import edit_distance_pairs
+
+    a = "the quick brown fox jumps over the lazy dog by the river"
+    b = a.replace("dog", "dot")  # distance 1 within the 64-char prefix
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+            "text": [a, b, "entirely unrelated words in this one here today"],
+        }
+    )
+    out = edit_distance_pairs(
+        rd.from_pandas(df).repartition(2), max_dist=10
+    ).to_pandas()
+    got = {(r.a, r.b): r.dist for r in out.itertuples()}
+    assert got == {(1, 2): 1}
+
+
+def test_edit_distance_banded_dp_exact():
+    import itertools
+
+    from reffy_ray.ops.dedup import _lev_banded
+
+    def ref(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1,
+                    m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    words = ["", "a", "ab", "abc", "kitten", "sitting", "flaw", "lawn",
+             "saturday", "sunday"]
+    for a, b in itertools.product(words, repeat=2):
+        for k in (1, 3, 6):
+            exp = ref(a, b)
+            got = _lev_banded(a, b, k)
+            assert got == (exp if exp <= k else k + 1), (a, b, k, got, exp)

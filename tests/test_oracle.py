@@ -96,7 +96,9 @@ ORACLE_KEYS = [
     "cms_counts", "zscore_outliers", "bloom_semi_join", "tfidf_terms",
     "tumbling_window", "hopping_window", "table_diff", "debounce",
     "rare_gram_pairs", "pivot_counts", "rollup", "cumulative",
-    "distinct_users", "rrf", "er_pairs",
+    "distinct_users", "rrf", "er_pairs", "max_concurrency",
+    "rolling_distinct", "pair_lift", "streaks", "inverted_index",
+    "ab_test", "share_of_total", "edit_distance", "trending_terms",
 ]
 
 
