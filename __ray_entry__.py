@@ -776,6 +776,139 @@ def q_trending_terms(sf_dir: str):
     )
 
 
+def q_pareto(sf_dir: str):
+    """Per-priority 2-D Pareto frontier over orders
+    (ops/stats.pareto_front): the skyline of (maximize price cents,
+    minimize order date) — no order both cheaper-or-equal in date and
+    higher-or-equal in price dominates a kept point. Per-block local
+    skylines → one tiny groupby; the fact table never shuffles."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.stats import pareto_front
+
+    odr = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderdate"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "price_cents": pc.cast(
+                    pc.floor(pc.multiply(b.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+                "date_us": b.column("o_orderdate")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    return pareto_front(
+        odr.map_batches(prep, batch_format="pyarrow"),
+        by="o_orderpriority",
+        max_col="price_cents",
+        min_col="date_us",
+    ).sort(["o_orderpriority", "price_cents", "date_us"])
+
+
+def q_decayed(sf_dir: str):
+    """Per-event-type freshness-decayed score (ops/stats.decayed_score):
+    each event contributes cents >> whole-days-old at the 2024-02-01
+    reference — exact integer bit-shift halving, one combiner pass."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.stats import decayed_score
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "ts": b.column("ts"),
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(b.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return decayed_score(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        by="event_type",
+        ts_col="ts",
+        value_col="cents",
+        ref_us=1_706_745_600_000_000,  # 2024-02-01T00:00:00Z
+    ).sort("event_type")
+
+
+def q_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate (ops/stats.hll_distinct,
+    m=64): deterministic md5 registers make the raw HLL estimate
+    itself exactly SQL-restatable — the register-table twin of
+    kmv_distinct. ≤64 rows per block cross the wire."""
+    from reffy_ray.ops.stats import hll_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def users(batch: pa.Table):
+        return [str(u) for u in batch.column("user_id").to_pylist()]
+
+    return hll_distinct(ev, users, m=64)
+
+
+def q_interval_merge(sf_dir: str):
+    """Variable-duration interval union per user
+    (ops/window.interval_coalesce): each event holds an interval of
+    60 s + 1 ms per value-cent; overlapping/touching intervals merge
+    into islands (running-max-end semantics, the PACK primitive
+    sessionize's constant-gap rule cannot express)."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.window import interval_coalesce
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(b.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "dur_us": pc.add(
+                    pc.multiply(cents, pa.scalar(1000, pa.int64())),
+                    pa.scalar(60_000_000, pa.int64()),
+                ),
+            }
+        )
+
+    return interval_coalesce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id",
+        ts_col="ts",
+        dur_col="dur_us",
+    ).sort(["user_id", "island_seq"])
+
+
+def q_containment(sf_dir: str):
+    """Asymmetric n-gram containment pairs
+    (ops/dedup.containment_pairs): directed src⊂dst relations with
+    |A∩B| ≥ |A|/2 on the rare-gram-blocked candidate set — the
+    quote/subset signal Jaccard misses."""
+    from reffy_ray.ops.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(sf_dir, columns=("doc_id", "text"))
+    ).sort(["src", "dst"])
+
+
 def q_debounce(sf_dir: str):
     """At-least-once stream dedup (ops/window.debounce_events): drop
     events repeating the same (user, type) within 1 h — lag-gap
@@ -2699,6 +2832,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "share_of_total": q_share_of_total,
         "edit_distance": q_edit_distance,
         "trending_terms": q_trending_terms,
+        "pareto": q_pareto,
+        "decayed": q_decayed,
+        "hll_users": q_hll_users,
+        "interval_merge": q_interval_merge,
+        "containment": q_containment,
     }
 
 
@@ -4222,6 +4360,161 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, term, CAST(df AS BIGINT) AS df
             FROM r WHERE rn <= 3 ORDER BY source, term
+        """,
+        # ops/stats.pareto_front: per-priority 2-D skyline of
+        # (max price_cents, min date_us), NOT EXISTS dominance
+        "pareto": """
+            WITH p AS (
+              SELECT DISTINCT o_orderpriority AS k,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+                     CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us
+              FROM orders
+            )
+            SELECT k AS o_orderpriority, price_cents, date_us
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.k = a.k
+                AND b.price_cents >= a.price_cents
+                AND b.date_us <= a.date_us
+                AND (b.price_cents > a.price_cents
+                     OR b.date_us < a.date_us)
+            )
+            ORDER BY 1, 2, 3
+        """,
+        # ops/stats.decayed_score: cents >> whole-days-old at the
+        # 2024-02-01 reference, exact integer halving
+        "decayed": """
+            SELECT event_type,
+                   CAST(sum(
+                     CAST(floor(value * 100) AS BIGINT)
+                     >> CAST(LEAST(GREATEST(
+                          (1706745600000000
+                           - CAST(epoch_us(ts) AS BIGINT)) // 86400000000,
+                          0), 62) AS BIGINT)
+                   ) AS BIGINT) AS decayed
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # ops/stats.hll_distinct: m=64 md5 registers; raw HLL estimate
+        # in exact rational arithmetic (alpha_64 = 0.709 as ppm)
+        "hll_users": """
+            WITH h AS (
+              SELECT DISTINCT CAST(
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS hv
+              FROM events
+            ),
+            r AS (
+              SELECT CAST(hv >> 58 AS BIGINT) AS bkt,
+                     CASE WHEN (hv & 288230376151711743) = 0 THEN 59
+                          ELSE 59 - length(bin(CAST(
+                            hv & 288230376151711743 AS BIGINT)))
+                     END AS rho
+              FROM h
+            ),
+            regs AS (
+              SELECT i AS bkt,
+                     COALESCE((SELECT max(rho) FROM r WHERE r.bkt = i), 0)
+                       AS rho
+              FROM unnest(range(0, 64)) AS t(i)
+            ),
+            s AS (
+              SELECT sum(18446744073709551616::HUGEINT
+                         // (CAST(1 AS BIGINT) << rho)) AS denom,
+                     sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS nz
+              FROM regs
+            )
+            SELECT CAST(64 AS BIGINT) AS m,
+                   CAST(nz AS BIGINT) AS n_zero,
+                   CAST(709000::HUGEINT * 64 * 64
+                        * 18446744073709551616::HUGEINT
+                        // (1000000::HUGEINT * denom) AS BIGINT) AS estimate
+            FROM s
+        """,
+        # ops/window.interval_coalesce: running-max-end interval
+        # islands per user, 60s + 1ms/cent durations
+        "interval_merge": """
+            WITH iv AS (
+              SELECT user_id AS k,
+                     CAST(epoch_us(ts) AS BIGINT) AS t,
+                     CAST(epoch_us(ts) AS BIGINT) + 60000000
+                       + CAST(floor(value * 100) AS BIGINT) * 1000 AS e
+              FROM events
+            ),
+            m AS (
+              SELECT k, t, e,
+                     max(e) OVER (
+                       PARTITION BY k ORDER BY t, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_max
+              FROM iv
+            ),
+            b AS (
+              SELECT k, t, e,
+                     CASE WHEN prev_max IS NULL OR t > prev_max
+                          THEN 1 ELSE 0 END AS brk
+              FROM m
+            ),
+            isl AS (
+              SELECT k, t, e,
+                     sum(brk) OVER (
+                       PARTITION BY k ORDER BY t, e
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS island
+              FROM b
+            )
+            SELECT k AS user_id, CAST(island AS BIGINT) AS island_seq,
+                   min(t) AS start_us, max(e) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM isl GROUP BY k, island ORDER BY 1, 2
+        """,
+        # ops/dedup.containment_pairs: directed |A∩B| >= |A|/2 on the
+        # rare-gram-blocked candidate set (same CTEs as er_pairs)
+        "containment": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '\W+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+              FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+            ),
+            rare AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(*) BETWEEN 2 AND 5
+            ),
+            pr AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM g x JOIN g y USING (gram) JOIN rare USING (gram)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            c AS (
+              SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+            ),
+            i AS (
+              SELECT pr.a, pr.b, count(*) AS inter
+              FROM pr
+              JOIN g ga ON ga.doc_id = pr.a
+              JOIN g gb ON gb.doc_id = pr.b AND gb.gram = ga.gram
+              GROUP BY 1, 2
+            )
+            SELECT src, dst, inter, n_src FROM (
+              SELECT i.a AS src, i.b AS dst,
+                     CAST(i.inter AS BIGINT) AS inter,
+                     CAST(ca.ng AS BIGINT) AS n_src
+              FROM i JOIN c ca ON ca.doc_id = i.a
+              WHERE i.inter * 2 >= ca.ng
+              UNION ALL
+              SELECT i.b, i.a, CAST(i.inter AS BIGINT),
+                     CAST(cb.ng AS BIGINT)
+              FROM i JOIN c cb ON cb.doc_id = i.b
+              WHERE i.inter * 2 >= cb.ng
+            ) ORDER BY src, dst
         """,
         # ops/window.debounce_events: lag-gap stream dedup per
         # (user, type), 1h window

@@ -1254,3 +1254,69 @@ def edit_distance_pairs(
         return pd.DataFrame(rows).astype("int64")
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+def containment_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n: int = 3,
+    max_df: int = 5,
+    min_shared: int = 2,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """ASYMMETRIC n-gram containment detection: for each blocked
+    candidate pair, does one document's gram set lie (mostly) inside
+    the other's — ``|A∩B| / |A| ≥ threshold`` — the quote/subset
+    signal Jaccard misses (a short doc fully quoted inside a long one
+    scores near-zero Jaccard but containment 1.0; Broder 1997
+    distinguishes exactly these two resemblance measures).
+
+    Emits one DIRECTED row per (src ⊂-ish dst) relation that clears
+    the threshold: ``(src, dst, inter, n_src)``, integer
+    cross-multiplication only. Both directions of a pair are tested.
+
+    Scale shape: identical to :func:`er_verified_pairs` — the
+    :func:`rare_gram_pairs` blocking bounds the candidate set, texts
+    attach via bucketed union+groupby hash joins, and the exact gram
+    verify runs only on candidates. Never corpus × corpus.
+    """
+    import re as _re
+
+    joined = _er_candidates_with_texts(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        max_df=max_df,
+        min_shared=min_shared,
+        num_buckets=num_buckets,
+    )
+
+    tok = _re.compile(r"\w+")
+
+    def grams(text: str) -> set:
+        ws = tok.findall((text or "").lower())
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"src": [], "dst": [], "inter": [], "n_src": []}
+        for a_id, b_id, ta, tb in zip(
+            b["a"], b["b"], b["text_a"], b["text_b"]
+        ):
+            ga, gb = grams(ta), grams(tb)
+            inter = len(ga & gb)
+            for s_id, d_id, ns in (
+                (a_id, b_id, len(ga)),
+                (b_id, a_id, len(gb)),
+            ):
+                if ns and inter * threshold_den >= ns * threshold_num:
+                    rows["src"].append(int(s_id))
+                    rows["dst"].append(int(d_id))
+                    rows["inter"].append(inter)
+                    rows["n_src"].append(ns)
+        return pd.DataFrame(rows).astype("int64")
+
+    return joined.map_batches(verify, batch_format="pandas")

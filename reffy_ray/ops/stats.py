@@ -1156,3 +1156,176 @@ def share_of_total(
             ),
         }
     )
+
+
+def pareto_front(
+    ds,
+    by: str,
+    max_col: str,
+    min_col: str,
+):
+    """Per-group 2-D Pareto frontier (skyline): the DISTINCT
+    ``(max_col, min_col)`` points no other point in the group
+    dominates, where b dominates a iff ``b.max >= a.max`` and
+    ``b.min <= a.min`` with at least one strict — the classic
+    skyline operator (Börzsönyi et al., ICDE 2001). Both value
+    columns must already be int64 (cents / epoch-us upstream) so the
+    comparisons are exact.
+
+    Scale shape: the skyline of a union is a subset of the union of
+    skylines, so each block emits only its LOCAL skyline (per key) —
+    typically a few points per key per block — and one tiny
+    ``groupby(by)`` finishes on the partials. The fact table never
+    shuffles. Vectorized: sort by (max desc, min asc), keep rows
+    whose ``min`` strictly improves the running minimum.
+    """
+    import pyarrow as pa
+
+    def local_skyline(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[by, max_col, min_col]].drop_duplicates()
+        outs = []
+        for _, g in b.groupby(by, sort=False):
+            g = g.sort_values(
+                [max_col, min_col], ascending=[False, True], kind="mergesort"
+            )
+            m = g[min_col].to_numpy()
+            run = np.minimum.accumulate(m)
+            keep = np.ones(len(g), dtype=bool)
+            keep[1:] = m[1:] < run[:-1]
+            outs.append(g[keep])
+        if not outs:
+            return pd.DataFrame(
+                {
+                    by: pd.Series([], dtype=b[by].dtype),
+                    max_col: pd.Series([], dtype="int64"),
+                    min_col: pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    partials = ds.select_columns([by, max_col, min_col]).map_batches(
+        local_skyline, batch_format="pandas"
+    )
+    return partials.groupby(by).map_groups(
+        local_skyline, batch_format="pandas"
+    )
+
+
+def decayed_score(
+    ds,
+    by: str,
+    ts_col: str,
+    value_col: str,
+    ref_us: int,
+    half_life_us: int = 86_400_000_000,
+    max_shift: int = 62,
+):
+    """Per-key exponentially time-decayed score with EXACT integer
+    arithmetic: each row contributes ``value >> n`` where ``n`` is the
+    number of whole half-lives between the row's timestamp and
+    ``ref_us`` (clamped to [0, max_shift]) — the freshness-weighted
+    popularity signal behind trending rankings, with bit-shift
+    halving standing in for ``value * 2^(-age/hl)`` so the result is
+    bitwise restatable in SQL (``value >> LEAST(age, 62)``).
+
+    ``value_col`` must be int64 (integer cents upstream). Scale
+    shape: stateless per-block decay + per-key partial sums → ONE
+    tiny ``groupby(by)`` over #keys × #blocks partial rows.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[ts_col].astype("int64").to_numpy()
+        v = b[value_col].astype("int64").to_numpy()
+        age = np.clip((ref_us - t) // half_life_us, 0, max_shift)
+        out = pd.DataFrame({by: b[by], "d": v >> age})
+        g = out.groupby(by, as_index=False, sort=False)["d"].sum()
+        g["d"] = g["d"].astype("int64")
+        return g
+
+    def to_us(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = b.column(ts_col)
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {by: b.column(by), ts_col: t, value_col: b.column(value_col)}
+        )
+
+    return (
+        ds.select_columns([by, ts_col, value_col])
+        .map_batches(to_us, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .aggregate(Sum("d", alias_name="decayed"))
+    )
+
+
+def hll_distinct(
+    ds,
+    value_expr,
+    m: int = 64,
+):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with a
+    fully DETERMINISTIC integer construction, so the estimate itself
+    has an exact SQL restatement (the KMV twin, one register table
+    instead of a bottom-k set): md5 the value to uint64, bucket on the
+    top ``log2(m)`` bits, register = position of the highest set bit
+    in the remaining field (rho), estimate =
+    ``alpha_ppm * m^2 * 2^64 // (10^6 * sum_j 2^(64 - M_j))`` — the
+    raw HLL harmonic mean in exact rational arithmetic (numerator and
+    denominator both integers; no small-range linear counting, so the
+    formula is reproducible bit-for-bit).
+
+    Combiner shape: each block emits at most ``m`` (bucket, rho_max)
+    rows; the global merge is a per-bucket max over ``m × #blocks``
+    rows on the driver — no shuffle, no distinct materialization.
+
+    Returns one row ``(m, n_zero, estimate)``.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    mm = int(m)
+    bits = mm.bit_length() - 1
+    assert 1 << bits == mm, "m must be a power of two"
+    field = 64 - bits
+
+    def partials(batch: pa.Table) -> pa.Table:
+        regs: dict[int, int] = {}
+        for v in value_expr(batch):
+            h = int.from_bytes(
+                hashlib.md5(v.encode("utf-8")).digest()[:8], "big"
+            )
+            bkt = h >> field
+            rest = h & ((1 << field) - 1)
+            rho = field - rest.bit_length() + 1
+            if rho > regs.get(bkt, 0):
+                regs[bkt] = rho
+        return pa.table(
+            {
+                "bkt": pa.array(list(regs), pa.int64()),
+                "rho": pa.array(list(regs.values()), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    regs = [0] * mm
+    for r in rows:
+        b = int(r["bkt"])
+        if int(r["rho"]) > regs[b]:
+            regs[b] = int(r["rho"])
+    # alpha_64 = 0.709 (the standard constant for m=64), as ppm
+    alpha_ppm = 709_000
+    s = sum(1 << (64 - rho) for rho in regs)
+    est = alpha_ppm * mm * mm * (1 << 64) // (1_000_000 * s)
+    return pa.table(
+        {
+            "m": pa.array([mm], pa.int64()),
+            "n_zero": pa.array([sum(1 for r in regs if r == 0)], pa.int64()),
+            "estimate": pa.array([int(est)], pa.int64()),
+        }
+    )

@@ -1188,3 +1188,69 @@ def activity_streaks(
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def interval_coalesce(
+    ds: rd.Dataset,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    dur_col: str = "dur_us",
+):
+    """Merge overlapping / touching intervals per key (interval union,
+    the PACK-intervals primitive): each row opens ``[ts, ts + dur)``;
+    within a key, intervals whose start is ≤ the running maximum end
+    of all earlier intervals belong to the same island. Emits one row
+    per island: ``(by, island_seq, start_us, end_us, n_events)``, all
+    int64 — the variable-duration generalization of sessionize (a
+    fixed gap is the constant-duration special case; variable
+    durations need a genuine running-max-end, not a previous-row gap).
+
+    Scale shape: one ``groupby(by)`` co-partitioning shuffle, then a
+    vectorized per-group kernel — sort by (ts, dur), cummax of ends,
+    island boundaries where ``ts > cummax(shifted ends)``, island
+    aggregation via np.maximum.reduceat. Partitioning assumption: one
+    key's rows fit in a group task (salt hot keys by coarse time
+    range and merge boundary islands in a second tiny pass).
+    """
+    import pyarrow as pa
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col)
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "k": batch.column(by).cast(pa.int64()),
+                "t": t,
+                "d": batch.column(dur_col).cast(pa.int64()),
+            }
+        )
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["t", "d"], kind="mergesort").reset_index(
+            drop=True
+        )
+        t = g["t"].to_numpy()
+        e = (g["t"] + g["d"]).to_numpy()
+        run_end = np.maximum.accumulate(e)
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = t[1:] > run_end[:-1]
+        starts = np.flatnonzero(brk)
+        island_of = np.cumsum(brk) - 1
+        n = np.bincount(island_of)
+        return pd.DataFrame(
+            {
+                by: np.full(len(starts), int(g["k"].iloc[0]), dtype=np.int64),
+                "island_seq": np.arange(1, len(starts) + 1, dtype=np.int64),
+                "start_us": t[starts],
+                "end_us": np.maximum.reduceat(e, starts),
+                "n_events": n.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([by, ts_col, dur_col])
+        .map_batches(to_us, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(per_key, batch_format="pandas")
+    )

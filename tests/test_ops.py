@@ -1250,3 +1250,139 @@ def test_edit_distance_banded_dp_exact():
             exp = ref(a, b)
             got = _lev_banded(a, b, k)
             assert got == (exp if exp <= k else k + 1), (a, b, k, got, exp)
+
+
+def test_pareto_front_dominance(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import pareto_front
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 2,
+            # a: (10,5) dominates (10,7) and (8,6); (12,9) and (10,5)
+            # are both on the frontier; duplicate (10,5) collapses
+            "x": [10, 10, 8, 12, 10, 1, 2],
+            "y": [5, 7, 6, 9, 5, 1, 1],
+        }
+    )
+    out = pareto_front(
+        rd.from_pandas(df).repartition(3), by="k", max_col="x", min_col="y"
+    ).to_pandas()
+    a = set(map(tuple, out[out["k"] == "a"][["x", "y"]].to_numpy()))
+    b = set(map(tuple, out[out["k"] == "b"][["x", "y"]].to_numpy()))
+    assert a == {(12, 9), (10, 5)}
+    # b: (2,1) dominates (1,1) (equal y, larger x)
+    assert b == {(2, 1)}
+
+
+def test_decayed_score_bitshift(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import decayed_score
+
+    day = 86_400_000_000
+    ref = 10 * day
+    df = pd.DataFrame(
+        {
+            "k": ["x", "x", "x", "y"],
+            # ages: 0 days, 1 day, 2.5 days (->2), future (clamped 0)
+            "t": [ref, ref - day, ref - (5 * day) // 2, ref + day],
+            "v": [100, 100, 100, 7],
+        }
+    )
+    out = (
+        decayed_score(
+            rd.from_pandas(df).repartition(2),
+            by="k", ts_col="t", value_col="v", ref_us=ref,
+            half_life_us=day,
+        )
+        .to_pandas()
+        .set_index("k")["decayed"]
+    )
+    assert out["x"] == 100 + 50 + 25
+    assert out["y"] == 7
+
+
+def test_hll_distinct_exact_registers(ray_session):
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import hll_distinct
+
+    vals = [f"u{i}" for i in range(500)]
+    df = pd.DataFrame({"v": vals * 2})  # duplicates must not matter
+    out = hll_distinct(
+        rd.from_pandas(df).repartition(4),
+        lambda b: [str(x) for x in b.column("v").to_pylist()],
+        m=64,
+    ).to_pydict()
+    # recompute registers serially
+    regs = [0] * 64
+    for v in vals:
+        h = int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
+        bkt, rest = h >> 58, h & ((1 << 58) - 1)
+        rho = 58 - rest.bit_length() + 1
+        regs[bkt] = max(regs[bkt], rho)
+    s = sum(1 << (64 - r) for r in regs)
+    est = 709_000 * 64 * 64 * (1 << 64) // (1_000_000 * s)
+    assert out["estimate"][0] == est
+    assert out["n_zero"][0] == sum(1 for r in regs if r == 0)
+    # raw HLL at m=64 is ~13% accurate; sanity-band the estimate
+    assert 300 < out["estimate"][0] < 800
+
+
+def test_interval_coalesce_islands(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import interval_coalesce
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 2],
+            # [0,10) [5,8) [10,12) touch/overlap -> one island [0,12);
+            # [20,21) separate. The long first interval must carry the
+            # running max end PAST the short second one.
+            "t": [0, 5, 10, 20, 0],
+            "d": [10, 3, 2, 1, 4],
+        }
+    )
+    out = interval_coalesce(
+        rd.from_pandas(df).repartition(2), by="u", ts_col="t", dur_col="d"
+    ).to_pandas()
+    u1 = out[out["u"] == 1].sort_values("island_seq")
+    assert list(u1["start_us"]) == [0, 20]
+    assert list(u1["end_us"]) == [12, 21]
+    assert list(u1["n_events"]) == [3, 1]
+    u2 = out[out["u"] == 2]
+    assert list(u2["end_us"]) == [4]
+
+
+def test_containment_directed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " eta theta iota kappa " + "x y z " * 10
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [short, long, "unrelated words only here nothing"],
+        }
+    )
+    out = containment_pairs(
+        rd.from_pandas(df).repartition(2),
+        max_df=3, min_shared=2, threshold_num=1, threshold_den=2,
+    ).to_pandas()
+    pairs = set(map(tuple, out[["src", "dst"]].to_numpy()))
+    # every trigram of `short` is in `long`: 1 contained-in 2
+    assert (1, 2) in pairs
+    # but long is NOT half-contained in short
+    assert (2, 1) not in pairs

@@ -99,6 +99,7 @@ ORACLE_KEYS = [
     "distinct_users", "rrf", "er_pairs", "max_concurrency",
     "rolling_distinct", "pair_lift", "streaks", "inverted_index",
     "ab_test", "share_of_total", "edit_distance", "trending_terms",
+    "pareto", "decayed", "hll_users", "interval_merge", "containment",
 ]
 
 
