@@ -203,6 +203,25 @@ def q_bigram_counts(sf_dir: str):
     )
 
 
+def q_skipgram_counts(sf_dir: str):
+    from reffy_ray.ops.text import skipgram_counts
+
+    return skipgram_counts(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        window=3,
+    )
+
+
+def q_source_dup_stats(sf_dir: str):
+    from reffy_ray.ops.dedup import source_dup_stats
+
+    return source_dup_stats(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+    )
+
+
 def q_dup_size_hist(sf_dir: str):
     from reffy_ray.ops.dedup import dup_size_hist
 
@@ -2717,6 +2736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality,
         "word_counts": q_word_counts,
         "bigram_counts": q_bigram_counts,
+        "skipgram_counts": q_skipgram_counts,
+        "source_dup_stats": q_source_dup_stats,
         "exact_dedup": q_exact_dedup,
         "dup_size_hist": q_dup_size_hist,
         "vocab_size_by_lang": q_vocab_size_by_lang,
@@ -3411,9 +3432,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN filtered b ON a.doc_id = b.doc_id AND b.j = a.j + 1
             GROUP BY a.w, b.w
         """,
+        # ops/text.skipgram_counts: ordered pairs within 3 positions
+        # (same filtered-position CTE as bigram_counts)
+        "skipgram_counts": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\W+')) AS w,
+                     generate_subscripts(
+                       regexp_split_to_array(lower(text), '\W+'), 1) AS i
+              FROM documents
+            ),
+            filtered AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM toks WHERE w <> ''
+            )
+            SELECT a.w AS w1, b.w AS w2, count(*) AS n
+            FROM filtered a
+            JOIN filtered b
+              ON a.doc_id = b.doc_id AND b.j - a.j BETWEEN 1 AND 3
+            GROUP BY a.w, b.w
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
             FROM documents GROUP BY md5(text)
+        """,
+        # ops/dedup.source_dup_stats: per-source duplication audit,
+        # integer-floor ppm
+        "source_dup_stats": """
+            WITH g AS (
+              SELECT source, md5(text) AS m, count(*) AS c
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   CAST((sum(c) - count(*)) * 1000000 // sum(c)
+                        AS BIGINT) AS dup_ratio_ppm
+            FROM g GROUP BY source
         """,
         "dup_size_hist": """
             SELECT sz, count(*) AS n_clusters FROM (

@@ -52,6 +52,56 @@ def dup_size_hist(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return sizes.groupby("sz").aggregate(Count(alias_name="n_clusters"))
 
 
+def source_dup_stats(
+    ds: rd.Dataset,
+    key_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-source exact-duplication audit: for each ``key_col`` value,
+    (n_docs, n_unique content hashes, dup_ratio_ppm) where
+    ``dup_ratio_ppm = (n_docs − n_unique) · scale // n_docs`` — the
+    corpus-curation diagnostic for "which feeds are mostly boilerplate
+    re-posts" that decides per-source dedup policy before any dedup
+    runs. Exact integer floor arithmetic (the repo's bit-stable float
+    convention).
+
+    Scale shape: one (source, md5) groupby-count — the same exchange
+    ``exact_dedup`` pays, just keyed wider — then a per-source rollup
+    over the already-collapsed hash table. Nothing corpus-sized leaves
+    the shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.compute as pc
+
+    hashed = ds.select_columns([key_col, text_col]).map_batches(
+        lambda b: _md5_col(b, text_col), batch_format="pyarrow"
+    )
+    per_hash = hashed.groupby([key_col, "content_md5"]).aggregate(
+        Count(alias_name="c")
+    )
+    per_src = per_hash.groupby(key_col).aggregate(
+        Sum("c", alias_name="n_docs"), Count(alias_name="n_unique")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b.column("n_docs").cast(pa.int64())
+        nu = b.column("n_unique").cast(pa.int64())
+        ppm = pc.divide(
+            pc.multiply(pc.subtract(nd, nu), pa.scalar(scale, pa.int64())), nd
+        )
+        return pa.table(
+            {
+                key_col: b.column(key_col),
+                "n_docs": nd,
+                "n_unique": nu,
+                "dup_ratio_ppm": ppm.cast(pa.int64()),
+            }
+        )
+
+    return per_src.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

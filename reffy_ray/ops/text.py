@@ -675,6 +675,51 @@ def bigram_counts(ds) -> "object":
     return partials.groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
 
 
+def skipgram_count_partials(batch: pa.Table, window: int = 3) -> pa.Table:
+    """Per-batch partial skip-gram counts: ordered token pairs
+    (w1 strictly before w2) at every distance 1..``window`` within a
+    document, same lowercased ``\\W+`` tokenizer as ``word_counts``.
+    One (w1, w2, n) row per distinct pair per batch — the combiner
+    pattern again: the shuffle carries compressed pair partials, never
+    the token stream."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        toks = [w for w in re.split(r"\W+", (text or "").lower()) if w]
+        for d in range(1, window + 1):
+            counts.update(zip(toks, toks[d:]))
+    pairs = sorted(counts)
+    return pa.table(
+        {
+            "w1": pa.array([p[0] for p in pairs], pa.string()),
+            "w2": pa.array([p[1] for p in pairs], pa.string()),
+            "n": pa.array([counts[p] for p in pairs], pa.int64()),
+        }
+    )
+
+
+def skipgram_counts(ds, window: int = 3) -> "object":
+    """Windowed (skip-gram) co-occurrence table — the word2vec/GloVe
+    input statistic: counts of ordered token pairs co-occurring within
+    ``window`` positions. Per-batch ``Counter`` partials → one small
+    ``groupby((w1, w2)).sum``.
+
+    Scale shape: identical to ``bigram_counts`` (the window multiplies
+    pair positions by W but Zipf compression in the partials keeps the
+    exchanged rows near the distinct-pair count, not the position
+    count)."""
+    from functools import partial as _partial
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _partial(skipgram_count_partials, window=window),
+        batch_format="pyarrow",
+    )
+    return partials.groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+
+
 def doc_pair_partials(batch: pa.Table) -> pa.Table:
     """Per-batch (doc_id, w1, w2, tf, n_pairs) partials — one row per
     distinct adjacent pair per document (same tokenizer as
