@@ -87,6 +87,11 @@ class CrawlConfig:
     # cluster each node brings its own bandwidth.
     fetch_num_cpus: float = 1.0
     batch_size: int = 128
+    # frontier block-count cap, in blocks per fetch worker: more waves
+    # of smaller tasks shrink the straggler tail (a co-tenant-stalled
+    # 3.4 s task among 0.98 s peers idled ~25% of the pool at the cap's
+    # old value of 8 — Ray Data stats, 2026-08-19)
+    blocks_per_worker: int = 8
     synth_links: int = 8
     expand_links: bool = False
     exact_seen: bool = True
@@ -782,7 +787,7 @@ def crawl(
         # ~batch_size rows per block, capped at 4 blocks per actor.
         n_blocks = max(1, min(
             (n_frontier + cfg.batch_size - 1) // cfg.batch_size,
-            cfg.fetch_concurrency * 8,  # fine blocks → tight load balance
+            cfg.fetch_concurrency * cfg.blocks_per_worker,
         ))
         frontier = frontier.repartition(n_blocks)  # lazy; fused into the round
         _t1 = _time.perf_counter()
