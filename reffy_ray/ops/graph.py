@@ -240,10 +240,14 @@ def triangles(
     Self-loops are dropped and edges are canonicalized (a < b) +
     globally deduped first, so parallel / reversed duplicates never
     inflate counts. Each triangle {x<y<z} is found exactly once via
-    the wedge with middle vertex y: hash-join edges (a,b)⋈(b,c) on the
+    the wedge with middle vertex y: join edges (a,b)⋈(b,c) on the
     shared endpoint, then close the wedge with a composite-key join on
     (a, c). Everything stays distributed — two shuffle joins plus a
-    groupby; the driver never sees an edge.
+    groupby; the driver never sees an edge. Both joins run through
+    :func:`reffy_ray.util.bucket_join` (union + bucket groupby + one
+    vectorized merge per bucket): the shuffle geometry matches Ray's
+    native hash join but skips its two aggregator actor pools, whose
+    ~10 s fixed setup per join dominated this query at small scale.
 
     Scale note: wedge fan-out is Σ deg(v)² — on power-law graphs
     orient edges from lower- to higher-degree endpoints (degree table
@@ -252,56 +256,51 @@ def triangles(
     """
     from ray.data.aggregate import Count
 
-    def canon(b: pd.DataFrame) -> pd.DataFrame:
-        a = b[src_col].to_numpy().astype("int64")
-        c = b[dst_col].to_numpy().astype("int64")
+    import pyarrow as pa
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = b.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         lo, hi = np.minimum(a, c), np.maximum(a, c)
         keep = lo != hi
-        return pd.DataFrame({"a": lo[keep], "b": hi[keep]}).drop_duplicates()
+        t = pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
+        # block-local dedup only trims the shuffle input; arrow blocks
+        # keep the global groupby on its fast (non-pandas) path
+        return t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
 
-    # groupby-count is the global dedup (block-local drop_duplicates
-    # only trims the shuffle input)
+    # groupby-count is the global dedup
     e0 = (
-        edges.map_batches(canon, batch_format="pandas")
+        edges.map_batches(canon, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_m"))
         .drop_columns(["_m"])
         .materialize()
     )
-    nparts = safe_num_blocks(e0)
+    from reffy_ray.util import bucket_join
 
-    # materialize between the two hash joins: chaining them lazily
-    # stacks two aggregator pools in one pipeline, which deadlocks on
-    # small CPU counts
-    wedges = e0.join(
-        join_ready(
-            e0.map_batches(
-                lambda t: t.rename_columns(["b", "c"]),
-                batch_format="pyarrow",
-            )
+    wedges = bucket_join(
+        e0,
+        e0.map_batches(
+            lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow"
         ),
-        join_type="inner",
-        num_partitions=nparts,
-        on=("b",),
+        on="b",
     ).materialize()
-    closed = wedges.join(
-        join_ready(
-            e0.map_batches(
-                lambda t: t.rename_columns(["a", "c"]),
-                batch_format="pyarrow",
-            )
+    closed = bucket_join(
+        wedges,
+        e0.map_batches(
+            lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow"
         ),
-        join_type="inner",
-        num_partitions=nparts,
         on=("a", "c"),
     )
 
-    def corners(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def corners(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
             {
-                "node": np.concatenate(
-                    [b["a"].to_numpy(), b["b"].to_numpy(), b["c"].to_numpy()]
-                ).astype("int64")
+                "node": pa.array(
+                    np.concatenate(
+                        [b["a"].to_numpy(), b["b"].to_numpy(), b["c"].to_numpy()]
+                    ).astype("int64")
+                )
             }
         )
 

@@ -198,11 +198,18 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
 
     Each round symmetrizes the association list, reduces per node to
     (node → min associate) and re-emits (associate → min) propagation
-    edges; converged when no reducer discovers a smaller label. Round
+    edges; converged when no round discovers a smaller label. Round
     count is O(log(component diameter)) — with star edges from
     :func:`reffy_ray.ops.dedup.minhash_lsh_star_edges` diameters are
     tiny and 2-4 rounds suffice. Returns (doc_id, cluster_rep) for every
-    node on an edge, representative = component min."""
+    node on an edge, representative = component min.
+
+    The per-node reduce is a vectorized ``groupby(u).min(v)``
+    aggregate and the (edge → that node's min) pairing is a
+    :func:`reffy_ray.util.bucket_join` — no ``map_groups``: per-node
+    Python dispatch would be a per-GROUP interpreter call, billions of
+    them at web scale, where the aggregate+join pair is two
+    key-collocating shuffles of pure arrow kernels."""
 
     def sym(b: pa.Table) -> pa.Table:
         u = pa.concat_arrays(
@@ -232,13 +239,53 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
             }
         )
 
-    def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
+    def local_dedup(b: pa.Table) -> pa.Table:
         # block-local dedup keeps duplicate propagation edges from
         # compounding across rounds (exact dedup is not needed for
-        # correctness — the reducer uniques its value list)
-        return b.drop_duplicates(["a", "b"])
+        # correctness — the min reduce ignores multiplicity); min(new)
+        # so a pair that already exists as a new=0 association isn't
+        # counted as progress
+        t = b.group_by(["a", "b"]).aggregate([("new", "min")])
+        return t.rename_columns(["a", "b", "new"])
 
-    cur = edges.select_columns(["a", "b"]).materialize()
+    def contract_local(b: pa.Table) -> pa.Table:
+        # round 0: block-local union-find contraction — collapses any
+        # path that lives inside one block to a star in a single pass,
+        # so the global rounds only bridge ACROSS blocks and converge
+        # in O(log #blocks) even on long chains. In-memory work over
+        # one block only (the standard local-contraction prologue of
+        # distributed CC); emits (node → block-local root) star edges.
+        a = b.column("a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = b.column("b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a, c):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+        nodes = sorted(set(a.tolist()) | set(c.tolist()))
+        return pa.table(
+            {
+                "a": pa.array(nodes, pa.int64()),
+                "b": pa.array([find(n) for n in nodes], pa.int64()),
+            }
+        )
+
+    cur = (
+        edges.select_columns(["a", "b"])
+        .map_batches(contract_local, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
     if cur.count() == 0:
         return rd.from_arrow(
             pa.table(
@@ -251,7 +298,7 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
             cur.map_batches(sym, batch_format="pyarrow")
             .groupby("u")
             .map_groups(iterate, batch_format="pandas")
-            .map_batches(local_dedup, batch_format="pandas")
+            .map_batches(local_dedup, batch_format="pyarrow")
             .materialize()
         )
         new_count = (nxt.sum("new") or 0) if nxt.count() else 0

@@ -220,18 +220,20 @@ def cohort_retention(
 
     Scale shape: per-batch distinct (user, week) partials (combiner)
     immediately collapse the event log to its active-user-week set,
-    then ONE ``groupby(user)`` co-partitioning shuffle feeds both the
-    cohort (min week) and the offsets: a hash join of the distinct
-    pairs against the per-user cohort table on the same ``user`` key
-    (both sides already reduced far below the raw log), a stateless
-    offset map, and a tiny final groupby-sum. No driver-side per-user
-    work; no broadcast of the (at scale, huge) user table.
+    then ONE key-collocating ``sort(user, week)`` — the same
+    sort+census-stitch spine as :func:`reffy_ray.ops.window.event_gaps`.
+    Sorted order makes everything else block-local and vectorized:
+    cross-block duplicate (u, week) rows and each user's cohort week
+    (their first sorted row) are resolved by a #blocks-row census
+    stitched on the driver, each block emits ≤ #cells partial counts,
+    and a tiny final groupby sums them. No join operators, no
+    driver-side per-user work, no broadcast of the user table.
     """
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min, Sum
-
-    from reffy_ray.util import join_ready, safe_num_blocks
+    import ray as _ray
+    from ray.data.aggregate import Sum
 
     def pairs_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -246,41 +248,92 @@ def cohort_retention(
         )
         return t.group_by(["u", "week"]).aggregate([]).select(["u", "week"])
 
-    from ray.data.aggregate import Count
-
-    pairs = (
+    srt = (
         events.map_batches(pairs_partial, batch_format="pyarrow")
-        .groupby(["u", "week"])
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["u", "week"])
+        .sort(["u", "week"])
         .materialize()
     )
-    cohorts = (
-        pairs.groupby("u")
-        .aggregate(Min("week", alias_name="cohort_week"))
-    )
 
-    joined = pairs.join(
-        join_ready(cohorts),
-        join_type="inner",
-        num_partitions=safe_num_blocks(pairs),
-        on=("u",),
-    )
-
-    def to_cell(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("fu", "fw", "lu", "lw", "flw")}
+            )
+        u = b["u"].to_numpy()
+        w = b["week"].to_numpy()
+        first_of_last = w[u == u[-1]][0]  # last user's first week HERE
+        return pd.DataFrame(
             {
-                "cohort_week": batch.column("cohort_week").cast(pa.int64()),
-                "week_offset": pc.subtract(
-                    batch.column("week").cast(pa.int64()),
-                    batch.column("cohort_week").cast(pa.int64()),
-                ),
-                "n": pa.array([1] * len(batch), pa.int64()),
+                "fu": [int(u[0])],
+                "fw": [int(w[0])],
+                "lu": [int(u[-1])],
+                "lw": [int(w[-1])],
+                "flw": [int(first_of_last)],
             }
         )
 
+    blocks = sorted(
+        (int(r["fu"]), int(r["fw"]), int(r["lu"]), int(r["lw"]), int(r["flw"]))
+        for r in srt.map_batches(
+            census, batch_format="pandas", batch_size=None
+        ).take_all()
+    )
+    # stitch in key order: each block learns (a) its first user's
+    # cohort week when that user started in an earlier block, (b) the
+    # previous block's last (u, week) so boundary duplicates (the
+    # partial dedup is per-batch, not global) drop exactly once
+    stitch: dict = {}
+    carry_u, carry_cohort, prev_u, prev_w = None, -1, -2, -1
+    for fu, fw, lu, lw, flw in blocks:
+        head_cohort = carry_cohort if fu == carry_u else fw
+        stitch[(fu, fw, lu, lw)] = (head_cohort, prev_u, prev_w)
+        carry_cohort = head_cohort if lu == fu else flw
+        carry_u, prev_u, prev_w = lu, lu, lw
+    st_ref = _ray.put(stitch)
+
+    def cells_partial(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("cohort_week", "week_offset", "n")}
+            )
+        u = b["u"].to_numpy()
+        w = b["week"].to_numpy()
+        fu0 = int(u[0])
+        head_cohort, pu, pw = _ray.get(st_ref)[
+            (fu0, int(w[0]), int(u[-1]), int(w[-1]))
+        ]
+        # drop duplicates: consecutive equal (u, week) rows, plus a
+        # head row continuing the previous block's tail pair
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        keep[0] = not (u[0] == pu and w[0] == pw)
+        u, w = u[keep], w[keep]
+        if not len(u):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("cohort_week", "week_offset", "n")}
+            )
+        # per-row cohort: first week of each user's run in this block;
+        # the stitch's head_cohort is the block-first user's TRUE
+        # global cohort (its own fw when the user starts here, the
+        # carried first week when it started in an earlier block)
+        starts = np.ones(len(u), dtype=bool)
+        starts[1:] = u[1:] != u[:-1]
+        cohort = w[starts][np.cumsum(starts) - 1]
+        cohort = np.where(u == fu0, head_cohort, cohort)
+        out = pd.DataFrame(
+            {"cohort_week": cohort.astype("int64"),
+             "week_offset": (w - cohort).astype("int64")}
+        )
+        g = out.groupby(["cohort_week", "week_offset"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype("int64")
+
     out = (
-        joined.map_batches(to_cell, batch_format="pyarrow")
+        srt.map_batches(cells_partial, batch_format="pandas", batch_size=None)
         .groupby(["cohort_week", "week_offset"])
         .aggregate(Sum("n", alias_name="n_users"))
     )
@@ -288,8 +341,8 @@ def cohort_retention(
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "cohort_week": batch.column("cohort_week"),
-                "week_offset": batch.column("week_offset"),
+                "cohort_week": batch.column("cohort_week").cast(pa.int64()),
+                "week_offset": batch.column("week_offset").cast(pa.int64()),
                 "n_users": batch.column("n_users").cast(pa.int64()),
             }
         )

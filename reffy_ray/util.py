@@ -49,6 +49,114 @@ def join_ready(small_ds):
     return small_ds.repartition(n).materialize()
 
 
+def bucket_join(
+    left,
+    right,
+    on,
+    num_buckets: int = 64,
+    how: str = "inner",
+):
+    """Low-fixed-cost distributed inner hash join: both sides are
+    tagged and null-padded to a shared schema, unioned, hash-bucketed
+    on the key, and merged per bucket with ONE vectorized
+    ``pandas.merge`` per bucket group — the union+groupby pattern this
+    repo already uses for ER text attach and table_diff, centralized.
+
+    Ray's native ``Dataset.join`` spins up two aggregator actor pools
+    with ~10 s of fixed setup per join on this host (BASELINE.md
+    PageRank note); for the mid-size joins inside multi-stage queries
+    that fixed cost dominates. The shuffle geometry here is identical
+    (one all-to-all on the key hash), so the 100 TB shape is unchanged
+    — key-collocated buckets, no broadcast, no driver rows.
+
+    Non-key columns must be disjoint between the two sides (raises
+    otherwise — callers rename going in, as pandas-suffix surprises
+    are worse than an explicit error). ``how`` supports ``inner``
+    only; use Ray's native join for outer semantics.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if how != "inner":
+        raise ValueError("bucket_join implements inner joins only")
+    on = [on] if isinstance(on, str) else list(on)
+    lcols = left.schema().names
+    rcols = right.schema().names
+    loff = [c for c in lcols if c not in on]
+    roff = [c for c in rcols if c not in on]
+    clash = set(loff) & set(roff)
+    if clash:
+        raise ValueError(f"bucket_join: non-key columns collide: {sorted(clash)}")
+    for k in on:
+        if k not in lcols or k not in rcols:
+            raise ValueError(f"bucket_join: key {k!r} missing from a side")
+    all_cols = on + loff + roff
+    col_type = {}
+    for sch in (left.schema(), right.schema()):
+        try:
+            for name, typ in zip(sch.names, sch.types):
+                if isinstance(typ, pa.DataType):
+                    col_type[name] = typ
+        except Exception:
+            pass
+
+    def pad(side_flag: int, have: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                if c in have:
+                    arrays.append(b.column(c))
+                else:
+                    t = col_type.get(c)
+                    arrays.append(
+                        pa.nulls(n, type=t) if t is not None else pa.nulls(n)
+                    )
+            names.append("_side")
+            arrays.append(pa.array(np.full(n, side_flag, dtype=np.int8)))
+            # key-hash bucket: cheap, deterministic, collocates keys
+            h = np.zeros(n, dtype=np.uint64)
+            for k in on:
+                col = b.column(k)
+                if pa.types.is_integer(col.type):
+                    v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+                else:
+                    v = np.array(
+                        [hash(x) & 0xFFFFFFFFFFFFFFFF for x in col.to_pylist()],
+                        dtype=np.uint64,
+                    )
+                h = h * np.uint64(1099511628211) + v
+            names.append("_bkt")
+            arrays.append(pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+            return pa.table(dict(zip(names, arrays)))
+
+        return fn
+
+    tagged = left.map_batches(pad(0, lcols), batch_format="pyarrow").union(
+        right.map_batches(pad(1, rcols), batch_format="pyarrow")
+    )
+
+    # the union's null-padded columns force pandas int columns to
+    # float64 (NaN); own-side values are never null, so cast back
+    int_cols = {
+        c for c, t in col_type.items() if pa.types.is_integer(t)
+    }
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][on + loff].copy()
+        r = g[g["_side"] == 1][on + roff].copy()
+        for df in (l, r):
+            for c in df.columns:
+                if c in int_cols and df[c].dtype != "int64":
+                    df[c] = df[c].astype("int64")
+        # merging empty TYPED slices keeps dtypes stable across groups
+        return l.merge(r, on=on, how="inner")[all_cols]
+
+    return tagged.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+
+
 def filter_by_drop_ids(ds, drops, id_col: str, broadcast_limit: int = 1_000_000):
     """Shared corpus filter for the dedup/curation family: drop every
     ``ds`` row whose ``id_col`` appears in the (materialized, small-ish)
