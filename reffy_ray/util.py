@@ -116,16 +116,20 @@ def bucket_join(
                     )
             names.append("_side")
             arrays.append(pa.array(np.full(n, side_flag, dtype=np.int8)))
-            # key-hash bucket: cheap, deterministic, collocates keys
+            # key-hash bucket: vectorized pandas hash_array — stable
+            # across worker processes (builtin hash() is per-process
+            # salted for str and would scatter one key over buckets)
+            from pandas.util import hash_array
+
             h = np.zeros(n, dtype=np.uint64)
             for k in on:
                 col = b.column(k)
                 if pa.types.is_integer(col.type):
                     v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
                 else:
-                    v = np.array(
-                        [hash(x) & 0xFFFFFFFFFFFFFFFF for x in col.to_pylist()],
-                        dtype=np.uint64,
+                    v = hash_array(
+                        np.asarray(col.to_pylist(), dtype=object),
+                        categorize=False,
                     )
                 h = h * np.uint64(1099511628211) + v
             names.append("_bkt")
