@@ -295,11 +295,12 @@ def _bucket_census(
     overhead) that dominated the whole minhash family at small scale."""
     cap = int(group_cap)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pa.Table:
         g = batch.groupby(["band", "band_hash"], sort=False).agg(
             nd=("minhash", "nunique"), nr=("minhash", "size")
         ).reset_index()
-        return g
+        # arrow out: the sort below over pandas blocks is ~16× slower
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     def block_census(b: pd.DataFrame) -> pd.DataFrame:
         g = (
@@ -317,25 +318,35 @@ def _bucket_census(
         keep["edge"] = is_edge[keep.index]
         return keep
 
-    rows = (
+    # to_pandas, NOT take_all: take_all's per-row dict conversion costs
+    # ~1 ms/row (measured 92 s for 80k rows) — block-level arrow→pandas
+    # is effectively free at census sizes
+    rows_df = (
         exploded.map_batches(partial, batch_format="pandas")
         .sort(["band", "band_hash"])
         .map_batches(block_census, batch_format="pandas")
-        .take_all()
+        .to_pandas()
     )
     hot: set = set()
     pair_keys: set = set()
     edge_nd: dict = {}
     edge_nr: dict = {}
-    for r in rows:
-        key = (int(r["band"]), r["band_hash"])
-        if r["nd"] > cap:
+    it = zip(
+        rows_df["band"].to_numpy(),
+        rows_df["band_hash"].to_numpy(),
+        rows_df["nd"].to_numpy(),
+        rows_df["nr"].to_numpy(),
+        rows_df["edge"].to_numpy(),
+    )
+    for band, bhash, nd, nr, edge in it:
+        key = (int(band), bhash)
+        if nd > cap:
             hot.add(key)
-        if r["nr"] >= 2 and not r["edge"]:
+        if nr >= 2 and not edge:
             pair_keys.add(key)
-        if r["edge"]:
-            edge_nd[key] = edge_nd.get(key, 0) + int(r["nd"])
-            edge_nr[key] = edge_nr.get(key, 0) + int(r["nr"])
+        if edge:
+            edge_nd[key] = edge_nd.get(key, 0) + int(nd)
+            edge_nr[key] = edge_nr.get(key, 0) + int(nr)
     hot.update(k for k, v in edge_nd.items() if v > cap)
     pair_keys.update(k for k, v in edge_nr.items() if v >= 2)
     if len(pair_keys) > pair_keys_limit:

@@ -396,22 +396,24 @@ def _politeness_admission(
 
     from ray.data.aggregate import Sum
 
-    totals = (
+    # to_pandas, not take_all: take_all's per-row dict conversion costs
+    # ~1 ms/row, which at 10^5 origins is seconds per round
+    totals_df = (
         weighted.map_batches(origin_partials, batch_format="pyarrow")
         .groupby("origin")
         .aggregate(Sum("w", alias_name="total"))
-        .take_all()
+        .to_pandas()
     )
 
     # 2. count-based budget RPC, one per origin (stats accrue in gates)
     refs = {
-        row["origin"]: (
-            gates.gate_for(row["origin"]).admit.remote(
-                row["origin"], int(row["total"]), round_ms
-            ),
-            int(row["total"]),
+        origin: (
+            gates.gate_for(origin).admit.remote(origin, int(total), round_ms),
+            int(total),
         )
-        for row in totals
+        for origin, total in zip(
+            totals_df["origin"].to_numpy(), totals_df["total"].to_numpy()
+        )
     }
     # one batched ray.get for ALL origin RPCs (a per-origin get in a
     # loop pays one driver round-trip per origin — minutes per round at
@@ -456,17 +458,20 @@ def _politeness_admission(
             }
         )
 
-    classes = (
+    classes_df = (
         weighted.map_batches(class_partials, batch_format="pyarrow")
         .groupby(["origin", "seed_rank", "depth"])
         .aggregate(Sum("w", alias_name="cw"))
-        .take_all()
+        .to_pandas()  # block-level conversion; take_all is ~1 ms/row
     )
     by_origin: dict[str, list] = {}
-    for row in classes:
-        by_origin.setdefault(row["origin"], []).append(
-            (row["seed_rank"], row["depth"], row["cw"])
-        )
+    for origin, rank, depth, cw in zip(
+        classes_df["origin"].to_numpy(),
+        classes_df["seed_rank"].to_numpy(),
+        classes_df["depth"].to_numpy(),
+        classes_df["cw"].to_numpy(),
+    ):
+        by_origin.setdefault(origin, []).append((rank, depth, cw))
     boundary: dict[str, tuple] = {}  # origin → (rank, depth, remaining weight)
     for o, cls in by_origin.items():
         cls.sort()
@@ -522,12 +527,19 @@ def _politeness_admission(
 
     import pandas as pd  # noqa: F401 (type for map_groups)
 
-    cutoffs = {
-        row["origin"]: (row["cutoff"], bool(row["admit_eq"]))
-        for row in weighted.map_batches(boundary_rows, batch_format="pyarrow")
+    cutoffs_df = (
+        weighted.map_batches(boundary_rows, batch_format="pyarrow")
         .groupby("origin")
         .map_groups(origin_cutoff, batch_format="pandas")
-        .take_all()
+        .to_pandas()  # block-level conversion; take_all is ~1 ms/row
+    )
+    cutoffs = {
+        origin: (cutoff, bool(admit_eq))
+        for origin, cutoff, admit_eq in zip(
+            cutoffs_df["origin"].to_numpy(),
+            cutoffs_df["cutoff"].to_numpy(),
+            cutoffs_df["admit_eq"].to_numpy(),
+        )
     }
 
     dec_ref = ray.put((cset, boundary, cutoffs))
