@@ -2609,6 +2609,41 @@ def q_semantic_dedup(sf_dir: str):
     return semantic_dedup(_embeddings(sf_dir), threshold=0.3)
 
 
+def q_quality_classifier(sf_dir: str):
+    """Hashed linear quality classifier (ops/classify.quality_classifier):
+    fasttext-style bag-of-words scorer — feature j = H(word) mod 64,
+    deterministic milli-unit weights w[j] = (j·2654435761) mod 2001
+    built once per actor, per-doc floor-mean score — exact int64
+    end-to-end, keep at score_milli ≥ 1000."""
+    from reffy_ray.ops.classify import quality_classifier
+
+    return quality_classifier(_docs(sf_dir), dim=64, threshold_milli=1000)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (ops/classify.dsir_weights; Xie et al.
+    2023): target domain = doc_id % 41 == 0 docs (the benchmark split
+    the decontamination ops use), raw = the rest; weight = per-doc mean
+    log2 p_target(w) − log2 p_raw(w), add-one smoothed over the union
+    vocab, snapped to 4 dp."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.classify import dsir_weights
+
+    docs = _docs(sf_dir)
+
+    def part(is_target: bool):
+        def split(batch: pa.Table) -> pa.Table:
+            m = pc.equal(_pa_mod(batch.column("doc_id"), 41), 0)
+            return batch.filter(m if is_target else pc.invert(m))
+
+        return split
+
+    target = docs.map_batches(part(True), batch_format="pyarrow")
+    raw = docs.map_batches(part(False), batch_format="pyarrow")
+    return dsir_weights(raw, target)
+
+
 def q_unigram_logppl(sf_dir: str):
     """CCNet-style unigram LM quality signal (ops/text.unigram_logppl):
     per-doc mean −log2 p(token) under the corpus's own unigram LM,
@@ -2874,6 +2909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logppl": q_bigram_logppl,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "quality_classifier": q_quality_classifier,
+        "dsir_weights": q_dsir_weights,
         "kmeans": q_kmeans,
         "pagerank": q_pagerank,
         "cc_components": q_cc_components,
@@ -3115,6 +3152,56 @@ def oracle_sql() -> dict[str, str]:
               WHERE b.gx = a.gx AND b.gy = a.gy AND b.vec_id < a.vec_id
                 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
             )
+        """,
+        # exact integer recomputation of the hashed linear classifier:
+        # feature j = H(word) mod 64 with the repo's md5-prefix H(x),
+        # weight (j*2654435761) mod 2001, per-doc floor-mean (all values
+        # non-negative so // floor == truncate in every engine)
+        "quality_classifier": r"""
+            WITH tok AS (
+              SELECT doc_id, word, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+                FROM documents)
+              WHERE word <> ''
+              GROUP BY doc_id, word
+            ),
+            sc AS (
+              SELECT doc_id,
+                     sum(tf * ((CAST(('0x' || substr(md5(word), 1, 16))::UBIGINT
+                                % 64 AS BIGINT) * 2654435761) % 2001)) AS score,
+                     sum(tf) AS n
+              FROM tok GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(score // n AS BIGINT) AS score_milli,
+                   (score // n) >= 1000 AS keep
+            FROM sc
+        """,
+        # DSIR: add-one-smoothed unigram LM log-ratio, target = the
+        # doc_id % 41 == 0 split, union-vocab smoothing; same
+        # x/y-then-log2 form as the engine kernel, 4 dp snap
+        "dsir_weights": r"""
+            WITH tokall AS MATERIALIZED (
+              SELECT doc_id, word, (doc_id % 41 = 0) AS is_t FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+                FROM documents)
+              WHERE word <> ''
+            ),
+            lm AS MATERIALIZED (
+              SELECT word,
+                     sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS nr,
+                     sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt
+              FROM tokall GROUP BY word
+            ),
+            scal AS (SELECT sum(nr) AS tr, sum(nt) AS tt, count(*) AS v FROM lm)
+            SELECT doc_id,
+                   round(sum(log2((nt + 1) / (tt + v))
+                           - log2((nr + 1) / (tr + v))) / count(*), 4) AS dsir_w
+            FROM tokall JOIN lm USING (word), scal
+            WHERE NOT is_t
+            GROUP BY doc_id
         """,
         "unigram_logppl": r"""
             WITH tok AS (
