@@ -2644,6 +2644,17 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(raw, target)
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet per-language perplexity tiers (ops/text.ccnet_buckets;
+    Wenzek et al. 2020): per-doc unigram logppl + stopword lang-id,
+    then EXACT within-language rank split into 3 equal-frequency
+    buckets (0 = head). Rank order (logppl, doc_id) on the 4 dp-
+    snapped signal; bucket math all-integer."""
+    from reffy_ray.ops.text import ccnet_buckets
+
+    return ccnet_buckets(_docs(sf_dir), buckets=3)
+
+
 def q_unigram_logppl(sf_dir: str):
     """CCNet-style unigram LM quality signal (ops/text.unigram_logppl):
     per-doc mean −log2 p(token) under the corpus's own unigram LM,
@@ -2906,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": q_substring_dedup,
         "check_missing_dfns": q_check_missing_dfns,
         "unigram_logppl": q_unigram_logppl,
+        "ccnet_buckets": q_ccnet_buckets,
         "bigram_logppl": q_bigram_logppl,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -3203,6 +3215,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT is_t
             GROUP BY doc_id
         """,
+        # CCNet tiers: logppl (same form as unigram_logppl) ⋈ lang_id,
+        # row_number within language ordered by the 4 dp-snapped signal
+        # with doc_id tiebreak, integer bucket = rk*3 // n
+        "ccnet_buckets": _ccnet_buckets_sql(),
         "unigram_logppl": r"""
             WITH tok AS (
               SELECT doc_id, word FROM (
@@ -5685,6 +5701,37 @@ def oracle_sql() -> dict[str, str]:
         # semantics (crawl rounds, stubbed decode); driver records
         # rows-only.
     }
+
+
+def _ccnet_buckets_sql(buckets: int = 3) -> str:
+    return f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
+            FROM documents)
+          WHERE word <> ''
+        ),
+        freq AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+        tot AS (SELECT count(*) AS t FROM tok),
+        ppl AS (
+          SELECT doc_id, round(sum(-log2(n / t)) / count(*), 4) AS logppl
+          FROM tok JOIN freq USING (word), tot
+          GROUP BY doc_id
+        ),
+        lang AS ({_lang_id_sql()}),
+        r AS (
+          SELECT p.doc_id, l.lang_pred, p.logppl,
+                 row_number() OVER (
+                   PARTITION BY l.lang_pred
+                   ORDER BY p.logppl, p.doc_id) - 1 AS rk,
+                 count(*) OVER (PARTITION BY l.lang_pred) AS n
+          FROM ppl p JOIN lang l USING (doc_id)
+        )
+        SELECT doc_id, lang_pred, logppl,
+               CAST((rk * {buckets}) // n AS BIGINT) AS ppl_bucket
+        FROM r
+    """
 
 
 def _lang_id_sql() -> str:

@@ -1076,3 +1076,78 @@ def inverted_index(
         .map_groups(bucket_postings, batch_format="pandas")
         .select_columns(["term", "df", "postings"])
     )
+
+
+def ccnet_buckets(ds, buckets: int = 3):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): score every document with the unigram-LM
+    log-perplexity signal (:func:`unigram_logppl`), identify its
+    language (:class:`LangId`), then split each language's documents
+    into ``buckets`` equal-frequency tiers by EXACT within-language
+    rank (bucket 0 = head / most-fluent, last = tail). The CCNet
+    pipeline keeps head+middle and drops tail; emitting the bucket id
+    leaves that policy to the consumer.
+
+    Exactness: rank order is (logppl, doc_id) with logppl already
+    snapped to 4 dp — deterministic across runs and block layouts;
+    ``bucket = rank·buckets // n_lang`` is all-integer. Zero-token
+    documents are omitted (perplexity undefined, same as
+    :func:`unigram_logppl`).
+
+    Scale shape: one LM build + per-doc join (inside
+    ``unigram_logppl``), one doc-keyed hash join against the language
+    table, then the :func:`~reffy_ray.ops.sampling.global_rank`
+    census sort keyed (lang, logppl, doc_id). The only driver
+    exchanges are the #blocks census rows and one #langs-sized
+    (start, count) table broadcast back via ``ray.put``.
+
+    Returns Dataset(doc_id, lang_pred, logppl, ppl_bucket).
+    """
+    import ray as _ray
+
+    from reffy_ray.ops.sampling import global_rank
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    ppl = join_ready(unigram_logppl(ds))
+    lang = join_ready(
+        ds.select_columns(["doc_id", "text"]).map_batches(
+            lang_id_batch, batch_format="pyarrow"
+        )
+    )
+    joined = ppl.join(
+        lang,
+        join_type="inner",  # lang covers every doc; ppl omits zero-token
+        num_partitions=safe_num_blocks(ppl),
+        on=("doc_id",),
+    )
+
+    ranked, _total = global_rank(joined, ("lang_pred", "logppl", "doc_id"))
+
+    # per-language (start offset, count): #langs rows — genuinely tiny
+    counts = ranked.groupby("lang_pred").count().take_all()
+    starts: dict = {}
+    sizes: dict = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["lang_pred"]):
+        starts[row["lang_pred"]] = acc
+        sizes[row["lang_pred"]] = int(row["count()"])
+        acc += int(row["count()"])
+    ref = _ray.put((starts, sizes))
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            b = b.copy()
+            b["ppl_bucket"] = pd.Series([], dtype="int64")
+            return b[["doc_id", "lang_pred", "logppl", "ppl_bucket"]]
+        st, sz = _ray.get(ref)
+        lang_col = b["lang_pred"]
+        local = b["rank_idx"].to_numpy(dtype=np.int64) - lang_col.map(
+            st
+        ).to_numpy(dtype=np.int64)
+        n = lang_col.map(sz).to_numpy(dtype=np.int64)
+        b = b.copy()
+        b["ppl_bucket"] = (local * buckets) // n
+        return b[["doc_id", "lang_pred", "logppl", "ppl_bucket"]]
+
+    return ranked.map_batches(bucketize, batch_format="pandas")

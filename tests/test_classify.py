@@ -68,3 +68,30 @@ def test_dsir_weights_empty_corpus(ray_session):
     empty = _docs_ds([])
     out = dsir_weights(empty, empty).to_pandas()
     assert len(out) == 0
+
+
+def test_ccnet_buckets_per_language_tiers(ray_session):
+    from reffy_ray.ops.text import ccnet_buckets
+
+    # 6 english docs with graded typicality (repeated common words →
+    # low ppl) and 3 copies of one spanish doc; plus a zero-token doc.
+    texts = [
+        "the the the and and of",          # most typical english
+        "the and of to in a",
+        "the and of walrus to in",
+        "walrus quantum of the and",
+        "zygote walrus quantum the",
+        "of zygote xylophone quantum walrus",  # least typical
+        "el la de que y en",
+        "el la de que y en",
+        "el la de que y en",
+        "...",                              # zero tokens → omitted
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    out = ccnet_buckets(ds, buckets=3).to_pandas()
+    assert len(out) == 9  # zero-token doc dropped
+    en = out[out["lang_pred"] == "en"].sort_values("logppl")
+    assert en["ppl_bucket"].tolist() == [0, 0, 1, 1, 2, 2]
+    es = out[out["lang_pred"] == "es"]
+    # 3 identical docs, one per tier (rank tiebreak by doc_id)
+    assert sorted(es["ppl_bucket"].tolist()) == [0, 1, 2]
