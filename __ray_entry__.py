@@ -2644,6 +2644,15 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(raw, target)
 
 
+def q_dup_ngram_fraction(sf_dir: str):
+    """Per-doc duplicated-8-gram fraction (ops/dedup.dup_ngram_fraction;
+    Lee et al. 2022): share of each doc's distinct word 8-grams that
+    occur in ≥2 documents — all-int64 (n_grams, n_dup, dup_ppm)."""
+    from reffy_ray.ops.dedup import dup_ngram_fraction
+
+    return dup_ngram_fraction(_docs(sf_dir), n=8)
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet per-language perplexity tiers (ops/text.ccnet_buckets;
     Wenzek et al. 2020): per-doc unigram logppl + stopword lang-id,
@@ -2918,6 +2927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_missing_dfns": q_check_missing_dfns,
         "unigram_logppl": q_unigram_logppl,
         "ccnet_buckets": q_ccnet_buckets,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
         "bigram_logppl": q_bigram_logppl,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -3219,6 +3229,38 @@ def oracle_sql() -> dict[str, str]:
         # row_number within language ordered by the 4 dp-snapped signal
         # with doc_id tiebreak, integer bucket = rk*3 // n
         "ccnet_buckets": _ccnet_buckets_sql(),
+        # per-doc distinct 8-grams via ordered token lists + slice
+        # windows; df = distinct-doc count per gram; every output
+        # column integer (sums CAST to BIGINT per the repo rule)
+        "dup_ngram_fraction": r"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\W+')) AS w,
+                       generate_subscripts(
+                         regexp_split_to_array(lower(text), '\W+'), 1) AS i
+                FROM documents)
+              WHERE w <> ''
+            ),
+            dl AS (SELECT doc_id, list(w ORDER BY j) AS ws FROM tok GROUP BY doc_id),
+            g AS MATERIALIZED (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 7)) AS i
+                    FROM dl)
+            ),
+            df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup,
+                   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000
+                        // count(*) AS BIGINT) AS dup_ppm
+            FROM g JOIN df USING (gram)
+            GROUP BY doc_id
+        """,
         "unigram_logppl": r"""
             WITH tok AS (
               SELECT doc_id, word FROM (

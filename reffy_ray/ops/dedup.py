@@ -1453,3 +1453,110 @@ def containment_pairs(
         return pd.DataFrame(rows).astype("int64")
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+def dup_ngram_fraction(
+    ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document duplicated-n-gram fraction — the memorization-risk
+    diagnostic from the substring-dedup literature (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, the share of its DISTINCT word ``n``-grams that
+    also occur in at least one OTHER document. High values flag docs
+    whose content is mostly boilerplate shared across the corpus (the
+    docs substring-dedup would carve up); near-zero values are novel
+    text. Documents with fewer than ``n`` tokens are omitted (fraction
+    undefined).
+
+    Output Dataset(doc_id, n_grams, n_dup, dup_ppm) — all int64
+    (dup_ppm = n_dup·10⁶ // n_grams), exactly SQL-mirrorable.
+
+    Scale shape: per-doc distinct gram partials leave each task as
+    (doc_id, gram-hash) rows (the md5-uint64 kernel shared with the
+    repo's other hash oracles — gram strings never shuffle), one
+    groupby on the hash for the document-frequency table, a hash join
+    back on the gram key, and one per-doc groupby-sum. Nothing
+    corpus-sized is broadcast or collected; a super-frequent gram is a
+    single df row, not a pair explosion.
+    """
+    import re as _re
+
+    from ray.data.aggregate import Count, Sum
+
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    _tok = _re.compile(r"\w+")
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_doc, out_gh = [], []
+        for doc_id, text in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = _tok.findall((text or "").lower())
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            for g in grams:
+                out_doc.append(doc_id)
+                out_gh.append(
+                    int.from_bytes(
+                        hashlib.md5(g.encode("utf-8")).digest()[:8], "big"
+                    )
+                    >> 1  # stay in int64 range (63-bit key)
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "gh": pa.array(out_gh, pa.int64()),
+            }
+        )
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        gram_rows, batch_format="pyarrow"
+    )
+    # each doc contributes a gram at most once → count() == doc frequency
+    df = join_ready(
+        exploded.groupby("gh").aggregate(Count(alias_name="df"))
+    )
+    joined = exploded.join(
+        df,
+        join_type="inner",
+        num_partitions=safe_num_blocks(df),
+        on=("gh",),
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        dup = (b.column("df").to_numpy() >= 2).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "dup": pa.array(dup, pa.int64()),
+                "one": pa.array(np.ones(len(b), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("dup", alias_name="n_dup"), Sum("one", alias_name="n_grams"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_dup = b.column("n_dup").to_numpy()
+        n_grams = b.column("n_grams").to_numpy()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_dup": pa.array(n_dup, pa.int64()),
+                "dup_ppm": pa.array(
+                    n_dup * 1_000_000 // n_grams, pa.int64()
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -95,3 +95,22 @@ def test_ccnet_buckets_per_language_tiers(ray_session):
     es = out[out["lang_pred"] == "es"]
     # 3 identical docs, one per tier (rank tiebreak by doc_id)
     assert sorted(es["ppl_bucket"].tolist()) == [0, 1, 2]
+
+
+def test_dup_ngram_fraction(ray_session):
+    from reffy_ray.ops.dedup import dup_ngram_fraction
+
+    shared = "one two three four five six seven eight"
+    texts = [
+        shared + " alpha beta",      # 3 distinct 8-grams, 1 shared
+        shared + " gamma delta",     # 3 distinct 8-grams, 1 shared
+        "totally novel words " * 3,  # 9 tokens → 2 grams, none shared
+        "short doc",                 # < 8 tokens → omitted
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    out = dup_ngram_fraction(ds, n=8).to_pandas().set_index("doc_id").sort_index()
+    assert out.index.tolist() == [0, 1, 2]
+    assert out.loc[0, "n_grams"] == 3 and out.loc[0, "n_dup"] == 1
+    assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_dup"] == 1
+    assert out.loc[0, "dup_ppm"] == 1_000_000 // 3
+    assert out.loc[2, "n_dup"] == 0 and out.loc[2, "n_grams"] == 2
