@@ -2644,6 +2644,15 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(raw, target)
 
 
+def q_corpus_report(sf_dir: str):
+    """Per-language corpus audit (ops/text.corpus_report): doc count,
+    whitespace-token total, and exact distinct-payload count per
+    detected language — all int64."""
+    from reffy_ray.ops.text import corpus_report
+
+    return corpus_report(_docs(sf_dir))
+
+
 def q_dup_ngram_fraction(sf_dir: str):
     """Per-doc duplicated-8-gram fraction (ops/dedup.dup_ngram_fraction;
     Lee et al. 2022): share of each doc's distinct word 8-grams that
@@ -2928,6 +2937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logppl": q_unigram_logppl,
         "ccnet_buckets": q_ccnet_buckets,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "corpus_report": q_corpus_report,
         "bigram_logppl": q_bigram_logppl,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -3229,6 +3239,20 @@ def oracle_sql() -> dict[str, str]:
         # row_number within language ordered by the 4 dp-snapped signal
         # with doc_id tiebreak, integer bucket = rk*3 // n
         "ccnet_buckets": _ccnet_buckets_sql(),
+        # per-lang audit: lang_id CTE ⋈ documents; token convention
+        # matches token_count (whitespace runs on trimmed text); sums
+        # CAST to BIGINT per the repo rule
+        "corpus_report": f"""
+            WITH lang AS ({_lang_id_sql()})
+            SELECT l.lang_pred,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN trim(d.text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                            END) AS BIGINT) AS n_tokens,
+                   count(DISTINCT md5(d.text)) AS n_unique_texts
+            FROM documents d JOIN lang l USING (doc_id)
+            GROUP BY l.lang_pred
+        """,
         # per-doc distinct 8-grams via ordered token lists + slice
         # windows; df = distinct-doc count per gram; every output
         # column integer (sums CAST to BIGINT per the repo rule)

@@ -1151,3 +1151,72 @@ def ccnet_buckets(ds, buckets: int = 3):
         return b[["doc_id", "lang_pred", "logppl", "ppl_bucket"]]
 
     return ranked.map_batches(bucketize, batch_format="pandas")
+
+
+def corpus_report(ds):
+    """One-pass per-language corpus audit — the summary table a
+    curation run prints before and after each policy step: for every
+    detected language, the document count, total whitespace-token
+    count, and the number of DISTINCT text payloads (n_docs −
+    n_unique_texts = exact-duplicate overhang). All counts int64.
+
+    Scale shape: a single streamed map computes (lang_pred, n_tokens,
+    text-md5) per row; exact distinct-per-lang is one groupby on the
+    (lang, md5) pair emitting combiner partials, then a #langs-sized
+    groupby-sum. Nothing wider than the dedup hash shuffle the corpus
+    already pays for exact_dedup.
+
+    Returns Dataset(lang_pred, n_docs, n_tokens, n_unique_texts).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        lang = _singleton(LangId)(batch).column("lang_pred")
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        n_ws = pc.count_substring_regex(text, r"\s+")
+        toks = pc.if_else(pc.not_equal(text, ""), pc.add(n_ws, 1), 0)
+        md5 = pa.array(
+            [
+                hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in batch.column("text").to_pylist()
+            ],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "lang_pred": lang,
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "md5": md5,
+            }
+        )
+
+    rows = ds.select_columns(["doc_id", "text"]).map_batches(
+        annotate, batch_format="pyarrow"
+    )
+    # (lang, md5) partials: per distinct payload, its doc count + token sum
+    per_text = rows.groupby(["lang_pred", "md5"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+    )
+
+    def mark(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang_pred": b.column("lang_pred"),
+                "n_docs": b.column("n_docs"),
+                "n_tokens": b.column("n_tokens"),
+                "uniq": pa.array(np.ones(len(b), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        per_text.map_batches(mark, batch_format="pyarrow")
+        .groupby("lang_pred")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("uniq", alias_name="n_unique_texts"),
+        )
+    )

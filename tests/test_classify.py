@@ -114,3 +114,22 @@ def test_dup_ngram_fraction(ray_session):
     assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_dup"] == 1
     assert out.loc[0, "dup_ppm"] == 1_000_000 // 3
     assert out.loc[2, "n_dup"] == 0 and out.loc[2, "n_grams"] == 2
+
+
+def test_corpus_report(ray_session):
+    from reffy_ray.ops.text import corpus_report
+
+    texts = [
+        "the cat and the dog",   # en, 5 tokens
+        "the cat and the dog",   # exact dup of doc 0
+        "the bird of prey",      # en, 4 tokens
+        "el gato y el perro",    # es, 5 tokens
+        "",                      # und, 0 tokens
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    out = corpus_report(ds).to_pandas().set_index("lang_pred").sort_index()
+    assert out.loc["en", "n_docs"] == 3
+    assert out.loc["en", "n_tokens"] == 14
+    assert out.loc["en", "n_unique_texts"] == 2
+    assert out.loc["es", "n_docs"] == 1 and out.loc["es", "n_tokens"] == 5
+    assert out.loc["und", "n_docs"] == 1 and out.loc["und", "n_tokens"] == 0
