@@ -1857,6 +1857,43 @@ def q_boilerplate(sf_dir: str):
     )
 
 
+def q_c4_clean(sf_dir: str):
+    """C4 cleaning rules (ops/curation.c4_clean; Raffel et al. 2020
+    §2.2) over a line-laced corpus: every 5-word group becomes a
+    '.'-terminated line (the <5-word tail line fails the terminal-punct
+    rule), every 7th doc gets a '{'-bearing code line (doc-level drop),
+    and docs mentioning the badword 'vector' are dropped."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.curation import c4_clean
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def lace(batch: pa.Table) -> pa.Table:
+        lined = pc.replace_substring_regex(
+            batch.column("text"),
+            pattern=r"(\w+ \w+ \w+ \w+ \w+) ",
+            replacement="\\1.\n",
+        )
+        coded = pc.binary_join_element_wise(
+            lined, "this page uses code { sample }", "\n"
+        )
+        sev = pc.equal(_pa_mod(batch.column("doc_id"), 7), 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.if_else(sev, coded, lined),
+            }
+        )
+
+    return c4_clean(
+        docs.map_batches(lace, batch_format="pyarrow"),
+        badwords=("vector",),
+    )
+
+
 def q_pack_chunks(sf_dir: str):
     """Sequence packing (ops/curation.pack_chunks) over the
     chunk_tokens output: 16 hash shards, 128-token training bins."""
@@ -2907,6 +2944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "pack_chunks": q_pack_chunks,
         "boilerplate": q_boilerplate,
+        "c4_clean": q_c4_clean,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
@@ -5391,6 +5429,50 @@ def oracle_sql() -> dict[str, str]:
                      - count(k.l) AS n_removed
             FROM laced d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        # C4 rules over the laced corpus: 5-word '.'-lines, %7 '{'
+        # plant, badword 'vector'; line survives iff terminal punct +
+        # >=5 words + no 'javascript'; doc keep iff >=3 kept lines and
+        # none of badword / '{' / 'lorem ipsum' in the laced text
+        "c4_clean": r"""
+            WITH laced0 AS (
+              SELECT doc_id,
+                     regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ',
+                                    '\1.' || chr(10), 'g') AS text
+              FROM documents
+            ), laced AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || chr(10) || 'this page uses code { sample }'
+                          ELSE text END AS text
+              FROM laced0
+            ), split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM laced
+            ), lines AS (
+              SELECT doc_id, i, trim(ls[i]) AS l
+              FROM split, LATERAL unnest(generate_series(1, len(ls))) AS u(i)
+            ), kept AS (
+              SELECT doc_id, i, l FROM lines
+              WHERE l != ''
+                AND regexp_matches(l, '[.!?"]$')
+                AND len(regexp_split_to_array(l, '\s+')) >= 5
+                AND NOT contains(lower(l), 'javascript')
+            ), agg AS (
+              SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.text, '') AS text,
+                   (SELECT count(*) FROM lines x WHERE x.doc_id = d.doc_id)
+                     AS n_lines,
+                   coalesce(a.n_kept, 0) AS n_kept,
+                   CAST(CASE WHEN coalesce(a.n_kept, 0) >= 3
+                          AND NOT regexp_matches(lower(d.text), '\b(vector)\b')
+                          AND NOT contains(d.text, '{')
+                          AND NOT contains(lower(d.text), 'lorem ipsum')
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM laced d LEFT JOIN agg a USING (doc_id)
         """,
         # ops/curation.pack_chunks(budget=128, n_shards=16) over the
         # chunk_tokens(16,12) output: shard = md5-hash of doc_id,

@@ -747,3 +747,97 @@ def line_dedup(
         .groupby("doc_id")
         .map_groups(rebuild, batch_format="pandas")
     )
+
+
+# --- C4 cleaning rules (Raffel et al. 2020, §2.2) ---------------------------
+
+
+def c4_clean(
+    ds: rd.Dataset,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    badwords: tuple[str, ...] = ("lorem",),
+    require_terminal_punct: bool = True,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """The C4 line/document cleaning rules (Raffel et al. 2020 §2.2):
+
+    *Line level* — a line survives iff its trimmed form ends in a
+    terminal punctuation mark (``. ! ? "``, unless
+    ``require_terminal_punct=False``), carries at least
+    ``min_words_per_line`` whitespace-delimited words, and does not
+    mention ``javascript`` (case-insensitive).
+
+    *Document level* — ``keep=1`` iff at least ``min_lines`` lines
+    survived AND the original text contains no ``badwords`` entry (as a
+    whole word, case-insensitive), no ``{`` (code page signal), and no
+    ``lorem ipsum`` placeholder.
+
+    Emits ``(doc_id, text, n_lines, n_kept, keep)`` with the surviving
+    trimmed lines rejoined by ``'\\n'`` in original order; ``text`` is
+    the cleaned body regardless of ``keep`` so callers can audit what
+    the filter would publish.
+
+    Scale shape: one stateless ``map_batches`` pass — line split,
+    per-line predicates, and the doc-level regexes are all Arrow RE2
+    kernels over the flattened line array (``list_parent_indices``
+    keeps the doc assignment); only the final per-doc join-back walks
+    Python, over segment boundaries, not characters. Zero shuffle.
+    """
+    bad_re = r"\b(" + "|".join(re.escape(w.lower()) for w in badwords) + r")\b"
+
+    def clean(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        lines = pc.split_pattern(text, "\n")
+        flat = pc.utf8_trim_whitespace(pc.list_flatten(lines))
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n_words = pc.count_substring_regex(flat, r"\S+")
+        ok = pc.greater_equal(n_words, min_words_per_line)
+        if require_terminal_punct:
+            ok = pc.and_(ok, pc.match_substring_regex(flat, r'[.!?"]$'))
+        ok = pc.and_(
+            ok,
+            pc.invert(
+                pc.match_substring(pc.utf8_lower(flat), "javascript")
+            ),
+        )
+        ok_np = ok.to_numpy(zero_copy_only=False)
+
+        n_docs = len(batch)
+        n_lines = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        n_kept = np.bincount(
+            parent[ok_np], minlength=n_docs
+        ).astype(np.int64)
+
+        kept_lines = flat.filter(ok).to_pylist()
+        kept_parent = parent[ok_np]
+        # join-back loop over segment boundaries (kept lines are already
+        # in original order; parent indices are non-decreasing)
+        bodies = [""] * n_docs
+        bounds = np.searchsorted(kept_parent, np.arange(n_docs + 1))
+        for d in range(n_docs):
+            lo, hi = bounds[d], bounds[d + 1]
+            if hi > lo:
+                bodies[d] = "\n".join(kept_lines[lo:hi])
+
+        low = pc.utf8_lower(text)
+        clean_doc = pc.and_(
+            pc.and_(
+                pc.invert(pc.match_substring_regex(low, bad_re)),
+                pc.invert(pc.match_substring(text, "{")),
+            ),
+            pc.invert(pc.match_substring(low, "lorem ipsum")),
+        ).to_numpy(zero_copy_only=False)
+        keep = ((n_kept >= min_lines) & clean_doc).astype(np.int64)
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(bodies, pa.string()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -469,3 +469,50 @@ def test_fuzzy_decontaminate_join_path_lazy(ray_session):
         .to_pandas()["doc_id"]
     )
     assert kept == [2]
+
+
+def test_c4_clean_rules(ray_session):
+    from reffy_ray.ops.curation import c4_clean
+
+    docs = [
+        # 0: three good lines -> kept as-is, keep=1
+        "one two three four five.\nsix seven eight nine ten!\n"
+        'eleven twelve thirteen fourteen fifteen."',
+        # 1: good lines but a short line and a no-punct line dropped
+        "one two three four five.\ntoo short.\nno terminal punct here at all\n"
+        "six seven eight nine ten.\neleven twelve thirteen fourteen fifteen.",
+        # 2: only two surviving lines -> keep=0
+        "one two three four five.\nsix seven eight nine ten.",
+        # 3: javascript line dropped -> below min_lines, keep=0
+        "one two three four five.\nplease enable JavaScript to view this.\n"
+        "six seven eight nine ten.",
+        # 4: brace in doc -> keep=0, lines still cleaned
+        "one two three four five.\nsix seven eight nine ten.\n"
+        "code sample { return x; } here.",
+        # 5: badword -> keep=0
+        "one two three four five.\nsix seven eight nine ten.\n"
+        "the casino opens at nine daily.",
+        # 6: lorem ipsum -> keep=0
+        "one two three four five.\nsix seven eight nine ten.\n"
+        "Lorem ipsum dolor sit amet.",
+    ]
+    ds = _ds({"doc_id": list(range(len(docs))), "text": docs})
+    out = (
+        c4_clean(ds, badwords=("casino",))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "keep"] == 1 and out.loc[0, "n_kept"] == 3
+    assert out.loc[0, "text"] == docs[0]
+    assert out.loc[1, "keep"] == 1 and out.loc[1, "n_kept"] == 3
+    assert "too short" not in out.loc[1, "text"]
+    assert "no terminal punct" not in out.loc[1, "text"]
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "n_kept"] == 2
+    assert out.loc[3, "keep"] == 0 and out.loc[3, "n_kept"] == 2
+    assert "JavaScript" not in out.loc[3, "text"]
+    assert out.loc[4, "keep"] == 0 and out.loc[4, "n_kept"] == 3
+    assert out.loc[5, "keep"] == 0 and out.loc[5, "n_kept"] == 3
+    assert out.loc[6, "keep"] == 0
+    # n_lines counts every raw line, dropped or not
+    assert out.loc[1, "n_lines"] == 5
