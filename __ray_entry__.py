@@ -1857,6 +1857,19 @@ def q_boilerplate(sf_dir: str):
     )
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source 8-gram contamination matrix
+    (ops/dedup.source_overlap): distinct shared grams per source pair
+    via one gram-keyed shuffle and an int64 source-bitmask per gram."""
+    from reffy_ray.ops.dedup import source_overlap
+
+    return source_overlap(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+    )
+
+
 def q_c4_clean(sf_dir: str):
     """C4 cleaning rules (ops/curation.c4_clean; Raffel et al. 2020
     §2.2) over a line-laced corpus: every 5-word group becomes a
@@ -2945,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks": q_pack_chunks,
         "boilerplate": q_boilerplate,
         "c4_clean": q_c4_clean,
+        "source_overlap": q_source_overlap,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
@@ -5429,6 +5443,34 @@ def oracle_sql() -> dict[str, str]:
                      - count(k.l) AS n_removed
             FROM laced d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        # distinct (source, 8-gram) pairs (same tokenizer + slice
+        # convention as dup_ngram_fraction) self-joined on the gram,
+        # lexicographic a<b pair order
+        "source_overlap": r"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, source, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM (
+                SELECT doc_id, source,
+                       unnest(regexp_split_to_array(lower(text), '\W+')) AS w,
+                       generate_subscripts(
+                         regexp_split_to_array(lower(text), '\W+'), 1) AS i
+                FROM documents)
+              WHERE w <> ''
+            ),
+            dl AS (SELECT doc_id, source, list(w ORDER BY j) AS ws
+                   FROM tok GROUP BY doc_id, source),
+            g AS MATERIALIZED (
+              SELECT DISTINCT source, array_to_string(ws[i:i+7], ' ') AS gram
+              FROM (SELECT source, ws,
+                           unnest(generate_series(1, len(ws) - 7)) AS i
+                    FROM dl)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared_grams
+            FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
         """,
         # C4 rules over the laced corpus: 5-word '.'-lines, %7 '{'
         # plant, badword 'vector'; line survives iff terminal punct +

@@ -1560,3 +1560,120 @@ def dup_ngram_fraction(
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def source_overlap(
+    ds,
+    n: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_sources: int = 63,
+):
+    """Cross-source n-gram contamination matrix: for every pair of
+    sources, the number of DISTINCT word ``n``-grams they share — the
+    audit that catches one feed republishing another (mirrors, scrapes,
+    syndication) before a dedup policy is chosen per source.
+
+    Output Dataset(source_a, source_b, n_shared_grams), source_a <
+    source_b lexicographically, only pairs sharing >= 1 gram, all
+    counts int64.
+
+    Scale shape: the gram-keyed shuffle is identical to
+    :func:`dup_ngram_fraction`'s df groupby (per-doc distinct gram
+    hashes leave each task as (source, gram-hash) rows; gram strings
+    never shuffle). The source dimension then collapses to ONE int64
+    bitmask per gram (Sum over per-source bits after a distinct pass),
+    so pair counting is a per-block vectorized partial over
+    #sources²/2 bit tests — nothing driver-side except the source list
+    (policy-small: a corpus has tens of feeds) and the pair matrix
+    itself. Corpora with more than ``max_sources`` sources need the
+    mask chunked into multiple int64 columns (same shape, k masks);
+    this tier raises rather than guessing.
+    """
+    import re as _re
+
+    from ray.data.aggregate import Count, Sum
+
+    # column-pruned pass: only the source column leaves storage
+    srcs = sorted(ds.select_columns([source_col]).unique(source_col))
+    if len(srcs) > max_sources:
+        raise ValueError(
+            f"{len(srcs)} sources > {max_sources}: chunk the bitmask "
+            "into multiple int64 columns for this corpus"
+        )
+    bit_of = {s: i for i, s in enumerate(srcs)}
+
+    _tok = _re.compile(r"\w+")
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_src, out_gh = [], []
+        for src, text in zip(
+            batch.column(source_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = _tok.findall((text or "").lower())
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            for g in grams:
+                out_src.append(src)
+                out_gh.append(
+                    int.from_bytes(
+                        hashlib.md5(g.encode("utf-8")).digest()[:8], "big"
+                    )
+                    >> 1
+                )
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "gh": pa.array(out_gh, pa.int64()),
+            }
+        )
+
+    exploded = ds.select_columns([source_col, text_col]).map_batches(
+        gram_rows, batch_format="pyarrow"
+    )
+    # distinct (source, gram) — each source counts a gram once
+    distinct = exploded.groupby(["source", "gh"]).aggregate(
+        Count(alias_name="_c")
+    )
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        bits = np.array(
+            [1 << bit_of[s] for s in b.column("source").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table({"gh": b.column("gh"), "bit": pa.array(bits, pa.int64())})
+
+    masks = (
+        distinct.map_batches(to_bits, batch_format="pyarrow")
+        .groupby("gh")
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        mask = b.column("mask").to_numpy()
+        out_a, out_b, out_n = [], [], []
+        for i in range(len(srcs)):
+            has_i = (mask >> i) & 1
+            if not has_i.any():
+                continue
+            for j in range(i + 1, len(srcs)):
+                c = int((has_i & ((mask >> j) & 1)).sum())
+                if c:
+                    out_a.append(srcs[i])
+                    out_b.append(srcs[j])
+                    out_n.append(c)
+        return pa.table(
+            {
+                "source_a": pa.array(out_a, pa.string()),
+                "source_b": pa.array(out_b, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        masks.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_shared_grams"))
+    )

@@ -516,3 +516,28 @@ def test_c4_clean_rules(ray_session):
     assert out.loc[6, "keep"] == 0
     # n_lines counts every raw line, dropped or not
     assert out.loc[1, "n_lines"] == 5
+
+
+def test_source_overlap(ray_session):
+    from reffy_ray.ops.dedup import source_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "source": ["a", "a", "b", "c"],
+        "text": [
+            shared + " iota",          # a: grams {1..8, 2..9}
+            "totally different words here with no overlap at all",
+            shared,                    # b: gram {1..8} -> shares with a
+            "unrelated content that shares nothing with anyone else ok",
+        ],
+    }
+    ds = _ds(rows)
+    out = (
+        source_overlap(ds)
+        .to_pandas()
+        .set_index(["source_a", "source_b"])
+        .sort_index()
+    )
+    assert out.loc[("a", "b"), "n_shared_grams"] == 1
+    assert ("a", "c") not in out.index and ("b", "c") not in out.index
