@@ -1857,6 +1857,21 @@ def q_boilerplate(sf_dir: str):
     )
 
 
+def q_attribution(sf_dir: str):
+    """Last-touch attribution (ops/joins.last_touch_attribution):
+    each purchase credited to the user's latest click within 7 days,
+    integer cents, -1/epoch sentinels for unattributed."""
+    import pandas as pd
+
+    from reffy_ray.ops.joins import last_touch_attribution
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return last_touch_attribution(ev, window=pd.Timedelta(days=7))
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source 8-gram contamination matrix
     (ops/dedup.source_overlap): distinct shared grams per source pair
@@ -2959,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": q_boilerplate,
         "c4_clean": q_c4_clean,
         "source_overlap": q_source_overlap,
+        "attribution": q_attribution,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
@@ -5443,6 +5459,26 @@ def oracle_sql() -> dict[str, str]:
                      - count(k.l) AS n_removed
             FROM laced d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        # last-touch attribution: latest click <= purchase ts within
+        # 7 days per user (inclusive window edge, matching merge_asof
+        # tolerance); floor-cents money; -1/epoch sentinels keep the
+        # emission type-stable (the asof_join oracle rule)
+        "attribution": """
+            WITH p AS (SELECT event_id, user_id, ts,
+                              CAST(floor(value * 100) AS BIGINT) AS value_cents
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, user_id, ts
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts, p.value_cents,
+                   coalesce(t.event_id, -1) AS touch_event_id,
+                   coalesce(t.ts, TIMESTAMP '1970-01-01') AS touch_ts
+            FROM p LEFT JOIN LATERAL (
+              SELECT c.event_id, c.ts FROM c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL 7 DAY
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+            ) t ON true
         """,
         # distinct (source, 8-gram) pairs (same tokenizer + slice
         # convention as dup_ngram_fraction) self-joined on the gram,

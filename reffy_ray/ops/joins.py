@@ -424,3 +424,88 @@ def table_diff(
         )
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def last_touch_attribution(
+    events: rd.Dataset,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    window: "pd.Timedelta | None" = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Last-touch attribution: credit each conversion event to the most
+    recent touch event by the same user at-or-before the conversion
+    (optionally only within ``window``). The marketing-analytics
+    classic; structurally a filtered as-of join.
+
+    Emits one row per conversion:
+    ``(event_id, user_id, ts, value_cents, touch_event_id, touch_ts)``
+    with integer cents (floor(value*100), the repo money rule) and
+    type-stable sentinels for unattributed conversions
+    (``touch_event_id=-1``, ``touch_ts=1970-01-01``).
+
+    Scale shape: two column-pruned filters feed
+    :func:`asof_join`'s single ``groupby(user)`` shuffle; per group a
+    vectorized ``merge_asof``. Determinism note: among touches with an
+    identical (user, ts) pair the winner is unspecified — with
+    microsecond event timestamps exact ties are measure-zero, and the
+    oracle mirrors the same assumption.
+    """
+    import pyarrow.compute as pc
+
+    def conv_side(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), conversion_type)
+        f = b.filter(m)
+        cents = pc.cast(
+            pc.floor(pc.multiply(f.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": f.column("event_id"),
+                user_col: f.column(user_col),
+                ts_col: f.column(ts_col),
+                "value_cents": cents,
+            }
+        )
+
+    def touch_side(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), touch_type)
+        f = b.filter(m)
+        return pa.table(
+            {
+                "touch_event_id": f.column("event_id"),
+                user_col: f.column(user_col),
+                ts_col: f.column(ts_col),
+            }
+        )
+
+    cols = ["event_id", user_col, ts_col, "event_type", "value"]
+    conv = events.select_columns(cols).map_batches(
+        conv_side, batch_format="pyarrow"
+    )
+    touch = events.select_columns(cols[:-1]).map_batches(
+        touch_side, batch_format="pyarrow"
+    )
+    joined = asof_join(
+        conv, touch, on=ts_col, by=user_col, tolerance=window, suffix="_t"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                user_col: b[user_col].astype("int64"),
+                ts_col: b[ts_col],
+                "value_cents": b["value_cents"].astype("int64"),
+                "touch_event_id": b["touch_event_id_t"]
+                .fillna(-1)
+                .astype("int64"),
+                "touch_ts": b[ts_col + "_t"].fillna(
+                    pd.Timestamp("1970-01-01")
+                ),
+            }
+        )
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")

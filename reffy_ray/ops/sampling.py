@@ -14,16 +14,13 @@ tokenization:
   most ``cap`` rows per source it sees), then one ``groupby(source)``
   merge over partials — the merge group for a source is bounded by
   ``cap × n_blocks_containing_it``, never the source's full row count.
-* ``near_dup_clusters`` — connected components over the MinHash-LSH
-  candidate pairs (``ops/dedup.minhash_lsh_pairs``), representative =
-  min doc id per component; ``near_dedup`` filters the corpus to
-  cluster representatives + singletons. Pair generation is the
-  distributed part (bucketed LSH, no all-pairs); the component closure
-  runs driver-side over the *pair list only* — pairs scale with the
-  duplicate rate, not the corpus, and only (a, b) id columns leave the
-  cluster. Partitioning assumption: the pair list fits on the driver
-  (true up to ~10⁸ duplicate pairs); past that, swap the closure for
-  iterative min-label propagation over a pairs Dataset.
+* ``near_dup_clusters`` — connected components over MinHash-LSH star
+  edges (``ops/dedup.minhash_lsh_star_edges``, linear in paired docs),
+  representative = min doc id per component; ``near_dedup`` filters
+  the corpus to cluster representatives + singletons. The closure is
+  :func:`connected_components` — distributed min-label rounds; the
+  driver holds at most a per-node label vector (broadcast tier) or
+  nothing (join tier), never the pair list.
 
 Hash convention (shared with ops/dedup, SQL-mirrorable):
 ``H(x) = big-endian uint64 of md5(x)[:8]`` ⇔
@@ -37,6 +34,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 
@@ -191,10 +189,14 @@ def source_cap(
 # ---------------------------------------------------------------------------
 
 
-def connected_components(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
+def connected_components(
+    edges: rd.Dataset,
+    max_rounds: int = 50,
+    broadcast_limit: int = 2_000_000,
+) -> rd.Dataset:
     """Distributed connected components over an (a, b) edge Dataset —
-    min-label propagation (the CCF shape: Kardes et al. 2014), entirely
-    as groupby rounds; the driver only reads a per-round scalar counter.
+    min-label propagation (the CCF shape: Kardes et al. 2014); the
+    driver only ever holds per-node LABELS, never edges or pairs.
 
     Each round symmetrizes the association list, reduces per node to
     (node → min associate) and re-emits (associate → min) propagation
@@ -204,12 +206,19 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
     tiny and 2-4 rounds suffice. Returns (doc_id, cluster_rep) for every
     node on an edge, representative = component min.
 
-    The per-node reduce is a vectorized ``groupby(u).min(v)``
-    aggregate and the (edge → that node's min) pairing is a
-    :func:`reffy_ray.util.bucket_join` — no ``map_groups``: per-node
-    Python dispatch would be a per-GROUP interpreter call, billions of
-    them at web scale, where the aggregate+join pair is two
-    key-collocating shuffles of pure arrow kernels."""
+    Two tiers for the per-node min reduce, both fully vectorized (no
+    ``map_groups``: per-node Python dispatch is a per-GROUP interpreter
+    call and DataFrame allocation, billions of them at web scale):
+
+    * ≤ ``broadcast_limit`` labelled nodes (the near-dup use: nodes =
+      docs in at least one candidate pair, far smaller than the
+      corpus): per-block (u, min v) numpy partials are merged into one
+      sorted label vector on the driver and ``ray.put`` broadcast —
+      each round is one stateless pass, ZERO shuffles.
+    * larger graphs: ``groupby(u).min`` aggregate +
+      :func:`reffy_ray.util.bucket_join` pairing — two key-collocating
+      shuffles of pure kernels per round, nothing driver-side.
+    """
 
     def sym(b: pa.Table) -> pa.Table:
         u = pa.concat_arrays(
@@ -220,22 +229,33 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
         )
         return pa.table({"u": u, "v": v})
 
-    def iterate(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["u"].iloc[0]
-        vals = pd.unique(g["v"])
-        m = vals.min()
-        if m >= u:
-            # u is its neighborhood's min — nothing to propagate
-            return pd.DataFrame(
-                {"a": g["u"].iloc[:0], "b": g["v"].iloc[:0],
-                 "new": pd.Series([], dtype="int64")}
-            )
-        others = vals[vals != m]
-        return pd.DataFrame(
+    def propagate(b: pa.Table) -> pa.Table:
+        # vectorized CCF emission over (u, v, m) rows, m = min over u's
+        # neighborhood: groups whose min is not smaller than u emit
+        # nothing; otherwise refresh the (u -> m) association (new=0)
+        # and point every other neighbor at m (new=1). Emitting per
+        # edge row instead of per distinct neighbor only produces
+        # duplicate pairs, which local_dedup's min(new) collapses —
+        # the min-reduce and the zero/nonzero convergence counter are
+        # unaffected by multiplicity.
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        m = b.column("m").to_numpy(zero_copy_only=False)
+        assoc = m < u
+        prop = assoc & (v != m)
+        a_out = np.concatenate([u[assoc], v[prop]])
+        b_out = np.concatenate([m[assoc], m[prop]])
+        new = np.concatenate(
+            [
+                np.zeros(int(assoc.sum()), np.int64),
+                np.ones(int(prop.sum()), np.int64),
+            ]
+        )
+        return pa.table(
             {
-                "a": np.concatenate([[u], others]),
-                "b": np.full(1 + len(others), m),
-                "new": np.concatenate([[0], np.ones(len(others), dtype=np.int64)]),
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "new": pa.array(new, pa.int64()),
             }
         )
 
@@ -293,11 +313,63 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 50) -> rd.Dataset:
                  "cluster_rep": pa.array([], pa.int64())}
             )
         )
+    from reffy_ray.util import bucket_join
+
+    def block_mins(b: pa.Table) -> pa.Table:
+        # per-block (u, min v) partial — numpy segment reduce
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        ku, inv = np.unique(u, return_inverse=True)
+        mv = np.full(len(ku), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mv, inv, v)
+        return pa.table(
+            {"u": pa.array(ku, pa.int64()), "m": pa.array(mv, pa.int64())}
+        )
+
+    # tier choice: cur rows ≈ one association per node, so its count
+    # bounds the label-vector size the broadcast tier would hold
+    use_broadcast = cur.count() <= broadcast_limit
+
     for _ in range(max_rounds):
+        symmed = cur.map_batches(sym, batch_format="pyarrow")
+        if use_broadcast:
+            parts = symmed.map_batches(block_mins, batch_format="pyarrow")
+            mu_parts, mm_parts = [], []
+            # iter_batches is the repo's empty-block-safe small-side
+            # collection idiom (upstream empty pandas blocks skip
+            # map_batches and crash to_arrow_refs' conversion)
+            for blk in parts.iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"
+            ):
+                if blk.num_rows:
+                    mu_parts.append(blk.column("u").to_numpy(zero_copy_only=False))
+                    mm_parts.append(blk.column("m").to_numpy(zero_copy_only=False))
+            mu = np.concatenate(mu_parts) if mu_parts else np.array([], np.int64)
+            mm = np.concatenate(mm_parts) if mm_parts else np.array([], np.int64)
+            keys, inv = np.unique(mu, return_inverse=True)
+            vals = np.full(len(keys), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(vals, inv, mm)
+            label_ref = ray.put((keys, vals))
+
+            def attach(b: pa.Table, _ref=label_ref) -> pa.Table:
+                k, val = ray.get(_ref)  # zero-copy shared-memory numpy
+                u = b.column("u").to_numpy(zero_copy_only=False)
+                m = val[np.searchsorted(k, u)]
+                return b.append_column("m", pa.array(m, pa.int64()))
+
+            paired = symmed.map_batches(attach, batch_format="pyarrow")
+        else:
+            mins = (
+                symmed.groupby("u")
+                .min("v")
+                .map_batches(
+                    lambda b: b.rename_columns(["u", "m"]),
+                    batch_format="pyarrow",
+                )
+            )
+            paired = bucket_join(symmed, mins, on="u")
         nxt = (
-            cur.map_batches(sym, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(iterate, batch_format="pandas")
+            paired.map_batches(propagate, batch_format="pyarrow")
             .map_batches(local_dedup, batch_format="pyarrow")
             .materialize()
         )

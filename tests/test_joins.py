@@ -190,3 +190,43 @@ def test_table_diff_verdicts(ray_session):
         .to_dict()
     )
     assert out == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_last_touch_attribution(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.joins import last_touch_attribution
+
+    T = pd.Timestamp
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [7, 7, 7, 8, 8, 9],
+            "ts": [
+                T("2024-01-01 10:00"),  # click
+                T("2024-01-01 11:00"),  # click (the last touch)
+                T("2024-01-01 12:00"),  # purchase -> touch 2
+                T("2024-01-01 09:00"),  # click, 10 days before
+                T("2024-01-11 09:00"),  # purchase -> outside window, -1
+                T("2024-01-02 00:00"),  # purchase, user never clicked
+            ],
+            "event_type": [
+                "click", "click", "purchase", "click", "purchase", "purchase",
+            ],
+            "value": [0.0, 0.0, 10.55, 0.0, 3.99, 1.01],
+        }
+    )
+    out = (
+        last_touch_attribution(
+            rd.from_pandas(ev), window=pd.Timedelta(days=7)
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[3, "touch_event_id"] == 2
+    assert out.loc[3, "value_cents"] == 1055
+    assert out.loc[5, "touch_event_id"] == -1
+    assert out.loc[5, "touch_ts"] == T("1970-01-01")
+    assert out.loc[6, "touch_event_id"] == -1
