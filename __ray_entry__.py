@@ -1857,6 +1857,41 @@ def q_boilerplate(sf_dir: str):
     )
 
 
+def q_regression(sf_dir: str):
+    """Per-user purchase-trend OLS (ops/stats.group_regression):
+    y = cents on x = days since 2024-01-01, slope/intercept as exact
+    integer num/den pairs."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.stats import group_regression
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+    epoch_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), "purchase")
+        f = b.filter(m)
+        us = pc.cast(f.column("ts"), pa.int64())
+        days = pc.divide(pc.subtract(us, epoch_us), 86_400_000_000)
+        return pa.table(
+            {
+                "user_id": f.column("user_id"),
+                "day": pc.cast(days, pa.int64()),
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(f.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return group_regression(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id", x="day", y="cents",
+    )
+
+
 def q_attribution(sf_dir: str):
     """Last-touch attribution (ops/joins.last_touch_attribution):
     each purchase credited to the user's latest click within 7 days,
@@ -2975,6 +3010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q_c4_clean,
         "source_overlap": q_source_overlap,
         "attribution": q_attribution,
+        "regression": q_regression,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rolling_window": q_rolling_window,
@@ -5459,6 +5495,30 @@ def oracle_sql() -> dict[str, str]:
                      - count(k.l) AS n_removed
             FROM laced d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        # per-user OLS on (days since 2024-01-01, floor cents) over
+        # purchases; slope/intercept emitted as exact integer num/den
+        # (n·Sxy−SxSy, n·Sxx−Sx², Sy·Sxx−Sx·Sxy) — no float anywhere
+        "regression": """
+            WITH pts AS (
+              SELECT user_id,
+                     date_diff('day', TIMESTAMP '2024-01-01', ts) AS x,
+                     CAST(floor(value * 100) AS BIGINT) AS y
+              FROM events WHERE event_type = 'purchase'
+            ), s AS (
+              SELECT user_id, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM pts GROUP BY user_id
+            )
+            SELECT user_id, n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+                   CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS intercept_den
+            FROM s
         """,
         # last-touch attribution: latest click <= purchase ts within
         # 7 days per user (inclusive window edge, matching merge_asof

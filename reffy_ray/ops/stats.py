@@ -1382,3 +1382,53 @@ def hll_distinct(
             "estimate": pa.array([int(est)], pa.int64()),
         }
     )
+
+
+def group_regression(ds, by: str, x: str, y: str):
+    """Per-group OLS regression of INTEGER ``y`` on INTEGER ``x``,
+    emitted as EXACT integer numerator/denominator pairs instead of a
+    float slope — ``slope = slope_num / slope_den`` and ``intercept =
+    intercept_num / intercept_den`` with
+
+        slope_num     = n·Σxy − Σx·Σy
+        slope_den     = n·Σxx − (Σx)²   (= intercept_den)
+        intercept_num = Σy·Σxx − Σx·Σxy
+
+    so the distributed output is float-free, bitwise
+    engine-independent, and the caller (or SQL oracle) divides at the
+    edge. Groups whose x is constant (slope_den = 0) still emit — the
+    caller decides the degenerate-fit policy.
+
+    Scale shape: delegates to :func:`corr_stats` (per-block combiner
+    partials, one #groups×#blocks shuffle), then a stateless map over
+    the #groups-sized sums table. Overflow contract is corr_stats's
+    plus one factor of n (products are computed in Python ints, exact;
+    the int64 CAST at emission is where a violation would surface).
+    """
+    import pyarrow as pa
+
+    stats = corr_stats(ds, by=by, x=x, y=y)
+
+    def fit(b: "pa.Table") -> "pa.Table":
+        n = b.column("n").to_pylist()
+        sx = b.column("sum_x").to_pylist()
+        sy = b.column("sum_y").to_pylist()
+        sxx = b.column("sum_xx").to_pylist()
+        sxy = b.column("sum_xy").to_pylist()
+        slope_num = [ni * xyi - xi * yi for ni, xi, yi, xyi in zip(n, sx, sy, sxy)]
+        den = [ni * xxi - xi * xi for ni, xi, xxi in zip(n, sx, sxx)]
+        icept_num = [
+            yi * xxi - xi * xyi for xi, yi, xxi, xyi in zip(sx, sy, sxx, sxy)
+        ]
+        return pa.table(
+            {
+                by: b.column(by),
+                "n": b.column("n"),
+                "slope_num": pa.array(slope_num, pa.int64()),
+                "slope_den": pa.array(den, pa.int64()),
+                "intercept_num": pa.array(icept_num, pa.int64()),
+                "intercept_den": pa.array(den, pa.int64()),
+            }
+        )
+
+    return stats.map_batches(fit, batch_format="pyarrow")

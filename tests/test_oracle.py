@@ -89,7 +89,7 @@ ORACLE_KEYS = [
     "check_missing_dfns", "unigram_logppl", "bigram_logppl", "semantic_dedup",
     "fuzzy_decontaminate", "quality_classifier", "dsir_weights",
     "ccnet_buckets", "dup_ngram_fraction", "corpus_report", "c4_clean",
-    "source_overlap", "attribution", "kmeans", "pagerank",
+    "source_overlap", "attribution", "regression", "kmeans", "pagerank",
     "cc_components",
     "triangle_count", "bm25", "weighted_sample", "event_gaps",
     "semi_join", "anti_join", "nation_revenue", "lang_fertility",

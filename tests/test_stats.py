@@ -356,3 +356,29 @@ def test_zscore_outliers_flags_extreme(ray_session):
         rd.from_pandas(df).repartition(3), by="g", value="x", id_col="id"
     ).to_pandas()
     assert out["id"].tolist() == [40]
+
+
+def test_group_regression_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.stats import group_regression
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "x": [0, 1, 2, 5, 5],
+            "y": [0, 2, 4, 7, 9],
+        }
+    )
+    out = (
+        group_regression(rd.from_pandas(df), by="g", x="x", y="y")
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    # group a: perfect y = 2x -> slope 12/6, intercept 0/6
+    assert out.loc["a", "slope_num"] == 12 and out.loc["a", "slope_den"] == 6
+    assert out.loc["a", "intercept_num"] == 0
+    # group b: constant x -> degenerate fit emitted with den 0
+    assert out.loc["b", "slope_den"] == 0 and out.loc["b", "n"] == 2
