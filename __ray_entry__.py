@@ -1425,6 +1425,20 @@ def q_triangle_count(sf_dir: str):
     return triangles(_doc_graph_edges(sf_dir), src_col="a", dst_col="b")
 
 
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS discovery depth (ops/graph.bfs_hops) over the
+    derived doc graph: min hop distance from the seed set
+    {doc_id % 100 == 0} within 4 hops — the crawl's seed-rank /
+    discovery-depth ordering signal as a first-class graph query."""
+    import numpy as np
+
+    from reffy_ray.ops.graph import bfs_hops
+
+    n = _docs(sf_dir, columns=("doc_id",)).count()
+    seeds = np.arange(0, n, 100, dtype=np.int64)
+    return bfs_hops(_doc_graph_edges(sf_dir), seeds, max_hops=4)
+
+
 def q_interleave_sources(sf_dir: str):
     from reffy_ray.ops.sampling import interleave_sources
 
@@ -3051,6 +3065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "cc_components": q_cc_components,
         "triangle_count": q_triangle_count,
+        "bfs_hops": q_bfs_hops,
         "bm25": q_bm25,
         "weighted_sample": q_weighted_sample,
         "event_gaps": q_event_gaps,
@@ -5376,6 +5391,37 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT y FROM tri
               UNION ALL SELECT z FROM tri
             ) GROUP BY node
+        """,
+        # ops/graph.bfs_hops over the same derived graph: min hop
+        # distance from the {doc_id % 100 == 0} seed set, capped at 4
+        # hops. Exact min-hop semantics: recursive UNION dedups, the
+        # final GROUP BY min collapses multi-path reaches.
+        "bfs_hops": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 < 9
+                AND doc_id + 1 < (SELECT count(*) FROM documents)
+              UNION ALL
+              SELECT doc_id, doc_id + 2 FROM documents
+              WHERE doc_id % 10 < 8
+                AND doc_id + 2 < (SELECT count(*) FROM documents)
+              UNION ALL
+              SELECT doc_id, doc_id + 13 FROM documents
+              WHERE doc_id % 10 = 0
+                AND doc_id + 13 < (SELECT count(*) FROM documents)
+            ), sym AS (
+              SELECT a AS u, b AS v FROM e0
+              UNION ALL SELECT b, a FROM e0
+            ), bfs AS (
+              SELECT doc_id AS node, 0 AS dist FROM documents
+              WHERE doc_id % 100 = 0
+              UNION
+              SELECT s.v, p.dist + 1 FROM bfs p
+              JOIN sym s ON s.u = p.node
+              WHERE p.dist < 4
+            )
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY node
         """,
         # ops/curation.repetition_stats over the query's laced input
         # (newline per 5 words; doc_id%3==0 duplicated wholesale):

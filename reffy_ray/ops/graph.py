@@ -309,3 +309,168 @@ def triangles(
         .groupby("node")
         .aggregate(Count(alias_name="triangles"))
     )
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    seeds,
+    max_hops: int = 4,
+    src_col: str = "a",
+    dst_col: str = "b",
+    mode: str = "auto",
+    broadcast_max_frontier: int = 20_000_000,
+) -> rd.Dataset:
+    """Multi-source BFS: min hop distance from a seed set over an
+    undirected edge list — the crawl's "discovery depth from the seed
+    list" signal (reference analog: Reffy's crawl order is seed rank
+    then link-discovery depth; see ``pipelines/crawl.py``). Returns
+    ``(node, dist)`` for every node within ``max_hops`` of a seed,
+    seeds included at dist 0. Exact min-hop semantics: a node is
+    labelled the first round it is reached and never relabelled.
+
+    Two tiers, identical results:
+
+    - ``broadcast`` (frontier + visited fit driver memory, bounded by
+      ``broadcast_max_frontier``): the visited set lives as one sorted
+      int64 array; each hop ships the CURRENT FRONTIER once via
+      ``ray.put`` and runs one stateless ``map_batches`` over the
+      (fully distributed) edge list emitting per-block UNIQUE
+      neighbor candidates — per-block output is bounded by the block's
+      distinct endpoints, and only candidate ids (not edges) reach the
+      driver for the setdiff. Zero shuffles per hop.
+    - ``join`` (beyond driver memory — the 10^10-node path): frontier
+      and visited stay distributed; each hop is one
+      :func:`reffy_ray.util.bucket_join` of the symmetrized edge list
+      against the frontier (key-collocating shuffle), a
+      ``groupby(node).min`` dedup, and an anti semi-join against
+      visited. Nothing node-sized reaches the driver.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(seeds, (list, tuple, np.ndarray)):
+        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    else:  # Dataset carrying a "node" column
+        seed_arr = np.unique(
+            seeds.to_pandas()["node"].to_numpy().astype(np.int64)
+        )
+    if mode == "auto":
+        mode = "broadcast"
+
+    if mode == "broadcast":
+        edges = edges.select_columns([src_col, dst_col]).materialize()
+        visited = seed_arr
+        dists = np.zeros(len(seed_arr), dtype=np.int64)
+        frontier = seed_arr
+        for h in range(1, max_hops + 1):
+            if len(frontier) == 0:
+                break
+            if len(frontier) > broadcast_max_frontier:
+                raise ValueError(
+                    "frontier exceeds broadcast tier bound; use mode='join'"
+                )
+            fref = ray.put(frontier)  # sorted — np.isin uses kind='sort'
+
+            def nbr_partial(batch: pd.DataFrame) -> pd.DataFrame:
+                f = ray.get(fref)
+                a = batch[src_col].to_numpy().astype(np.int64)
+                b = batch[dst_col].to_numpy().astype(np.int64)
+                cand = np.unique(
+                    np.concatenate([b[np.isin(a, f)], a[np.isin(b, f)]])
+                )
+                return pd.DataFrame({"n": cand})
+
+            parts = edges.map_batches(
+                nbr_partial, batch_format="pandas"
+            ).to_pandas()
+            cand = np.unique(parts["n"].to_numpy().astype(np.int64))
+            new = np.setdiff1d(cand, visited, assume_unique=True)
+            visited = np.concatenate([visited, new])
+            dists = np.concatenate(
+                [dists, np.full(len(new), h, dtype=np.int64)]
+            )
+            # keep visited sorted so setdiff stays assume_unique-safe
+            order = np.argsort(visited, kind="stable")
+            visited, dists = visited[order], dists[order]
+            frontier = new
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(visited, pa.int64()),
+                    "dist": pa.array(dists, pa.int64()),
+                }
+            )
+        )
+
+    # join tier: distributed frontier/visited
+    from ray.data.aggregate import Min
+
+    from reffy_ray.ops.joins import anti_join
+    from reffy_ray.util import bucket_join
+
+    def sym(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [
+                b.column(src_col).cast(pa.int64()).combine_chunks(),
+                b.column(dst_col).cast(pa.int64()).combine_chunks(),
+            ]
+        )
+        v = pa.concat_arrays(
+            [
+                b.column(dst_col).cast(pa.int64()).combine_chunks(),
+                b.column(src_col).cast(pa.int64()).combine_chunks(),
+            ]
+        )
+        return pa.table({"u": u, "v": v})
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    seed_tbl = pa.table(
+        {
+            "node": pa.array(seed_arr, pa.int64()),
+            "dist": pa.array(
+                np.zeros(len(seed_arr), dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+    visited_ds = rd.from_arrow(seed_tbl).materialize()
+    frontier_ds = rd.from_arrow(seed_tbl.select(["node"])).materialize()
+    for h in range(1, max_hops + 1):
+        if frontier_ds.count() == 0:
+            break
+        joined = bucket_join(
+            sym_edges,
+            frontier_ds.map_batches(
+                lambda b: b.rename_columns(["u"]), batch_format="pyarrow"
+            ),
+            on="u",
+        )
+        cand = (
+            joined.map_batches(
+                lambda b: b.select(["v"]).rename_columns(["node"]),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Min("node", alias_name="_m"))
+            .map_batches(
+                lambda b: b.select(["node"]), batch_format="pyarrow"
+            )
+        )
+        from reffy_ray.util import join_ready
+
+        new = anti_join(
+            join_ready(cand), visited_ds, on="node"
+        ).materialize()
+        if new.count() == 0:
+            break
+        hh = h
+
+        def stamp(b: pa.Table, _h=hh) -> pa.Table:
+            return b.append_column(
+                "dist",
+                pa.array(np.full(b.num_rows, _h, dtype=np.int64)),
+            )
+
+        visited_ds = visited_ds.union(
+            new.map_batches(stamp, batch_format="pyarrow")
+        ).materialize()
+        frontier_ds = new
+    return visited_ds

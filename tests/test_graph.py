@@ -135,3 +135,68 @@ def test_kmeans_raises_on_emptied_cluster(ray_session):
     )
     with pytest.raises(ValueError, match="emptied"):
         kmeans(rd.from_pandas(df), k=2, iters=2).to_pandas()
+
+
+def _path_edges(n):
+    # 0-1-2-...-(n-1) plus a detour 0-(n-1) long-cut to test min-hop
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": list(range(n - 1)),
+                "b": list(range(1, n)),
+            }
+        )
+    )
+
+
+def test_bfs_hops_min_distance_on_path(ray_session):
+    from reffy_ray.ops.graph import bfs_hops
+
+    got = (
+        bfs_hops(_path_edges(10), [0], max_hops=3)
+        .to_pandas()
+        .set_index("node")["dist"]
+    )
+    assert got.to_dict() == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_multi_source_takes_nearest_seed(ray_session):
+    from reffy_ray.ops.graph import bfs_hops
+
+    got = (
+        bfs_hops(_path_edges(11), [0, 10], max_hops=2)
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    assert got == {0: 0, 1: 1, 2: 2, 10: 0, 9: 1, 8: 2}
+
+
+def test_bfs_hops_tiers_agree(ray_session):
+    from reffy_ray.ops.graph import bfs_hops
+
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": [0, 1, 2, 3, 4, 5, 0, 7],
+                "b": [1, 2, 3, 4, 5, 6, 6, 8],
+            }
+        )
+    ).repartition(3)
+    b = (
+        bfs_hops(edges, [0], max_hops=3, mode="broadcast")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    j = (
+        bfs_hops(edges, [0], max_hops=3, mode="join")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert b.equals(j)
+    # 7-8 component unreached; 6 reached in 1 hop via the 0-6 edge
+    assert b.set_index("node")["dist"].to_dict() == {
+        0: 0, 1: 1, 2: 2, 3: 3, 6: 1, 5: 2, 4: 3,
+    }
