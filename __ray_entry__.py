@@ -195,6 +195,58 @@ def q_word_counts(sf_dir: str):
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (ops/text.bpe_merges): 4
+    greedy merge rounds over the word census; returns the merge table
+    (step, left_sym, right_sym, merged, pair_count)."""
+    from reffy_ray.ops.text import bpe_merges
+
+    return bpe_merges(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        merges=4,
+    )
+
+
+def _bpe_oracle_sql(merges: int = 4) -> str:
+    """Generate the unrolled k-round BPE oracle: each round is a pair
+    census over the spaced-symbol vocab, an (count desc, pair asc)
+    argmax, and a boundary-space replace — byte-identical semantics to
+    the engine (see ops/text.bpe_merges docstring)."""
+    parts = [
+        r"""WITH w0 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""
+    ]
+    for s in range(merges):
+        parts.append(
+            f""", p{s} AS (
+  SELECT l[i] || ' ' || l[i+1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(sym), ' ') AS l, n FROM w{s}),
+       unnest(generate_series(1, len(l) - 1)) AS t(i)
+  GROUP BY pair
+), b{s} AS (SELECT pair, cnt FROM p{s} ORDER BY cnt DESC, pair ASC LIMIT 1)"""
+        )
+        if s + 1 < merges:
+            parts.append(
+                f""", w{s + 1} AS (
+  SELECT replace(sym, ' ' || (SELECT pair FROM b{s}) || ' ',
+                 ' ' || replace((SELECT pair FROM b{s}), ' ', '') || ' ') AS sym,
+         n FROM w{s}
+)"""
+            )
+    selects = [
+        f"""SELECT {s} AS step, split_part(pair, ' ', 1) AS left_sym,
+       split_part(pair, ' ', 2) AS right_sym,
+       replace(pair, ' ', '') AS merged, cnt AS pair_count FROM b{s}"""
+        for s in range(merges)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_bigram_counts(sf_dir: str):
     from reffy_ray.ops.text import bigram_counts
 
@@ -2980,6 +3032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpeish_tokens": q_bpeish_tokens,
         "quality_score": q_quality,
         "word_counts": q_word_counts,
+        "bpe_merges": q_bpe_merges,
         "bigram_counts": q_bigram_counts,
         "skipgram_counts": q_skipgram_counts,
         "source_dup_stats": q_source_dup_stats,
@@ -3758,6 +3811,9 @@ def oracle_sql() -> dict[str, str]:
                         / greatest(length(text), 1)) AS BIGINT) AS punct_ppm
             FROM documents
         """,
+        # ops/text.bpe_merges: generated k-round unrolled BPE oracle —
+        # see _bpe_oracle_sql for the round shape.
+        "bpe_merges": _bpe_oracle_sql(4),
         "word_counts": r"""
             SELECT word, count(*) AS n
             FROM (

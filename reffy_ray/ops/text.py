@@ -1220,3 +1220,137 @@ def corpus_report(ds):
             Sum("uniq", alias_name="n_unique_texts"),
         )
     )
+
+
+def bpe_merges(ds, merges: int = 4):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016 shape):
+    ``merges`` greedy merge rounds over the word-count table. Returns
+    one row per round: ``(step, left_sym, right_sym, merged,
+    pair_count)`` — the merge table a byte-pair tokenizer is built
+    from.
+
+    Scale shape: the corpus is reduced ONCE to the distinct-word census
+    (:func:`word_counts`' combiner + one groupby shuffle); every round
+    after that runs on the vocab table, which stays distributed —
+    pair counting is a fully Arrow-vectorized offsets/take kernel over
+    the symbolized words (no Python loop over rows), the global pair
+    argmax moves only per-block top-1 partials to the driver, and the
+    merge application is one ``replace_substring`` pass. The chosen
+    pair (a few bytes) is the only state broadcast per round.
+
+    Merge semantics: words are held in the space-boundary form
+    ``' h e l l o '`` and a merge is the literal string replace
+    ``' x y ' -> ' xy '`` — non-overlapping, left-to-right, and
+    adjacent occurrences that share a boundary space are NOT both
+    merged in the same round (``' x y x y '`` -> ``' xy x y '``).
+    DuckDB's ``replace()`` has byte-identical semantics, so the SQL
+    oracle restates the op exactly, tie-break (max count, then
+    lexicographically smallest pair) included.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    vocab = (
+        ds.map_batches(word_count_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def symbolize(b: pa.Table) -> pa.Table:
+        sp = pc.replace_substring_regex(b.column("word"), "(.)", r"\1 ")
+        spaced = pc.binary_join_element_wise(
+            pa.array([" "] * b.num_rows), sp, ""
+        )
+        return pa.table({"sym": spaced, "n": b.column("n")})
+
+    vocab = vocab.map_batches(
+        symbolize, batch_format="pyarrow"
+    ).materialize()
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            pc.utf8_trim_whitespace(b.column("sym").combine_chunks()), " "
+        )
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        offsets = lists.offsets.to_numpy()
+        starts, ends = offsets[:-1], offsets[1:]
+        n_pairs = np.maximum(ends - starts - 1, 0)
+        total = int(n_pairs.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        base = np.repeat(starts, n_pairs)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(n_pairs) - n_pairs, n_pairs
+        )
+        i1 = base + within
+        values = lists.values
+        pairs = pc.binary_join_element_wise(
+            values.take(pa.array(i1)),
+            values.take(pa.array(i1 + 1)),
+            " ",
+        )
+        w = np.repeat(n, n_pairs)
+        t = pa.table({"pair": pairs, "n": pa.array(w, pa.int64())})
+        # in-block combine so only distinct (pair, partial-sum) rows ship
+        g = t.group_by("pair").aggregate([("n", "sum")])
+        return g.rename_columns(["pair", "n"])
+
+    def block_top1(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        mx = pc.max(b.column("n"))
+        cand = b.filter(pc.equal(b.column("n"), mx))
+        best = pc.min(cand.column("pair"))
+        return pa.table(
+            {"pair": pa.array([best.as_py()]), "n": pa.array([mx.as_py()], pa.int64())}
+        )
+
+    steps, lefts, rights, mergeds, counts = [], [], [], [], []
+    for step in range(merges):
+        partials = (
+            vocab.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(block_top1, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(partials) == 0:
+            break
+        mx = partials["n"].max()
+        best = partials.loc[partials["n"] == mx, "pair"].min()
+        left, right = best.split(" ")
+        steps.append(step)
+        lefts.append(left)
+        rights.append(right)
+        mergeds.append(left + right)
+        counts.append(int(mx))
+        pat, rep = f" {left} {right} ", f" {left}{right} "
+
+        def apply_merge(b: pa.Table, _p=pat, _r=rep) -> pa.Table:
+            return pa.table(
+                {
+                    "sym": pc.replace_substring(b.column("sym"), _p, _r),
+                    "n": b.column("n"),
+                }
+            )
+
+        vocab = vocab.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(steps, pa.int64()),
+                "left_sym": pa.array(lefts, pa.string()),
+                "right_sym": pa.array(rights, pa.string()),
+                "merged": pa.array(mergeds, pa.string()),
+                "pair_count": pa.array(counts, pa.int64()),
+            }
+        )
+    )

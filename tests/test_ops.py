@@ -1386,3 +1386,35 @@ def test_containment_directed(ray_session):
     assert (1, 2) in pairs
     # but long is NOT half-contained in short
     assert (2, 1) not in pairs
+
+
+def test_bpe_merges_greedy_on_known_corpus(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.text import bpe_merges
+
+    # corpus: "ab" x3, "abc" x2 -> round 0 merges ('a','b') count 5;
+    # round 1 merges ('ab','c') count 2; then nothing pairable.
+    ds = rd.from_pandas(
+        pd.DataFrame({"text": ["ab ab ab", "abc abc"]})
+    )
+    got = bpe_merges(ds, merges=4).to_pandas()
+    assert list(got["merged"]) == ["ab", "abc"]
+    assert list(got["pair_count"]) == [5, 2]
+    assert list(got["step"]) == [0, 1]
+
+
+def test_bpe_merges_shared_boundary_not_double_merged(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.text import bpe_merges
+
+    # 'xyxy' -> ' x y x y ': the replace-scan merges only the first
+    # 'x y' (shared boundary space), leaving ' xy x y ' — so round 1's
+    # top pair is ('xy','x') or ('y','x')... count check pins it.
+    ds = rd.from_pandas(pd.DataFrame({"text": ["xyxy"]}))
+    got = bpe_merges(ds, merges=1).to_pandas()
+    assert list(got["merged"]) == ["xy"]
+    assert list(got["pair_count"]) == [2]  # both adjacencies counted

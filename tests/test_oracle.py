@@ -103,7 +103,7 @@ ORACLE_KEYS = [
     "rolling_distinct", "pair_lift", "streaks", "inverted_index",
     "ab_test", "share_of_total", "edit_distance", "trending_terms",
     "pareto", "decayed", "hll_users", "interval_merge", "containment",
-    "skipgram_counts", "source_dup_stats", "bfs_hops",
+    "skipgram_counts", "source_dup_stats", "bfs_hops", "bpe_merges",
 ]
 
 
