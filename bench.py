@@ -117,6 +117,11 @@ def bench_crawl(n_seeds: int | None = None) -> tuple[float, int]:
         fetch_num_cpus=fetch_cpus,
         batch_size=int(os.environ.get("GRAFT_BATCH_SIZE", "64")),
         blocks_per_worker=int(os.environ.get("GRAFT_BLOCKS_PER_WORKER", "8")),
+        # constant-block-size frontier split (see CrawlConfig note);
+        # set 0 to fall back to the blocks_per_worker cap
+        target_rows_per_block=int(
+            os.environ.get("GRAFT_TARGET_ROWS_PER_BLOCK", "512")
+        ),
         exact_seen=False,  # pure cuckoo filters at bench scale
         # fused extraction: all 13 modules run INSIDE the fetch+parse
         # task on the span table it just built and write their own

@@ -92,6 +92,18 @@ class CrawlConfig:
     # 3.4 s task among 0.98 s peers idled ~25% of the pool at the cap's
     # old value of 8 — Ray Data stats, 2026-08-19)
     blocks_per_worker: int = 8
+    # target frontier rows per block. A four-way A/B at 8 and 32 CPUs
+    # (2026-08-20 hot window, 32k-URL steady round) showed BOTH levels'
+    # optimum is a ~512-row block — 516-row blocks beat 129-row blocks
+    # by 8% at 32 CPUs (fewer task boundaries + scheduling gaps) while
+    # 2286-row blocks lost 7% at 8 CPUs (peak-heap churn + coarse
+    # waves) — i.e. the invariant is BLOCK SIZE, not blocks/worker.
+    # When set (> 0), the round's block count becomes
+    # clamp(ceil(n/target), pool_size, ceil(n/batch_size)) — constant
+    # work per task across cluster sizes with a parallelism floor, the
+    # rule that transfers to a 256-node frontier. 0 = legacy
+    # blocks_per_worker cap.
+    target_rows_per_block: int = 512
     synth_links: int = 8
     expand_links: bool = False
     exact_seen: bool = True
@@ -795,12 +807,25 @@ def crawl(
         ]
         frontier_min_depth = min(_mins) if _mins else 0
         # Ray Data parallelism = block count; a single-block frontier
-        # would serialize the whole round on one fetch actor. Split to
-        # ~batch_size rows per block, capped at 4 blocks per actor.
-        n_blocks = max(1, min(
-            (n_frontier + cfg.batch_size - 1) // cfg.batch_size,
-            cfg.fetch_concurrency * cfg.blocks_per_worker,
-        ))
+        # would serialize the whole round on one fetch actor.
+        if cfg.target_rows_per_block > 0:
+            # constant ~target-row blocks with a parallelism floor of
+            # one block per fetch worker (see CrawlConfig field note)
+            n_blocks = max(1, min(
+                (n_frontier + cfg.batch_size - 1) // cfg.batch_size,
+                max(
+                    cfg.fetch_concurrency,
+                    (n_frontier + cfg.target_rows_per_block - 1)
+                    // cfg.target_rows_per_block,
+                ),
+            ))
+        else:
+            # legacy cap: ~batch_size rows per block, at most
+            # blocks_per_worker blocks per actor
+            n_blocks = max(1, min(
+                (n_frontier + cfg.batch_size - 1) // cfg.batch_size,
+                cfg.fetch_concurrency * cfg.blocks_per_worker,
+            ))
         frontier = frontier.repartition(n_blocks)  # lazy; fused into the round
         _t1 = _time.perf_counter()
 
