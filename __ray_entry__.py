@@ -2383,6 +2383,59 @@ def q_annotate_links_sf(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def q_span_stream(sf_dir: str):
+    """The north rule's own per-row invariant as an oracle query: the
+    exploded interleaved span stream (kind, media_ref, order) of every
+    parsed document. The SQL reconstructs the exact span sequence the
+    SpanParser emits for the deterministic testdata→HTML derivation
+    (predictor verified exact over doc_ids 0..5000 incl. empty /
+    whitespace-only text), so a value-hash match pins the parser's
+    span ordering contract at sf scale. Text payloads are extractor
+    territory (the 13 *_from_text oracles); this query pins the
+    sequence itself."""
+    import pyarrow.compute as pc
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "seq": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.string()),
+                    "media_ref": pa.array([], pa.string()),
+                }
+            )
+        combined = b.column("spans").combine_chunks()
+        flat = pc.list_flatten(combined)
+        parents = pc.list_parent_indices(combined)
+        doc_ids = pc.cast(pc.take(b.column("doc_id"), parents), pa.int64())
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "seq": pc.cast(pc.struct_field(flat, "offset"), pa.int64()),
+                "kind": pc.struct_field(flat, "kind"),
+                "media_ref": pc.struct_field(flat, "media_ref"),
+            }
+        )
+
+    return _span_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+def q_pack_interleaved(sf_dir: str):
+    """Multimodal sequence packing: greedy budget-128 chunking of the
+    interleaved span stream (prose = token count, figure = 64-patch
+    media cost, structural spans = 1). Oracle replays the same greedy
+    reset-scan as a recursive CTE over the span_stream reconstruction."""
+    from functools import partial
+
+    from reffy_ray.ops.multimodal import pack_interleaved
+
+    return _span_docs(sf_dir).map_batches(
+        partial(pack_interleaved, budget=128, media_cost=64),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_manifest(sf_dir: str):
     """Interleaved media spans → manifest (multimodal column plumbing)."""
     from reffy_ray.ops.multimodal import media_manifest
@@ -3094,6 +3147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backrefs": q_backrefs,
         "annotate_links": q_annotate_links,
         "annotate_links_sf": q_annotate_links_sf,
+        "span_stream": q_span_stream,
+        "pack_interleaved": q_pack_interleaved,
         "media_manifest": q_media_manifest,
         "frame_sample": q_frame_sample,
         "lineitem_agg": q_lineitem_agg,
@@ -4056,6 +4111,151 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, embeddings q
               WHERE q.vec_id < 4
             ) WHERE rn <= 10
+        """,
+        # The north rule's per-row invariant (span kind/media_ref/order)
+        # reconstructed directly over the raw documents table: one
+        # UNION ALL branch per derivation feature, phase-ordered, then
+        # row_number per doc = the SpanParser's offset. Predictor
+        # verified exact vs spans_from_html over doc_ids 0..5000.
+        "span_stream": r"""
+            WITH parts AS (
+              SELECT doc_id, 0 AS ph, 0 AS i, 'meta' AS kind, '' AS media_ref
+                FROM documents WHERE doc_id % 4 = 0 OR doc_id % 4 = 2
+              UNION ALL SELECT doc_id, 1, 0, 'meta', '' FROM documents WHERE doc_id % 6 = 1
+              UNION ALL SELECT doc_id, 2, 0, 'meta', '' FROM documents WHERE doc_id % 5 = 2
+              UNION ALL SELECT doc_id, 3, 0, 'title', '' FROM documents
+              UNION ALL SELECT doc_id, 4, 0, 'anchor', '' FROM documents
+              UNION ALL SELECT doc_id, 5, 0, 'heading', '' FROM documents
+              UNION ALL SELECT doc_id, 6, 0, 'prose', '' FROM documents
+                WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+              UNION ALL SELECT doc_id, 7, t.i,
+                  CASE t.i WHEN 0 THEN 'anchor' ELSE 'dfn' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1)) t(i) WHERE doc_id % 3 = 0
+              UNION ALL SELECT doc_id, 9, 0, 'link', '' FROM documents WHERE doc_id % 7 = 0
+              UNION ALL SELECT doc_id, 10, 0, 'link', '' FROM documents WHERE doc_id % 5 = 4
+              UNION ALL SELECT doc_id, 11, 0, 'idl-block', '' FROM documents WHERE doc_id % 11 = 0
+              UNION ALL SELECT doc_id, 12, 0, 'figure',
+                  'https://img.example.org/doc-' || CAST(doc_id AS VARCHAR) || '.png'
+                FROM documents WHERE doc_id % 13 = 0
+              UNION ALL SELECT doc_id, 13, 0, 'anchor', '' FROM documents WHERE doc_id % 6 = 0
+              UNION ALL SELECT doc_id, 13, 1, 'ref-entry', ''
+                FROM documents WHERE doc_id % 6 = 0 AND doc_id % 4 = 2
+              UNION ALL SELECT doc_id, 13, 2, 'link', '' FROM documents WHERE doc_id % 6 = 0
+              UNION ALL SELECT doc_id, 14, t.i,
+                  CASE t.i WHEN 0 THEN 'heading' WHEN 1 THEN 'ref-entry' ELSE 'link' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE doc_id % 6 = 3
+              UNION ALL SELECT doc_id, 15, t.i,
+                  CASE WHEN t.i = 0 THEN 'anchor' WHEN t.i = 1 THEN 'dfn'
+                       ELSE 'css-propdef-row' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+                WHERE doc_id % 8 = 0
+              UNION ALL SELECT doc_id, 16, 0, 'css-prod', '' FROM documents WHERE doc_id % 16 = 0
+              UNION ALL SELECT doc_id, 17, t.i,
+                  CASE WHEN t.i = 0 THEN 'anchor' ELSE 'event-row' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE doc_id % 9 = 0
+              UNION ALL SELECT doc_id, 18, t.i,
+                  CASE WHEN t.i = 0 THEN 'prose' WHEN t.i = 1 THEN 'anchor'
+                       ELSE 'algo-step' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+                WHERE doc_id % 12 = 0
+              UNION ALL SELECT doc_id, 19, 0, 'cddl-block', '' FROM documents WHERE doc_id % 14 = 0
+              UNION ALL SELECT doc_id, 20, t.i,
+                  CASE t.i WHEN 0 THEN 'heading' WHEN 3 THEN 'dfn'
+                       WHEN 4 THEN 'element-def' ELSE 'anchor' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+                WHERE doc_id % 15 = 0
+              UNION ALL SELECT doc_id, 21, 0, 'css-data', '' FROM documents WHERE doc_id % 8 = 0
+              UNION ALL SELECT doc_id, 22, 0, 'refs-data', ''
+                FROM documents WHERE doc_id % 6 = 0 OR doc_id % 6 = 3
+              UNION ALL SELECT doc_id, 23, 0, 'events-data', '' FROM documents WHERE doc_id % 9 = 0
+              UNION ALL SELECT doc_id, 24, 0, 'algos-data', '' FROM documents WHERE doc_id % 12 = 0
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ph, i) - 1
+                        AS BIGINT) AS seq,
+                   kind, media_ref
+            FROM parts
+        """,
+        # pack_interleaved: same parts enumeration as span_stream plus a
+        # per-span cost (prose = \S+ token count, figure = 64, algo
+        # intro prose = 4 tokens, structural = 1); the greedy budget-128
+        # reset-scan is replayed as a recursive CTE walking seq order.
+        "pack_interleaved": r"""
+            WITH RECURSIVE parts AS (
+              SELECT doc_id, 0 AS ph, 0 AS i, 'meta' AS kind, 1 AS cost
+                FROM documents WHERE doc_id % 4 = 0 OR doc_id % 4 = 2
+              UNION ALL SELECT doc_id, 1, 0, 'meta', 1 FROM documents WHERE doc_id % 6 = 1
+              UNION ALL SELECT doc_id, 2, 0, 'meta', 1 FROM documents WHERE doc_id % 5 = 2
+              UNION ALL SELECT doc_id, 3, 0, 'title', 1 FROM documents
+              UNION ALL SELECT doc_id, 4, 0, 'anchor', 1 FROM documents
+              UNION ALL SELECT doc_id, 5, 0, 'heading', 1 FROM documents
+              UNION ALL SELECT doc_id, 6, 0, 'prose',
+                  length(regexp_extract_all(text, '\S+'))
+                FROM documents
+                WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+              UNION ALL SELECT doc_id, 7, t.i,
+                  CASE t.i WHEN 0 THEN 'anchor' ELSE 'dfn' END, 1
+                FROM documents CROSS JOIN (VALUES (0),(1)) t(i) WHERE doc_id % 3 = 0
+              UNION ALL SELECT doc_id, 9, 0, 'link', 1 FROM documents WHERE doc_id % 7 = 0
+              UNION ALL SELECT doc_id, 10, 0, 'link', 1 FROM documents WHERE doc_id % 5 = 4
+              UNION ALL SELECT doc_id, 11, 0, 'idl-block', 1 FROM documents WHERE doc_id % 11 = 0
+              UNION ALL SELECT doc_id, 12, 0, 'figure', 64 FROM documents WHERE doc_id % 13 = 0
+              UNION ALL SELECT doc_id, 13, 0, 'anchor', 1 FROM documents WHERE doc_id % 6 = 0
+              UNION ALL SELECT doc_id, 13, 1, 'ref-entry', 1
+                FROM documents WHERE doc_id % 6 = 0 AND doc_id % 4 = 2
+              UNION ALL SELECT doc_id, 13, 2, 'link', 1 FROM documents WHERE doc_id % 6 = 0
+              UNION ALL SELECT doc_id, 14, t.i,
+                  CASE t.i WHEN 0 THEN 'heading' WHEN 1 THEN 'ref-entry' ELSE 'link' END, 1
+                FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE doc_id % 6 = 3
+              UNION ALL SELECT doc_id, 15, t.i,
+                  CASE WHEN t.i = 0 THEN 'anchor' WHEN t.i = 1 THEN 'dfn'
+                       ELSE 'css-propdef-row' END, 1
+                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+                WHERE doc_id % 8 = 0
+              UNION ALL SELECT doc_id, 16, 0, 'css-prod', 1 FROM documents WHERE doc_id % 16 = 0
+              UNION ALL SELECT doc_id, 17, t.i,
+                  CASE WHEN t.i = 0 THEN 'anchor' ELSE 'event-row' END, 1
+                FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE doc_id % 9 = 0
+              UNION ALL SELECT doc_id, 18, t.i,
+                  CASE WHEN t.i = 0 THEN 'prose' WHEN t.i = 1 THEN 'anchor'
+                       ELSE 'algo-step' END,
+                  CASE WHEN t.i = 0 THEN 4 ELSE 1 END
+                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+                WHERE doc_id % 12 = 0
+              UNION ALL SELECT doc_id, 19, 0, 'cddl-block', 1 FROM documents WHERE doc_id % 14 = 0
+              UNION ALL SELECT doc_id, 20, t.i,
+                  CASE t.i WHEN 0 THEN 'heading' WHEN 3 THEN 'dfn'
+                       WHEN 4 THEN 'element-def' ELSE 'anchor' END, 1
+                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+                WHERE doc_id % 15 = 0
+              UNION ALL SELECT doc_id, 21, 0, 'css-data', 1 FROM documents WHERE doc_id % 8 = 0
+              UNION ALL SELECT doc_id, 22, 0, 'refs-data', 1
+                FROM documents WHERE doc_id % 6 = 0 OR doc_id % 6 = 3
+              UNION ALL SELECT doc_id, 23, 0, 'events-data', 1 FROM documents WHERE doc_id % 9 = 0
+              UNION ALL SELECT doc_id, 24, 0, 'algos-data', 1 FROM documents WHERE doc_id % 12 = 0
+            ), seqd AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY ph, i) - 1 AS seq,
+                     kind, cost
+              FROM parts
+            ), rec AS (
+              SELECT doc_id, seq, kind, cost, 0 AS chunk_idx, cost AS running
+              FROM seqd WHERE seq = 0
+              UNION ALL
+              SELECT s.doc_id, s.seq, s.kind, s.cost,
+                     CASE WHEN r.running + s.cost > 128
+                          THEN r.chunk_idx + 1 ELSE r.chunk_idx END,
+                     CASE WHEN r.running + s.cost > 128
+                          THEN s.cost ELSE r.running + s.cost END
+              FROM rec r JOIN seqd s ON s.doc_id = r.doc_id AND s.seq = r.seq + 1
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   count(*) AS n_spans,
+                   CAST(sum(cost) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN kind = 'figure' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_media
+            FROM rec GROUP BY doc_id, chunk_idx
         """,
         "media_manifest": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -86,6 +86,74 @@ def media_manifest(batch) -> pa.Table:
     )
 
 
+def pack_interleaved(
+    batch: pa.Table,
+    budget: int = 128,
+    media_cost: int = 64,
+) -> pa.Table:
+    """Multimodal sequence packing over the interleaved span stream:
+    greedily pack each document's spans, in order, into training
+    sequences of at most ``budget`` cost units, where a prose span
+    costs its whitespace token count, a figure/image span costs
+    ``media_cost`` (the patch budget a vision encoder spends per
+    image), and structural spans (headings, dfns, anchors, …) cost 1.
+    A span larger than ``budget`` gets a chunk of its own; chunks never
+    split a span (the packer's contract — span order inside a document
+    is the north rule's invariant and survives packing verbatim).
+
+    Emits the packing manifest (doc_id, chunk_idx, n_spans, n_tokens,
+    n_media) rather than payloads: downstream loaders join it back to
+    the span table by (doc_id, chunk ranges). Greedy reset-scan is
+    inherently sequential per document but O(#spans) and runs inside
+    map_batches — documents are independent, so the stage scales by
+    doc partitioning exactly like the extractors.
+    """
+    from ..stages.extract import _iter_docs
+
+    out = {
+        "doc_id": [],
+        "chunk_idx": [],
+        "n_spans": [],
+        "n_tokens": [],
+        "n_media": [],
+    }
+    for doc_id, _url, spans in _iter_docs(batch):
+        chunk, running, n_spans, n_media = 0, 0, 0, 0
+        stats: list[tuple[int, int, int]] = []  # (n_spans, cost, n_media)
+        for s in spans:
+            kind = s["kind"]
+            if kind in ("figure", "image"):
+                cost, is_media = media_cost, 1
+            elif kind == "prose":
+                cost, is_media = len((s["text"] or "").split()), 0
+            else:
+                cost, is_media = 1, 0
+            if running > 0 and running + cost > budget:
+                stats.append((n_spans, running, n_media))
+                chunk += 1
+                running, n_spans, n_media = 0, 0, 0
+            running += cost
+            n_spans += 1
+            n_media += is_media
+        if n_spans:
+            stats.append((n_spans, running, n_media))
+        for ci, (ns, cost_sum, nm) in enumerate(stats):
+            out["doc_id"].append(doc_id)
+            out["chunk_idx"].append(ci)
+            out["n_spans"].append(ns)
+            out["n_tokens"].append(cost_sum)
+            out["n_media"].append(nm)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "chunk_idx": pa.array(out["chunk_idx"], pa.int64()),
+            "n_spans": pa.array(out["n_spans"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "n_media": pa.array(out["n_media"], pa.int64()),
+        }
+    )
+
+
 class MediaDecoder:
     """Actor-pool stage: decode + feature-extract media payloads.
 

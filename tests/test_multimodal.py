@@ -65,3 +65,56 @@ def test_media_decoder_fake_features_deterministic():
     f2 = d._decode(b"payload", "image")
     assert np.array_equal(f1, f2)
     assert f1.dtype == np.float32 and len(f1) == 8
+
+
+def _span(kind, text="", media_ref="", offset=0):
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def _doc_table(rows):
+    from reffy_ray.schemas import SPAN_STRUCT
+
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "spans": pa.array([r[1] for r in rows], pa.list_(SPAN_STRUCT)),
+        }
+    )
+
+
+def test_pack_interleaved_greedy_budget():
+    from reffy_ray.ops.multimodal import pack_interleaved
+
+    spans = [
+        _span("title", "Doc 1", offset=0),          # cost 1
+        _span("prose", "a b c d e", offset=1),       # cost 5
+        _span("figure", "Fig", "u://x.png", offset=2),  # cost 64 (media)
+        _span("heading", "{}", offset=3),            # cost 1
+    ]
+    out = pack_interleaved(_doc_table([("d1", spans)]), budget=8, media_cost=64)
+    df = out.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # chunk 0: title+prose (1+5=6 ≤ 8); chunk 1: oversized figure alone;
+    # chunk 2: trailing heading (figure filled its chunk past budget)
+    assert df["chunk_idx"].tolist() == [0, 1, 2]
+    assert df["n_spans"].tolist() == [2, 1, 1]
+    assert df["n_tokens"].tolist() == [6, 64, 1]
+    assert df["n_media"].tolist() == [0, 1, 0]
+
+
+def test_pack_interleaved_never_splits_and_orders():
+    from reffy_ray.ops.multimodal import pack_interleaved
+
+    spans = [_span("prose", "w " * 10, offset=i) for i in range(5)]  # cost 10 each
+    out = pack_interleaved(_doc_table([("d2", spans)]), budget=25, media_cost=64)
+    df = out.to_pandas().sort_values("chunk_idx").reset_index(drop=True)
+    # 10+10 = 20 fits, +10 would be 30 > 25 → chunks of 2,2,1
+    assert df["n_spans"].tolist() == [2, 2, 1]
+    assert df["n_tokens"].sum() == 50
+    assert df["chunk_idx"].tolist() == [0, 1, 2]
+
+
+def test_pack_interleaved_empty_doc_emits_nothing():
+    from reffy_ray.ops.multimodal import pack_interleaved
+
+    out = pack_interleaved(_doc_table([("d3", [])]), budget=8)
+    assert out.num_rows == 0
