@@ -2443,6 +2443,16 @@ def q_media_manifest(sf_dir: str):
     return _span_docs(sf_dir).map_batches(media_manifest, batch_format="pyarrow")
 
 
+def q_media_text_pairs(sf_dir: str):
+    """Image-text pair mining: media span + caption + nearest preceding
+    prose context (title fallback). Oracle: figures live on %13 docs and
+    the nearest preceding prose is the whitespace-collapsed document
+    text (title 'Doc N' when the text is blank)."""
+    from reffy_ray.ops.multimodal import media_text_pairs
+
+    return _span_docs(sf_dir).map_batches(media_text_pairs, batch_format="pyarrow")
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-style grouped aggregate (generic relational capability)."""
     from ray.data.aggregate import Count, Sum
@@ -3149,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotate_links_sf": q_annotate_links_sf,
         "span_stream": q_span_stream,
         "pack_interleaved": q_pack_interleaved,
+        "media_text_pairs": q_media_text_pairs,
         "media_manifest": q_media_manifest,
         "frame_sample": q_frame_sample,
         "lineitem_agg": q_lineitem_agg,
@@ -4256,6 +4267,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN kind = 'figure' THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_media
             FROM rec GROUP BY doc_id, chunk_idx
+        """,
+        # media_text_pairs: figures sit on %13 docs; the nearest
+        # preceding prose span is the whitespace-collapsed document
+        # text (the parser's prose normalization), falling back to the
+        # title when the text is blank.
+        "media_text_pairs": r"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://img.example.org/doc-' || CAST(doc_id AS VARCHAR)
+                     || '.png' AS media_ref,
+                   'Figure ' || CAST(doc_id AS VARCHAR) AS caption,
+                   CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''
+                        THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS context
+            FROM documents WHERE doc_id % 13 = 0
         """,
         "media_manifest": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -154,6 +154,41 @@ def pack_interleaved(
     )
 
 
+def media_text_pairs(batch: pa.Table) -> pa.Table:
+    """Image-text pair mining over the interleaved span stream
+    (OBELICS/LAION-style): each media span is paired with its own
+    caption plus the nearest *preceding* prose span as surrounding
+    context, falling back to the document title when no prose has
+    been seen yet. Order-sensitive by construction — the pairing is
+    only correct because span order inside a document is the north
+    rule's invariant. Stateless map_batches; documents are
+    independent, so the stage partitions like the extractors."""
+    from ..stages.extract import _iter_docs
+
+    out = {"doc_id": [], "media_ref": [], "caption": [], "context": []}
+    for doc_id, _url, spans in _iter_docs(batch):
+        last_prose, title = "", ""
+        for s in spans:
+            kind = s["kind"]
+            if kind == "title":
+                title = s["text"] or ""
+            elif kind == "prose":
+                last_prose = s["text"] or ""
+            elif kind in ("figure", "image") and s.get("media_ref"):
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(s["media_ref"])
+                out["caption"].append(s["text"] or "")
+                out["context"].append(last_prose or title)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "caption": pa.array(out["caption"], pa.string()),
+            "context": pa.array(out["context"], pa.string()),
+        }
+    )
+
+
 class MediaDecoder:
     """Actor-pool stage: decode + feature-extract media payloads.
 

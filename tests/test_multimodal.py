@@ -118,3 +118,22 @@ def test_pack_interleaved_empty_doc_emits_nothing():
 
     out = pack_interleaved(_doc_table([("d3", [])]), budget=8)
     assert out.num_rows == 0
+
+
+def test_media_text_pairs_nearest_preceding_context():
+    from reffy_ray.ops.multimodal import media_text_pairs
+
+    spans = [
+        _span("title", "T", offset=0),
+        _span("figure", "cap0", "u://0.png", offset=1),   # before any prose → title
+        _span("prose", "ctx one", offset=2),
+        _span("figure", "cap1", "u://1.png", offset=3),   # → ctx one
+        _span("prose", "ctx two", offset=4),
+        _span("heading", "{}", offset=5),
+        _span("image", "cap2", "u://2.png", offset=6),    # → ctx two (heading ignored)
+        _span("figure", "nope", "", offset=7),            # no media_ref → dropped
+    ]
+    df = media_text_pairs(_doc_table([("d", spans)])).to_pandas()
+    assert df["media_ref"].tolist() == ["u://0.png", "u://1.png", "u://2.png"]
+    assert df["context"].tolist() == ["T", "ctx one", "ctx two"]
+    assert df["caption"].tolist() == ["cap0", "cap1", "cap2"]
