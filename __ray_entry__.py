@@ -1416,6 +1416,21 @@ def q_event_gaps(sf_dir: str):
     return event_gaps(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_late_events(sf_dir: str):
+    """Streaming watermark lateness (ops/window.late_events): replay
+    each user's events in the deterministic 4-shard arrival order
+    (event_id % 4, event_id) and flag events arriving behind the
+    per-user watermark max(seen ts) - 1 hour. One sort + census
+    stitch + vectorized grouped-cummax pass."""
+    from reffy_ray.ops.window import late_events
+
+    return late_events(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+        )
+    )
+
+
 def q_bm25(sf_dir: str):
     """BM25 relevance (ops/text.bm25_scores) of every document against
     a fixed 4-term query over the corpus vocabulary; integer ×1e6
@@ -3188,6 +3203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q_bm25,
         "weighted_sample": q_weighted_sample,
         "event_gaps": q_event_gaps,
+        "late_events": q_late_events,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "nation_revenue": q_nation_revenue,
@@ -5560,6 +5576,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER w - 1 AS BIGINT) AS seq
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # ops/window.late_events: watermark lateness under the
+        # deterministic 4-shard arrival order; first arrival never
+        # late; all-int64 emission (hash-type safety)
+        "late_events": """
+            WITH arr AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t,
+                     max(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY event_id % 4, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS wm,
+                     CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY event_id % 4, event_id) - 1
+                          AS BIGINT) AS arrival_seq
+              FROM events
+            )
+            SELECT event_id, user_id, arrival_seq,
+                   CAST(CASE WHEN wm IS NOT NULL
+                             AND t < wm - 3600000000
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_late,
+                   CAST(CASE WHEN wm IS NOT NULL
+                             AND t < wm - 3600000000
+                        THEN (wm - 3600000000) - t
+                        ELSE 0 END AS BIGINT) AS late_us
+            FROM arr
         """,
         # ops/text.bm25_scores over terms (hash, join, vector,
         # stream), k1=1.2 b=0.75: the SQL mirrors the engine's float

@@ -1254,3 +1254,146 @@ def interval_coalesce(
         .groupby("k")
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def late_events(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    shards: int = 4,
+    lateness_us: int = 3_600_000_000,
+) -> rd.Dataset:
+    """Streaming watermark lateness classification: replay each user's
+    stream in a deterministic multi-shard arrival order (shard =
+    ``id % shards``, then id — the out-of-order interleave a sharded
+    delivery bus produces), maintain the per-user watermark
+    ``max(event ts seen so far) - lateness``, and flag every event
+    that arrives behind it. Emits per event: ``arrival_seq`` (0-based
+    position in the user's arrival stream), ``is_late`` (0/1 int64)
+    and ``late_us`` (microseconds behind the watermark; 0 when
+    on-time). A user's first-arriving event is never late.
+
+    Scale shape: same as :func:`event_gaps` — ONE key-collocating sort
+    on ``(user, shard, id)``, a per-block census stitched on the
+    driver (#blocks rows: each block's carry-in is the previous
+    blocks' running-max ts and row count for its first user), then a
+    fully vectorized per-block pass (grouped cummax + shift). No
+    per-group dispatch, no join, no second shuffle.
+    """
+    import pyarrow as pa
+    import ray as _ray
+
+    NONE = np.iinfo(np.int64).min
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        i = batch.column(id_col).cast(pa.int64())
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "s": pc.bit_wise_and(i, shards - 1)
+                if shards & (shards - 1) == 0
+                else pc.subtract(i, pc.multiply(pc.divide(i, shards), shards)),
+                "i": i,
+                "t": batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    srt = (
+        events.select_columns([user_col, ts_col, id_col])
+        .map_batches(to_us, batch_format="pyarrow")
+        .sort(["u", "s", "i"])
+        .materialize()
+    )
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("fu", "fs", "fi", "lu", "lmax", "nl")}
+            )
+        u = b["u"].to_numpy()
+        tail = u == u[-1]
+        return pd.DataFrame(
+            {
+                "fu": [int(u[0])],
+                "fs": [int(b["s"].iloc[0])],
+                "fi": [int(b["i"].iloc[0])],
+                "lu": [int(u[-1])],
+                # running-max ts over the block's LAST user's rows
+                "lmax": [int(b["t"].to_numpy()[tail].max())],
+                "nl": [int(tail.sum())],
+            }
+        )
+
+    blocks = sorted(
+        (int(r["fu"]), int(r["fs"]), int(r["fi"]),
+         int(r["lu"]), int(r["lmax"]), int(r["nl"]))
+        for r in srt.map_batches(
+            census, batch_format="pandas", batch_size=None
+        ).take_all()
+    )
+    # key-order stitch: carry (running-max ts, prior rows) of the
+    # current user across block boundaries
+    stitch: dict = {}
+    cur_u, cur_max, cur_n = None, NONE, 0
+    for fu, fs, fi, lu, lmax, nl in blocks:
+        cont = fu == cur_u
+        stitch[(fu, fs, fi)] = (cur_max, cur_n) if cont else (NONE, 0)
+        if cont and lu == fu:
+            # sorted by user, so fu == lu means the block is one user:
+            # it extends the carried stream
+            cur_max = max(cur_max, lmax)
+            cur_n += nl
+        else:
+            cur_max, cur_n = lmax, nl
+        cur_u = lu
+    st_ref = _ray.put(stitch)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("event_id", "user_id", "arrival_seq",
+                           "is_late", "late_us")}
+            )
+        carry_max, prior = _ray.get(st_ref)[
+            (int(b["u"].iloc[0]), int(b["s"].iloc[0]), int(b["i"].iloc[0]))
+        ]
+        u, t = b["u"].to_numpy(), b["t"].to_numpy()
+        n = len(b)
+        # inclusive running max per user segment, shifted to exclusive
+        cm = pd.Series(t).groupby(u).cummax().to_numpy()
+        pm = np.empty(n, dtype=np.int64)
+        pm[1:] = cm[:-1]
+        pm[0] = NONE
+        user_change = np.ones(n, dtype=bool)
+        user_change[1:] = u[1:] != u[:-1]
+        pm[user_change] = NONE
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(user_change, idx, 0))
+        seq = idx - seg_start
+        first_seg = ~np.logical_or.accumulate(
+            np.concatenate(([False], user_change[1:]))
+        )
+        if prior > 0:
+            fs_pm = pm[first_seg]
+            pm[first_seg] = np.where(
+                fs_pm == NONE, carry_max, np.maximum(fs_pm, carry_max)
+            )
+            seq = seq + np.where(first_seg, prior, 0)
+        wm = pm - lateness_us
+        late = (pm != NONE) & (t < wm)
+        return pd.DataFrame(
+            {
+                "event_id": b["i"].to_numpy(),
+                "user_id": u,
+                "arrival_seq": seq.astype(np.int64),
+                "is_late": late.astype(np.int64),
+                "late_us": np.where(late, wm - t, 0).astype(np.int64),
+            }
+        )
+
+    return srt.map_batches(assign, batch_format="pandas", batch_size=None)

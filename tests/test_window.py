@@ -238,3 +238,39 @@ def test_debounce_events_lag_gap(ray_session):
     )
     out = debounce_events(rd.from_pandas(df).repartition(3)).to_pandas()
     assert sorted(out["event_id"].tolist()) == [0, 2, 3]
+
+
+def test_late_events_watermark_and_stitch(ray_session):
+    """Watermark lateness under the simulated 2-shard arrival order
+    (shard = id % 2, then id), allowed lateness 60us, shuffled input
+    split across blocks so the census stitch engages."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import late_events
+
+    df = pd.DataFrame(
+        {
+            "event_id": [700, 701, 702, 703, 705, 900],
+            "ts": [100, 50, 200, 40, 180, 5],
+            "user_id": [7, 7, 7, 7, 7, 9],
+        }
+    )
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    out = (
+        late_events(
+            rd.from_pandas(df).repartition(5), shards=2, lateness_us=60
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # arrival: 700, 702 (shard 0), then 701, 703, 705 (shard 1)
+    assert out.loc[700].tolist() == [7, 0, 0, 0]
+    assert out.loc[702].tolist() == [7, 1, 0, 0]   # 200 >= wm 40
+    assert out.loc[701].tolist() == [7, 2, 1, 90]  # wm 200-60=140, ts 50
+    assert out.loc[703].tolist() == [7, 3, 1, 100]  # wm 140, ts 40
+    assert out.loc[705].tolist() == [7, 4, 0, 0]   # 180 >= 140: within lateness
+    assert out.loc[900].tolist() == [9, 0, 0, 0]   # first arrival never late
+    assert (out.dtypes == np.int64).all()
