@@ -2436,6 +2436,25 @@ def q_span_stream(sf_dir: str):
     return _span_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
+def q_span_runs(sf_dir: str):
+    """Run-length encoding of the interleaved span stream
+    (ops/multimodal.span_runs): maximal same-kind stretches per
+    document — zero-shuffle, fully vectorized (dictionary-encoded
+    kind codes + boundary diff)."""
+    from reffy_ray.ops.multimodal import span_runs
+
+    return _span_docs(sf_dir).map_batches(span_runs, batch_format="pyarrow")
+
+
+def q_span_sections(sf_dir: str):
+    """Heading-delimited section profile of the interleaved span
+    stream (ops/multimodal.span_sections): per-section span/media
+    counts — zero-shuffle cumsum + reduceat kernel."""
+    from reffy_ray.ops.multimodal import span_sections
+
+    return _span_docs(sf_dir).map_batches(span_sections, batch_format="pyarrow")
+
+
 def q_pack_interleaved(sf_dir: str):
     """Multimodal sequence packing: greedy budget-128 chunking of the
     interleaved span stream (prose = token count, figure = 64-patch
@@ -3173,6 +3192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotate_links": q_annotate_links,
         "annotate_links_sf": q_annotate_links_sf,
         "span_stream": q_span_stream,
+        "span_runs": q_span_runs,
+        "span_sections": q_span_sections,
         "pack_interleaved": q_pack_interleaved,
         "media_text_pairs": q_media_text_pairs,
         "media_manifest": q_media_manifest,
@@ -3376,6 +3397,60 @@ WHERE doc_id % 41 <> 0
 # seed=13, cosine threshold 0.3): Rademacher sign s(d,b) = parity of the
 # last md5 byte of 'hp-13-d-b'; code bit b = (Σ_d emb_d·s(d,b)) > 0;
 # candidates share a (band, band_val); exact cosine verified per pair.
+_SPAN_PARTS_SQL = r"""
+              SELECT doc_id, 0 AS ph, 0 AS i, 'meta' AS kind, '' AS media_ref
+                FROM documents WHERE doc_id % 4 = 0 OR doc_id % 4 = 2
+              UNION ALL SELECT doc_id, 1, 0, 'meta', '' FROM documents WHERE doc_id % 6 = 1
+              UNION ALL SELECT doc_id, 2, 0, 'meta', '' FROM documents WHERE doc_id % 5 = 2
+              UNION ALL SELECT doc_id, 3, 0, 'title', '' FROM documents
+              UNION ALL SELECT doc_id, 4, 0, 'anchor', '' FROM documents
+              UNION ALL SELECT doc_id, 5, 0, 'heading', '' FROM documents
+              UNION ALL SELECT doc_id, 6, 0, 'prose', '' FROM documents
+                WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+              UNION ALL SELECT doc_id, 7, t.i,
+                  CASE t.i WHEN 0 THEN 'anchor' ELSE 'dfn' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1)) t(i) WHERE doc_id % 3 = 0
+              UNION ALL SELECT doc_id, 9, 0, 'link', '' FROM documents WHERE doc_id % 7 = 0
+              UNION ALL SELECT doc_id, 10, 0, 'link', '' FROM documents WHERE doc_id % 5 = 4
+              UNION ALL SELECT doc_id, 11, 0, 'idl-block', '' FROM documents WHERE doc_id % 11 = 0
+              UNION ALL SELECT doc_id, 12, 0, 'figure',
+                  'https://img.example.org/doc-' || CAST(doc_id AS VARCHAR) || '.png'
+                FROM documents WHERE doc_id % 13 = 0
+              UNION ALL SELECT doc_id, 13, 0, 'anchor', '' FROM documents WHERE doc_id % 6 = 0
+              UNION ALL SELECT doc_id, 13, 1, 'ref-entry', ''
+                FROM documents WHERE doc_id % 6 = 0 AND doc_id % 4 = 2
+              UNION ALL SELECT doc_id, 13, 2, 'link', '' FROM documents WHERE doc_id % 6 = 0
+              UNION ALL SELECT doc_id, 14, t.i,
+                  CASE t.i WHEN 0 THEN 'heading' WHEN 1 THEN 'ref-entry' ELSE 'link' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE doc_id % 6 = 3
+              UNION ALL SELECT doc_id, 15, t.i,
+                  CASE WHEN t.i = 0 THEN 'anchor' WHEN t.i = 1 THEN 'dfn'
+                       ELSE 'css-propdef-row' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+                WHERE doc_id % 8 = 0
+              UNION ALL SELECT doc_id, 16, 0, 'css-prod', '' FROM documents WHERE doc_id % 16 = 0
+              UNION ALL SELECT doc_id, 17, t.i,
+                  CASE WHEN t.i = 0 THEN 'anchor' ELSE 'event-row' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE doc_id % 9 = 0
+              UNION ALL SELECT doc_id, 18, t.i,
+                  CASE WHEN t.i = 0 THEN 'prose' WHEN t.i = 1 THEN 'anchor'
+                       ELSE 'algo-step' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+                WHERE doc_id % 12 = 0
+              UNION ALL SELECT doc_id, 19, 0, 'cddl-block', '' FROM documents WHERE doc_id % 14 = 0
+              UNION ALL SELECT doc_id, 20, t.i,
+                  CASE t.i WHEN 0 THEN 'heading' WHEN 3 THEN 'dfn'
+                       WHEN 4 THEN 'element-def' ELSE 'anchor' END, ''
+                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
+                WHERE doc_id % 15 = 0
+              UNION ALL SELECT doc_id, 21, 0, 'css-data', '' FROM documents WHERE doc_id % 8 = 0
+              UNION ALL SELECT doc_id, 22, 0, 'refs-data', ''
+                FROM documents WHERE doc_id % 6 = 0 OR doc_id % 6 = 3
+              UNION ALL SELECT doc_id, 23, 0, 'events-data', '' FROM documents WHERE doc_id % 9 = 0
+              UNION ALL SELECT doc_id, 24, 0, 'algos-data', '' FROM documents WHERE doc_id % 12 = 0
+"""
+
+
 _EMB_NEAR_DUP_SQL = r"""
 WITH dims AS (
   SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS val
@@ -4202,6 +4277,62 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS seq,
                    kind, media_ref
             FROM parts
+        """,
+        # span_runs: RLE of consecutive same-kind spans per document —
+        # gaps-and-islands over the span_stream parts reconstruction
+        "span_runs": f"""
+            WITH parts AS (
+{_SPAN_PARTS_SQL}
+            ),
+            seqd AS (
+              SELECT doc_id, kind,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY ph, i)
+                       - 1 AS seq
+              FROM parts
+            ),
+            isl AS (
+              SELECT doc_id, kind, seq,
+                     seq - row_number() OVER (
+                       PARTITION BY doc_id, kind ORDER BY seq) AS grp
+              FROM seqd
+            ),
+            runs AS (
+              SELECT doc_id, kind, min(seq) AS run_start,
+                     count(*) AS run_len
+              FROM isl GROUP BY doc_id, kind, grp
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY run_start) - 1
+                        AS BIGINT) AS run_idx,
+                   kind,
+                   CAST(run_start AS BIGINT) AS run_start,
+                   CAST(run_len AS BIGINT) AS run_len
+            FROM runs
+        """,
+        # span_sections: heading-delimited section profile (inclusive
+        # running heading count segments the stream; section 0 is the
+        # pre-first-heading prefix)
+        "span_sections": f"""
+            WITH parts AS (
+{_SPAN_PARTS_SQL}
+            ),
+            seqd AS (
+              SELECT doc_id, kind,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY ph, i)
+                       - 1 AS seq,
+                     sum(CASE WHEN kind = 'heading' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY ph, i
+                             ROWS UNBOUNDED PRECEDING) AS sec
+              FROM parts
+            )
+            SELECT doc_id,
+                   CAST(sec AS BIGINT) AS section_idx,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(count(*) FILTER (kind IN ('figure', 'image'))
+                        AS BIGINT) AS n_media,
+                   CAST(min(seq) AS BIGINT) AS first_seq
+            FROM seqd GROUP BY doc_id, sec
         """,
         # pack_interleaved: same parts enumeration as span_stream plus a
         # per-span cost (prose = \S+ token count, figure = 64, algo

@@ -319,3 +319,137 @@ class MediaResizer:
                 "payload": pa.array(payloads, pa.binary()),
             }
         )
+
+
+def _explode_spans(batch: pa.Table):
+    """(doc_ids, kinds, seq, doc_change) numpy views of the exploded
+    span stream — zero-copy Arrow list flatten; seq is each span's
+    position in its document (list order == offset order by the
+    parser's contract)."""
+    import pyarrow.compute as pc
+
+    combined = batch.column("spans").combine_chunks()
+    flat = pc.list_flatten(combined)
+    parents = pc.list_parent_indices(combined).to_numpy(zero_copy_only=False)
+    doc_ids = (
+        pc.cast(batch.column("doc_id"), pa.int64())
+        .to_numpy(zero_copy_only=False)[parents]
+    )
+    kinds = pc.struct_field(flat, "kind")
+    n = len(parents)
+    doc_change = np.ones(n, dtype=bool)
+    if n:
+        doc_change[1:] = parents[1:] != parents[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    doc_start = np.maximum.accumulate(np.where(doc_change, idx, 0))
+    seq = idx - doc_start
+    return doc_ids, kinds, seq, doc_change
+
+
+def span_runs(batch: pa.Table) -> pa.Table:
+    """Run-length encoding of the interleaved span stream: maximal
+    stretches of consecutive same-kind spans per document (the
+    text/media interleave structure a sequence packer or curriculum
+    sampler keys on). Emits one row per run: ``(doc_id, run_idx,
+    kind, run_start, run_len)``, run_idx 0-based in stream order.
+
+    Zero-shuffle: each document's span list lives in one row, so runs
+    never cross blocks — a pure vectorized map_batches kernel
+    (dictionary-encoded kind codes, boundary diff, np.diff of run
+    starts). Scales by doc partitioning exactly like the extractors.
+    """
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "run_idx": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.string()),
+            "run_start": pa.array([], pa.int64()),
+            "run_len": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    doc_ids, kinds, seq, doc_change = _explode_spans(batch)
+    n = len(seq)
+    if not n:
+        return empty
+    codes = pc.dictionary_encode(kinds)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    code = codes.indices.to_numpy(zero_copy_only=False)
+    new_run = doc_change.copy()
+    new_run[1:] |= code[1:] != code[:-1]
+    starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(starts, n))
+    # 0-based run index within each document (runs are contiguous per doc)
+    run_doc_change = doc_change[starts]
+    ridx = np.arange(len(starts), dtype=np.int64)
+    run_doc_start = np.maximum.accumulate(np.where(run_doc_change, ridx, 0))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[starts], pa.int64()),
+            "run_idx": pa.array(ridx - run_doc_start, pa.int64()),
+            "kind": pc.take(kinds, pa.array(starts)),
+            "run_start": pa.array(seq[starts], pa.int64()),
+            "run_len": pa.array(run_len, pa.int64()),
+        }
+    )
+
+
+def span_sections(batch: pa.Table) -> pa.Table:
+    """Heading-delimited section statistics over the interleaved span
+    stream: section 0 is everything before a document's first heading,
+    each heading span opens the next section (and belongs to it).
+    Emits ``(doc_id, section_idx, n_spans, n_media, first_seq)`` — the
+    per-section text/media interleave profile a multimodal sampler
+    budgets against.
+
+    Zero-shuffle map_batches kernel: per-doc inclusive cumsum of the
+    heading mask, then reduceat over contiguous (doc, section) groups.
+    """
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "section_idx": pa.array([], pa.int64()),
+            "n_spans": pa.array([], pa.int64()),
+            "n_media": pa.array([], pa.int64()),
+            "first_seq": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    doc_ids, kinds, seq, doc_change = _explode_spans(batch)
+    n = len(seq)
+    if not n:
+        return empty
+    h = pc.equal(kinds, "heading").to_numpy(zero_copy_only=False).astype(np.int64)
+    csum = np.cumsum(h)
+    idx = np.arange(n, dtype=np.int64)
+    doc_start = np.maximum.accumulate(np.where(doc_change, idx, 0))
+    # inclusive heading count within doc: csum - csum before doc start
+    before = np.where(doc_start > 0, csum[doc_start - 1], 0)
+    sec = csum - before
+    new_grp = doc_change.copy()
+    new_grp[1:] |= sec[1:] != sec[:-1]
+    starts = np.flatnonzero(new_grp)
+    counts = np.diff(np.append(starts, n))
+    media = (
+        pc.is_in(kinds, value_set=pa.array(["figure", "image"]))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    mcsum = np.concatenate(([0], np.cumsum(media)))
+    ends = np.append(starts[1:], n)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[starts], pa.int64()),
+            "section_idx": pa.array(sec[starts], pa.int64()),
+            "n_spans": pa.array(counts, pa.int64()),
+            "n_media": pa.array(mcsum[ends] - mcsum[starts], pa.int64()),
+            "first_seq": pa.array(seq[starts], pa.int64()),
+        }
+    )

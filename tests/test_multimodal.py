@@ -137,3 +137,43 @@ def test_media_text_pairs_nearest_preceding_context():
     assert df["media_ref"].tolist() == ["u://0.png", "u://1.png", "u://2.png"]
     assert df["context"].tolist() == ["T", "ctx one", "ctx two"]
     assert df["caption"].tolist() == ["cap0", "cap1", "cap2"]
+
+
+def test_span_runs_rle():
+    from reffy_ray.ops.multimodal import span_runs
+
+    spans7 = [
+        _span("prose", offset=0), _span("prose", offset=1),
+        _span("figure", "c", "u://a.png", offset=2),
+        _span("prose", offset=3),
+    ]
+    spans9 = [_span("heading", offset=0)]
+    df = span_runs(_doc_table([("7", spans7), ("9", spans9), ("11", [])])).to_pandas()
+    assert df.values.tolist() == [
+        [7, 0, "prose", 0, 2],
+        [7, 1, "figure", 2, 1],
+        [7, 2, "prose", 3, 1],
+        [9, 0, "heading", 0, 1],
+    ]
+    # empty batch
+    assert span_runs(_doc_table([])).num_rows == 0
+
+
+def test_span_sections_heading_segments():
+    from reffy_ray.ops.multimodal import span_sections
+
+    spans = [
+        _span("title", offset=0),                      # section 0
+        _span("heading", offset=1),                    # opens section 1
+        _span("prose", offset=2),
+        _span("figure", "c", "u://a.png", offset=3),
+        _span("heading", offset=4),                    # opens section 2
+        _span("image", "c", "u://b.png", offset=5),
+    ]
+    df = span_sections(_doc_table([("7", spans), ("9", [_span("prose")])])).to_pandas()
+    assert df.values.tolist() == [
+        [7, 0, 1, 0, 0],
+        [7, 1, 3, 1, 1],
+        [7, 2, 2, 1, 4],
+        [9, 0, 1, 0, 0],
+    ]
