@@ -107,6 +107,16 @@ def q_links(sf_dir: str):
     return ds.select_columns(["doc_id", "page_url", "auto"])
 
 
+def q_link_hosts(sf_dir: str):
+    """Per-host link fan-in (post/linkgraph.host_link_stats) over the
+    links extraction: n_links / n_docs (distinct sources) / n_auto per
+    target host — batch-partial pyarrow group_by, then one (host, doc)
+    shuffle and a tiny host fold."""
+    from reffy_ray.post.linkgraph import host_link_stats
+
+    return host_link_stats(q_links(sf_dir))
+
+
 def q_titles(sf_dir: str):
     from reffy_ray.stages.extract import extract_title
 
@@ -1404,6 +1414,21 @@ def q_weighted_sample(sf_dir: str):
         _docs(sf_dir, columns=("doc_id", "text", "lang", "source", "n_chars")),
         weight_col="n_chars",
         denom=1000,
+    )
+
+
+def q_event_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-style skip-till-next-match instances
+    (ops/patterns.event_pattern): per user, non-overlapping
+    view→click→purchase triples in event-id stream order. One groupby
+    shuffle; per-group loop bounded by #matches, not #events."""
+    from reffy_ray.ops.patterns import event_pattern
+
+    return event_pattern(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
     )
 
 
@@ -3116,6 +3141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfns_from_text": q_dfns,
         "idl_from_text": q_idl,
         "links_from_text": q_links,
+        "link_hosts": q_link_hosts,
         "titles_from_text": q_titles,
         "meta_from_text": q_meta,
         "ids_from_text": q_ids,
@@ -3225,6 +3251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "event_gaps": q_event_gaps,
         "late_events": q_late_events,
+        "event_pattern": q_event_pattern,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "nation_revenue": q_nation_revenue,
@@ -3397,6 +3424,80 @@ WHERE doc_id % 41 <> 0
 # seed=13, cosine threshold 0.3): Rademacher sign s(d,b) = parity of the
 # last md5 byte of 'hp-13-d-b'; code bit b = (Σ_d emb_d·s(d,b)) > 0;
 # candidates share a (band, band_val); exact cosine verified per pair.
+_EVENT_PATTERN_SQL = """
+    WITH RECURSIVE
+    va AS MATERIALIZED (
+      SELECT user_id, event_id FROM events WHERE event_type = 'view'),
+    vb AS MATERIALIZED (
+      SELECT user_id, event_id FROM events WHERE event_type = 'click'),
+    vc AS MATERIALIZED (
+      SELECT user_id, event_id FROM events WHERE event_type = 'purchase'),
+    -- skip-till-next-match replay: each iteration advances every
+    -- still-active user by one view->click->purchase triple, scanning
+    -- strictly past the previous match's purchase (c_id carries the
+    -- consumed position; the seed row is a sentinel at -inf)
+    m AS (
+      SELECT user_id, CAST(-1 AS BIGINT) AS match_idx,
+             CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
+             CAST(-9223372036854775808 AS BIGINT) AS c_id
+      FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT t.user_id, t.match_idx + 1, t.a_id, t.b_id, t.c_id FROM (
+        SELECT m.user_id, m.match_idx,
+               (SELECT min(e.event_id) FROM va e
+                 WHERE e.user_id = m.user_id AND e.event_id > m.c_id) AS a_id,
+               (SELECT min(e.event_id) FROM vb e
+                 WHERE e.user_id = m.user_id AND e.event_id >
+                   (SELECT min(e2.event_id) FROM va e2
+                     WHERE e2.user_id = m.user_id
+                       AND e2.event_id > m.c_id)) AS b_id,
+               (SELECT min(e.event_id) FROM vc e
+                 WHERE e.user_id = m.user_id AND e.event_id >
+                   (SELECT min(e3.event_id) FROM vb e3
+                     WHERE e3.user_id = m.user_id AND e3.event_id >
+                       (SELECT min(e2.event_id) FROM va e2
+                         WHERE e2.user_id = m.user_id
+                           AND e2.event_id > m.c_id))) AS c_id
+        FROM m
+      ) t
+      WHERE t.c_id IS NOT NULL
+    )
+    SELECT m.user_id, m.match_idx, m.a_id, m.b_id, m.c_id,
+           epoch_us(ec.ts) - epoch_us(ea.ts) AS span_us
+    FROM m
+    JOIN events ea ON ea.event_id = m.a_id
+    JOIN events ec ON ec.event_id = m.c_id
+    WHERE m.match_idx >= 0
+"""
+
+
+_LINKS_SQL = """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://specs.example.org/spec-' || CAST(doc_id % 50 AS VARCHAR)
+                     || '/' AS page_url,
+                   FALSE AS auto
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://corpus.example.org/doc-'
+                     || CAST(doc_id - doc_id % 10 AS VARCHAR) || '/' AS page_url,
+                   FALSE AS auto
+            FROM documents WHERE doc_id % 5 = 4
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://refs.example.org/ref-' || CAST(doc_id % 9 AS VARCHAR)
+                     || '/' AS page_url,
+                   FALSE AS auto
+            FROM documents WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://refs.example.org/iref-' || CAST(doc_id % 9 AS VARCHAR)
+                     || '/' AS page_url,
+                   FALSE AS auto
+            FROM documents WHERE doc_id % 6 = 3
+"""
+
+
 _SPAN_PARTS_SQL = r"""
               SELECT doc_id, 0 AS ph, 0 AS i, 'meta' AS kind, '' AS media_ref
                 FROM documents WHERE doc_id % 4 = 0 OR doc_id % 4 = 2
@@ -3775,30 +3876,23 @@ def oracle_sql() -> dict[str, str]:
                    'interface I' || CAST(doc_id AS VARCHAR) || ' { };' AS idl
             FROM documents WHERE doc_id % 11 = 0
         """,
-        "links_from_text": """
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   'https://specs.example.org/spec-' || CAST(doc_id % 50 AS VARCHAR)
-                     || '/' AS page_url,
-                   FALSE AS auto
-            FROM documents WHERE doc_id % 7 = 0
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   'https://corpus.example.org/doc-'
-                     || CAST(doc_id - doc_id % 10 AS VARCHAR) || '/' AS page_url,
-                   FALSE AS auto
-            FROM documents WHERE doc_id % 5 = 4
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   'https://refs.example.org/ref-' || CAST(doc_id % 9 AS VARCHAR)
-                     || '/' AS page_url,
-                   FALSE AS auto
-            FROM documents WHERE doc_id % 6 = 0
-            UNION ALL
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   'https://refs.example.org/iref-' || CAST(doc_id % 9 AS VARCHAR)
-                     || '/' AS page_url,
-                   FALSE AS auto
-            FROM documents WHERE doc_id % 6 = 3
+        "links_from_text": _LINKS_SQL,
+        # post/linkgraph.host_link_stats: per-host fan-in over the
+        # links reconstruction
+        "link_hosts": f"""
+            WITH links AS ({_LINKS_SQL}),
+            h AS (
+              SELECT doc_id,
+                     regexp_extract(page_url,
+                                    '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+                     auto
+              FROM links
+            )
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (auto) AS BIGINT) AS n_auto
+            FROM h GROUP BY host
         """,
         "meta_from_text": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -5708,6 +5802,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        # ops/patterns.event_pattern: recursive skip-till-next-match
+        # replay (fixpoint recursion, one round per match per user)
+        "event_pattern": _EVENT_PATTERN_SQL,
         # ops/window.late_events: watermark lateness under the
         # deterministic 4-shard arrival order; first arrival never
         # late; all-int64 emission (hash-type safety)

@@ -62,6 +62,7 @@ ORACLE_KEYS = [
     "headings_from_text", "dfns_from_text", "idl_from_text", "links_from_text",
     "titles_from_text", "meta_from_text", "ids_from_text", "refs_from_text",
     "css_from_text", "events_from_text", "algorithms_from_text",
+    "link_hosts",
     "cddl_from_text", "elements_from_text", "annotate_links_sf",
     "token_count", "bpeish_tokens", "quality_score", "lang_id",
     "exact_dedup", "dup_size_hist", "vocab_size_by_lang",
@@ -92,7 +93,7 @@ ORACLE_KEYS = [
     "source_overlap", "attribution", "regression", "kmeans", "pagerank",
     "cc_components",
     "triangle_count", "bm25", "weighted_sample", "event_gaps",
-    "late_events",
+    "late_events", "event_pattern",
     "semi_join", "anti_join", "nation_revenue", "lang_fertility",
     "daily_new_users", "price_histogram", "user_top_event",
     "kmv_distinct", "event_type_pairs", "heavy_hitters", "priority_sample",

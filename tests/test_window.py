@@ -274,3 +274,35 @@ def test_late_events_watermark_and_stitch(ray_session):
     assert out.loc[705].tolist() == [7, 4, 0, 0]   # 180 >= 140: within lateness
     assert out.loc[900].tolist() == [9, 0, 0, 0]   # first arrival never late
     assert (out.dtypes == np.int64).all()
+
+
+def test_event_pattern_skip_till_next_match(ray_session):
+    """Greedy non-overlapping A->B->C instances in id order: the B
+    between two As is consumed by the earlier A; events inside a
+    completed match never seed a second one."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.patterns import event_pattern
+
+    rows = [
+        # user 1: view(0) click(1) view(2) purchase(3) view(4) click(5)
+        #         purchase(6) -> matches (0,1,3) then (4,5,6)
+        (0, 1, "view"), (1, 1, "click"), (2, 1, "view"), (3, 1, "purchase"),
+        (4, 1, "view"), (5, 1, "click"), (6, 1, "purchase"),
+        # user 2: click before any view -> no match
+        (10, 2, "click"), (11, 2, "view"), (12, 2, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type"])
+    df["ts"] = pd.to_datetime(df["event_id"] * 60, unit="s")
+    out = (
+        event_pattern(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "match_idx"])
+        .reset_index(drop=True)
+    )
+    assert out[["user_id", "match_idx", "a_id", "b_id", "c_id"]].values.tolist() == [
+        [1, 0, 0, 1, 3],
+        [1, 1, 4, 5, 6],
+    ]
+    assert out["span_us"].tolist() == [3 * 60_000_000, 2 * 60_000_000]
