@@ -1508,6 +1508,51 @@ def q_cc_components(sf_dir: str):
     return connected_components(_doc_graph_edges(sf_dir))
 
 
+def _kcore_edges(sf_dir: str):
+    """Deterministic graph for the k-core query: the doc graph's
+    intra-block chain + skip WITHOUT the block bridges (so peel
+    cascades stay block-local, bounding peel depth by block size),
+    plus a wrap-around circulant ring over hub nodes (doc_id % 7 == 0:
+    ring step 7 and 14 modulo 7·#hubs) whose members always keep
+    degree ≥ 4 and anchor the core. Canonical (a < b), duplicate
+    free; converges in 5 peel rounds at every test scale."""
+    import numpy as np
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+    H = (n + 6) // 7
+    M = 7 * H
+
+    def mk_edges(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        i = batch["doc_id"].to_numpy().astype("int64")
+        outs = []
+        for step, keep in ((1, i % 10 < 9), (2, i % 10 < 8)):
+            m = keep & (i + step < n)
+            outs.append(pd.DataFrame({"a": i[m], "b": i[m] + step}))
+        h = i[i % 7 == 0]
+        for step in (7, 14):
+            t = (h + step) % M
+            outs.append(
+                pd.DataFrame(
+                    {"a": np.minimum(h, t), "b": np.maximum(h, t)}
+                )
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    return docs.map_batches(mk_edges, batch_format="pandas")
+
+
+def q_kcore(sf_dir: str):
+    """k-core backbone (ops/graph.kcore: iterative peeling, broadcast
+    degree-partial tier) of the hub-anchored block graph at k=3 —
+    surviving nodes with their in-core degree."""
+    from reffy_ray.ops.graph import kcore
+
+    return kcore(_kcore_edges(sf_dir), k=3)
+
+
 def q_triangle_count(sf_dir: str):
     """Per-node triangle counts (ops/graph.triangles: wedge join +
     composite-key closing join) over the derived doc graph — the skip
@@ -3252,6 +3297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "late_events": q_late_events,
         "event_pattern": q_event_pattern,
+        "kcore": q_kcore,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "nation_revenue": q_nation_revenue,
@@ -3424,6 +3470,63 @@ WHERE doc_id % 41 <> 0
 # seed=13, cosine threshold 0.3): Rademacher sign s(d,b) = parity of the
 # last md5 byte of 'hp-13-d-b'; code bit b = (Σ_d emb_d·s(d,b)) > 0;
 # candidates share a (band, band_val); exact cosine verified per pair.
+_KCORE_EDGES_SYM_SQL = """
+    nn AS (SELECT count(*) AS n,
+                  7 * ((count(*) + 6) // 7) AS m FROM documents),
+    e0 AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents, nn
+      WHERE doc_id % 10 < 9 AND doc_id + 1 < nn.n
+      UNION ALL
+      SELECT doc_id, doc_id + 2 FROM documents, nn
+      WHERE doc_id % 10 < 8 AND doc_id + 2 < nn.n
+      UNION
+      SELECT least(doc_id, (doc_id + 7) % nn.m),
+             greatest(doc_id, (doc_id + 7) % nn.m)
+      FROM documents, nn WHERE doc_id % 7 = 0
+      UNION
+      SELECT least(doc_id, (doc_id + 14) % nn.m),
+             greatest(doc_id, (doc_id + 14) % nn.m)
+      FROM documents, nn WHERE doc_id % 7 = 0
+    ), sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e0
+      UNION ALL SELECT b, a FROM e0
+    )
+"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled iterative peeling over the hub-anchored block graph
+    (the bpe_merges bounded-round oracle pattern): round i keeps
+    nodes whose degree among round-i survivors is >= k. ``rounds``
+    bounds peel depth, not result size — the engine iterates to
+    fixpoint and the hash can only match if the peel converged within
+    the unroll (the graph is constructed to converge in 5 rounds:
+    cascades are block-local, hubs are immortal)."""
+    # every round CTE is MATERIALIZED: d{i} references s{i} twice and
+    # s{i} chains to d{i-1}, so inlined evaluation doubles the plan
+    # per round (exponential scans — "too many open files" in practice)
+    ctes = [_KCORE_EDGES_SYM_SQL.strip()]
+    ctes.append("s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)")
+    for i in range(rounds):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT e.u AS node, count(*) AS deg"
+            f" FROM sym e"
+            f" JOIN s{i} x ON e.u = x.node"
+            f" JOIN s{i} y ON e.v = y.node"
+            f" GROUP BY e.u)"
+        )
+        ctes.append(
+            f"s{i + 1} AS MATERIALIZED"
+            f" (SELECT node FROM d{i} WHERE deg >= {k})"
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT node, CAST(deg AS BIGINT) AS deg
+        FROM d{rounds - 1} WHERE deg >= {k}
+    """
+
+
 _EVENT_PATTERN_SQL = """
     WITH RECURSIVE
     va AS MATERIALIZED (
@@ -5802,6 +5905,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        # ops/graph.kcore: bounded-round peel unroll (see _kcore_sql)
+        "kcore": _kcore_sql(),
         # ops/patterns.event_pattern: recursive skip-till-next-match
         # replay (fixpoint recursion, one round per match per user)
         "event_pattern": _EVENT_PATTERN_SQL,

@@ -474,3 +474,151 @@ def bfs_hops(
         ).materialize()
         frontier_ds = new
     return visited_ds
+
+
+def kcore(
+    edges: rd.Dataset,
+    k: int = 3,
+    src_col: str = "a",
+    dst_col: str = "b",
+    mode: str = "auto",
+    max_rounds: int = 100,
+    broadcast_max_nodes: int = 50_000_000,
+) -> rd.Dataset:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes whose degree among surviving nodes is < ``k`` until
+    fixpoint; returns the surviving ``(node, deg)`` rows, ``deg``
+    being the node's degree inside the final core (the hub backbone
+    of a link graph — crawl analog: spec clusters that keep citing
+    each other after stripping leaf pages). Edge list is undirected
+    and duplicate-free (``a < b`` canonical, the repo's edge
+    contract).
+
+    Two tiers, identical results:
+
+    - ``broadcast``: survivors live as one sorted int64 array on the
+      driver (bounded by ``broadcast_max_nodes``); each round ships
+      it once via ``ray.put`` and one stateless ``map_batches`` over
+      the (distributed) edge list emits per-block ``(node, cnt)``
+      degree partials — only #distinct-endpoints rows per block reach
+      the driver fold. Zero shuffles per round.
+    - ``join``: survivors stay distributed; each round is two
+      :func:`reffy_ray.util.bucket_join` semi-joins (edges against
+      survivors on each endpoint) and one ``groupby(node).count()``
+      degree reduction, then a filter — nothing node-sized on the
+      driver (the 10^10-node path).
+
+    Rounds are data-dependent (a chain peels one layer per round);
+    ``max_rounds`` is a runaway guard, not a truncation — hitting it
+    raises rather than returning a non-fixpoint.
+    """
+    import pyarrow.compute as pc
+
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+    if mode == "auto":
+        mode = "broadcast"
+
+    if mode == "broadcast":
+        surv: np.ndarray | None = None  # None = all nodes survive
+        deg: np.ndarray | None = None
+        nodes: np.ndarray | None = None
+        for _ in range(max_rounds):
+            sref = ray.put(surv)
+
+            def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+                s = ray.get(sref)
+                a = batch[src_col].to_numpy().astype(np.int64)
+                b = batch[dst_col].to_numpy().astype(np.int64)
+                if s is not None:
+                    keep = np.isin(a, s) & np.isin(b, s)
+                    a, b = a[keep], b[keep]
+                ends = np.concatenate([a, b])
+                n, c = np.unique(ends, return_counts=True)
+                return pd.DataFrame({"n": n, "c": c})
+
+            parts = edges.map_batches(
+                deg_partial, batch_format="pandas"
+            ).to_pandas()
+            folded = parts.groupby("n", sort=True)["c"].sum()
+            nodes = folded.index.to_numpy().astype(np.int64)
+            deg = folded.to_numpy().astype(np.int64)
+            if surv is not None and len(nodes) > broadcast_max_nodes:
+                raise ValueError(
+                    "survivor set exceeds broadcast tier bound; "
+                    "use mode='join'"
+                )
+            keep = deg >= k
+            new_surv = nodes[keep]
+            if surv is not None and len(new_surv) == len(surv):
+                # peeling is monotone: same cardinality == same set
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(nodes[keep], pa.int64()),
+                            "deg": pa.array(deg[keep], pa.int64()),
+                        }
+                    )
+                )
+            if len(new_surv) == 0:
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array([], pa.int64()),
+                            "deg": pa.array([], pa.int64()),
+                        }
+                    )
+                )
+            surv = new_surv
+        raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+
+    # join tier: survivors distributed
+    from reffy_ray.util import bucket_join, join_ready
+
+    surv_ds = None  # None = all nodes
+    prev_n = -1
+    for _ in range(max_rounds):
+        if surv_ds is None:
+            live = edges
+        else:
+            sa = surv_ds.map_batches(
+                lambda b: b.select(["node"]).rename_columns([src_col]),
+                batch_format="pyarrow",
+            )
+            live = bucket_join(edges, join_ready(sa), on=src_col)
+            sb = surv_ds.map_batches(
+                lambda b: b.select(["node"]).rename_columns([dst_col]),
+                batch_format="pyarrow",
+            )
+            live = bucket_join(live, join_ready(sb), on=dst_col)
+
+        def ends(b: pa.Table) -> pa.Table:
+            u = pa.concat_arrays(
+                [
+                    b.column(src_col).cast(pa.int64()).combine_chunks(),
+                    b.column(dst_col).cast(pa.int64()).combine_chunks(),
+                ]
+            )
+            return pa.table({"node": u})
+
+        degs = (
+            live.map_batches(ends, batch_format="pyarrow")
+            .groupby("node")
+            .count()
+        )
+        def keep_core(b: pa.Table) -> pa.Table:
+            d = pc.cast(b.column("count()"), pa.int64())
+            t = pa.table(
+                {"node": b.column("node").cast(pa.int64()), "deg": d}
+            )
+            return t.filter(pc.greater_equal(d, k))
+
+        surv_ds = degs.map_batches(
+            keep_core, batch_format="pyarrow"
+        ).materialize()
+        n = surv_ds.count()
+        if n == prev_n:
+            return surv_ds
+        if n == 0:
+            return surv_ds
+        prev_n = n
+    raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")

@@ -200,3 +200,28 @@ def test_bfs_hops_tiers_agree(ray_session):
     assert b.set_index("node")["dist"].to_dict() == {
         0: 0, 1: 1, 2: 2, 3: 3, 6: 1, 5: 2, 4: 3,
     }
+
+
+def test_kcore_peels_to_fixpoint(ray_session):
+    """Star + triangle-clique: the star center has high degree but its
+    leaves peel first, collapsing the center too; only the 4-clique
+    survives k=3 — degree alone (a single filter pass) would keep the
+    center, so this pins the iterative cascade."""
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.graph import kcore
+
+    # clique on 0-3; star center 10 with leaves 11-15 plus an edge to 0
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(10, x) for x in range(11, 16)] + [(0, 10)]
+    df = pd.DataFrame(clique + star, columns=["a", "b"])
+    for mode in ("broadcast", "join"):
+        out = (
+            kcore(rd.from_pandas(df).repartition(3), k=3, mode=mode)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert out["node"].tolist() == [0, 1, 2, 3], mode
+        assert out["deg"].tolist() == [3, 3, 3, 3], mode
