@@ -1417,6 +1417,74 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_watermark_window(sf_dir: str):
+    """Daily tumbling windows with watermark accounting: per event-time
+    window, how many events arrived on-time vs late (per
+    ops/window.late_events' sharded-arrival watermark) and the total
+    microseconds of lateness — the corrections budget a streaming
+    sink must reprocess. Composite: late_events → bucket_join back to
+    event ts → per-block window partials → one tiny window groupby."""
+    import pyarrow.compute as pc
+
+    from reffy_ray.ops.window import late_events
+    from reffy_ray.util import bucket_join, join_ready
+
+    DAY = 86_400_000_000
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    lat = late_events(ev).select_columns(["event_id", "is_late", "late_us"])
+
+    def ts_cols(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "window_start_us": pc.multiply(
+                    pc.floor(pc.divide(pc.cast(t, pa.float64()), DAY)),
+                    float(DAY),
+                ).cast(pa.int64()),
+            }
+        )
+
+    wins = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    ).map_batches(ts_cols, batch_format="pyarrow")
+    joined = bucket_join(join_ready(lat), join_ready(wins), on="event_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("window_start_us").aggregate(
+            [("event_id", "count"), ("is_late", "sum"), ("late_us", "sum")]
+        )
+        return pa.table(
+            {
+                "window_start_us": g.column("window_start_us"),
+                "n_events": pc.cast(g.column("event_id_count"), pa.int64()),
+                "n_late": pc.cast(g.column("is_late_sum"), pa.int64()),
+                "late_us_sum": pc.cast(g.column("late_us_sum"), pa.int64()),
+            }
+        )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_us": b.column("window_start_us"),
+                "n_events": pc.cast(b.column("sum(n_events)"), pa.int64()),
+                "n_late": pc.cast(b.column("sum(n_late)"), pa.int64()),
+                "late_us_sum": pc.cast(
+                    b.column("sum(late_us_sum)"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .sum(["n_events", "n_late", "late_us_sum"])
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
 def q_event_pattern(sf_dir: str):
     """MATCH_RECOGNIZE-style skip-till-next-match instances
     (ops/patterns.event_pattern): per user, non-overlapping
@@ -3298,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "event_pattern": q_event_pattern,
         "kcore": q_kcore,
+        "watermark_window": q_watermark_window,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "nation_revenue": q_nation_revenue,
@@ -3470,6 +3539,32 @@ WHERE doc_id % 41 <> 0
 # seed=13, cosine threshold 0.3): Rademacher sign s(d,b) = parity of the
 # last md5 byte of 'hp-13-d-b'; code bit b = (Σ_d emb_d·s(d,b)) > 0;
 # candidates share a (band, band_val); exact cosine verified per pair.
+_LATE_EVENTS_SQL = """
+            WITH arr AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t,
+                     max(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY event_id % 4, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS wm,
+                     CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY event_id % 4, event_id) - 1
+                          AS BIGINT) AS arrival_seq
+              FROM events
+            )
+            SELECT event_id, user_id, arrival_seq,
+                   CAST(CASE WHEN wm IS NOT NULL
+                             AND t < wm - 3600000000
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_late,
+                   CAST(CASE WHEN wm IS NOT NULL
+                             AND t < wm - 3600000000
+                        THEN (wm - 3600000000) - t
+                        ELSE 0 END AS BIGINT) AS late_us
+            FROM arr
+"""
+
+
 _KCORE_EDGES_SYM_SQL = """
     nn AS (SELECT count(*) AS n,
                   7 * ((count(*) + 6) // 7) AS m FROM documents),
@@ -5905,6 +6000,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        # q_watermark_window: daily window on-time/late accounting over
+        # the late_events watermark replay
+        "watermark_window": f"""
+            WITH lat AS ({_LATE_EVENTS_SQL}),
+            w AS (
+              SELECT l.event_id, l.is_late, l.late_us,
+                     (epoch_us(e.ts) // 86400000000) * 86400000000
+                       AS window_start_us
+              FROM lat l JOIN events e ON e.event_id = l.event_id
+            )
+            SELECT window_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(is_late) AS BIGINT) AS n_late,
+                   CAST(sum(late_us) AS BIGINT) AS late_us_sum
+            FROM w GROUP BY window_start_us
+        """,
         # ops/graph.kcore: bounded-round peel unroll (see _kcore_sql)
         "kcore": _kcore_sql(),
         # ops/patterns.event_pattern: recursive skip-till-next-match
@@ -5913,30 +6024,7 @@ def oracle_sql() -> dict[str, str]:
         # ops/window.late_events: watermark lateness under the
         # deterministic 4-shard arrival order; first arrival never
         # late; all-int64 emission (hash-type safety)
-        "late_events": """
-            WITH arr AS (
-              SELECT event_id, user_id, epoch_us(ts) AS t,
-                     max(epoch_us(ts)) OVER (
-                       PARTITION BY user_id
-                       ORDER BY event_id % 4, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND 1 PRECEDING) AS wm,
-                     CAST(row_number() OVER (
-                       PARTITION BY user_id
-                       ORDER BY event_id % 4, event_id) - 1
-                          AS BIGINT) AS arrival_seq
-              FROM events
-            )
-            SELECT event_id, user_id, arrival_seq,
-                   CAST(CASE WHEN wm IS NOT NULL
-                             AND t < wm - 3600000000
-                        THEN 1 ELSE 0 END AS BIGINT) AS is_late,
-                   CAST(CASE WHEN wm IS NOT NULL
-                             AND t < wm - 3600000000
-                        THEN (wm - 3600000000) - t
-                        ELSE 0 END AS BIGINT) AS late_us
-            FROM arr
-        """,
+        "late_events": _LATE_EVENTS_SQL,
         # ops/text.bm25_scores over terms (hash, join, vector,
         # stream), k1=1.2 b=0.75: the SQL mirrors the engine's float
         # expression token-for-token (same literal casts, same
