@@ -193,3 +193,114 @@ def test_sample_frames_counts_and_stride(durations, step_ms, max_frames):
     if len(out):
         assert (out.ts_ms == out.frame_idx * step_ms).all()
         assert out.frame_idx.min() == 0
+
+
+# ---------------------------------------------------------------------------
+# distributed-op equivalence vs brute-force references (small Ray runs)
+# ---------------------------------------------------------------------------
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),      # event_id (uniquified)
+        st.integers(min_value=1, max_value=4),       # user_id
+        st.integers(min_value=0, max_value=10_000),  # ts (us)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _uniq_events(rows):
+    seen, out = set(), []
+    for i, u, t in rows:
+        if i not in seen:
+            seen.add(i)
+            out.append((i, u, t))
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_EVENTS)
+def test_late_events_matches_bruteforce(ray_session, rows):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.window import late_events
+
+    rows = _uniq_events(rows)
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    out = (
+        late_events(rd.from_pandas(df).repartition(3),
+                    shards=2, lateness_us=500)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # brute force: replay each user's (id % 2, id) arrival order
+    expect = {}
+    for u in sorted({r[1] for r in rows}):
+        stream = sorted(
+            (r for r in rows if r[1] == u), key=lambda r: (r[0] % 2, r[0])
+        )
+        mx = None
+        for seq, (i, _, t) in enumerate(stream):
+            late = mx is not None and t < mx - 500
+            expect[i] = (u, seq, int(late), (mx - 500 - t) if late else 0)
+            mx = t if mx is None else max(mx, t)
+    assert len(out) == len(expect)
+    for i, (u, seq, is_late, late_us) in expect.items():
+        assert out.loc[i].tolist() == [u, seq, is_late, late_us], i
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_EVENTS, st.data())
+def test_event_pattern_matches_bruteforce(ray_session, rows, data):
+    import pandas as pd
+    import ray.data as rd
+
+    from reffy_ray.ops.patterns import event_pattern
+
+    rows = _uniq_events(rows)
+    types = ["view", "click", "purchase"]
+    typed = [
+        (i, u, t, data.draw(st.sampled_from(types), label=f"ty{i}"))
+        for i, u, t in rows
+    ]
+    df = pd.DataFrame(typed, columns=["event_id", "user_id", "ts_us",
+                                      "event_type"])
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+    out = event_pattern(
+        rd.from_pandas(df[["event_id", "user_id", "ts", "event_type"]])
+        .repartition(3)
+    ).to_pandas()
+    if out.empty:
+        # Ray drops the schema when every group emits zero rows
+        out = pd.DataFrame(
+            columns=["user_id", "match_idx", "a_id", "b_id", "c_id",
+                     "span_us"]
+        )
+    out = out.sort_values(["user_id", "match_idx"]).reset_index(drop=True)
+    # brute force greedy skip-till-next-match in id order
+    expect = []
+    for u in sorted({r[1] for r in typed}):
+        stream = sorted((r for r in typed if r[1] == u), key=lambda r: r[0])
+        ts_of = {i: t for i, _, t, _ in stream}
+        pos, idx = -1, 0
+        while True:
+            a = next((i for i, _, _, ty in stream
+                      if ty == "view" and i > pos), None)
+            if a is None:
+                break
+            b = next((i for i, _, _, ty in stream
+                      if ty == "click" and i > a), None)
+            if b is None:
+                break
+            c = next((i for i, _, _, ty in stream
+                      if ty == "purchase" and i > b), None)
+            if c is None:
+                break
+            expect.append([u, idx, a, b, c, ts_of[c] - ts_of[a]])
+            pos, idx = c, idx + 1
+    assert out.values.tolist() == expect
