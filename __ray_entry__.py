@@ -2593,6 +2593,16 @@ def q_span_sections(sf_dir: str):
     return _span_docs(sf_dir).map_batches(span_sections, batch_format="pyarrow")
 
 
+def q_span_templates(sf_dir: str):
+    """Structural template clusters (ops/multimodal.span_templates):
+    documents sharing an identical span kind-sequence md5 — the
+    boilerplate-template dedup signal; per-batch fingerprint + one
+    fingerprint groupby."""
+    from reffy_ray.ops.multimodal import span_templates
+
+    return span_templates(_span_docs(sf_dir))
+
+
 def q_pack_interleaved(sf_dir: str):
     """Multimodal sequence packing: greedy budget-128 chunking of the
     interleaved span stream (prose = token count, figure = 64-patch
@@ -3333,6 +3343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stream": q_span_stream,
         "span_runs": q_span_runs,
         "span_sections": q_span_sections,
+        "span_templates": q_span_templates,
         "pack_interleaved": q_pack_interleaved,
         "media_text_pairs": q_media_text_pairs,
         "media_manifest": q_media_manifest,
@@ -4625,6 +4636,31 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_media,
                    CAST(min(seq) AS BIGINT) AS first_seq
             FROM seqd GROUP BY doc_id, sec
+        """,
+        # span_templates: identical-kind-sequence clusters over the
+        # span_stream parts reconstruction
+        "span_templates": f"""
+            WITH parts AS (
+{_SPAN_PARTS_SQL}
+            ),
+            seqd AS (
+              SELECT doc_id, kind,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY ph, i)
+                       - 1 AS seq
+              FROM parts
+            ),
+            fps AS (
+              SELECT doc_id,
+                     md5(string_agg(kind, ',' ORDER BY seq))
+                       AS fingerprint,
+                     CAST(count(*) AS BIGINT) AS n_spans
+              FROM seqd GROUP BY doc_id
+            )
+            SELECT fingerprint,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS rep_doc,
+                   CAST(min(n_spans) AS BIGINT) AS n_spans
+            FROM fps GROUP BY fingerprint HAVING count(*) >= 2
         """,
         # pack_interleaved: same parts enumeration as span_stream plus a
         # per-span cost (prose = \S+ token count, figure = 64, algo

@@ -453,3 +453,91 @@ def span_sections(batch: pa.Table) -> pa.Table:
             "first_seq": pa.array(seq[starts], pa.int64()),
         }
     )
+
+
+def span_template_fps(batch: pa.Table) -> pa.Table:
+    """Per-document structural fingerprint of the interleaved span
+    stream: md5 of the comma-joined kind sequence (md5 to match
+    DuckDB's ``md5()``, the repo's exact_dedup parity rule). Two
+    documents share a fingerprint iff their span kind-sequences are
+    identical — the boilerplate-template signal of a crawl corpus
+    (mass-generated pages differ in text but never in structure)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "fingerprint": pa.array([], pa.string()),
+                "n_spans": pa.array([], pa.int64()),
+            }
+        )
+    combined = batch.column("spans").combine_chunks()
+    kinds = pc.struct_field(pc.list_flatten(combined), "kind").to_pylist()
+    offs = combined.offsets.to_numpy(zero_copy_only=False)
+    fps, counts = [], []
+    for s, e in zip(offs[:-1], offs[1:]):
+        seq = ",".join(kinds[s:e])
+        fps.append(hashlib.md5(seq.encode("utf-8")).hexdigest())
+        counts.append(int(e - s))
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "fingerprint": pa.array(fps, pa.string()),
+            "n_spans": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def span_templates(docs: "object") -> "object":
+    """Template clusters over the span corpus: groups of ≥2 documents
+    with identical span kind-sequences. Emits ``(fingerprint, n_docs,
+    rep_doc, n_spans)``, rep_doc = min doc id (deterministic winner,
+    the exact_dedup convention).
+
+    Scale shape: per-batch fingerprinting (docs never leave their
+    block), a per-batch pyarrow group_by combiner, then ONE Ray
+    groupby shuffle over (fingerprint) partial rows — at most
+    #templates × #blocks rows move."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = span_template_fps(b)
+        g = t.group_by("fingerprint").aggregate(
+            [("doc_id", "count"), ("doc_id", "min"), ("n_spans", "min")]
+        )
+        return pa.table(
+            {
+                "fingerprint": g.column("fingerprint"),
+                "n_docs": pc.cast(g.column("doc_id_count"), pa.int64()),
+                "rep_doc": pc.cast(g.column("doc_id_min"), pa.int64()),
+                "n_spans": pc.cast(g.column("n_spans_min"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    folded = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("rep_doc", alias_name="rep_doc"),
+            Min("n_spans", alias_name="n_spans"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "fingerprint": b.column("fingerprint"),
+                "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+                "rep_doc": pc.cast(b.column("rep_doc"), pa.int64()),
+                "n_spans": pc.cast(b.column("n_spans"), pa.int64()),
+            }
+        )
+        return t.filter(pc.greater_equal(t.column("n_docs"), 2))
+
+    return folded.map_batches(finish, batch_format="pyarrow")
