@@ -1588,6 +1588,12 @@ def _kcore_edges(sf_dir: str):
 
     docs = _docs(sf_dir, columns=("doc_id",))
     n = docs.count()
+    if n < 29:
+        # below 29 docs the hub ring wraps onto itself (step-7 and
+        # step-14 edges can coincide as unordered pairs), and the
+        # engine's per-batch dedup vs the oracle's global UNION dedup
+        # would diverge; every test corpus has >= 500 docs
+        raise ValueError("kcore derivation needs >= 29 documents")
     H = (n + 6) // 7
     M = 7 * H
 
@@ -4522,58 +4528,9 @@ def oracle_sql() -> dict[str, str]:
         # UNION ALL branch per derivation feature, phase-ordered, then
         # row_number per doc = the SpanParser's offset. Predictor
         # verified exact vs spans_from_html over doc_ids 0..5000.
-        "span_stream": r"""
+        "span_stream": f"""
             WITH parts AS (
-              SELECT doc_id, 0 AS ph, 0 AS i, 'meta' AS kind, '' AS media_ref
-                FROM documents WHERE doc_id % 4 = 0 OR doc_id % 4 = 2
-              UNION ALL SELECT doc_id, 1, 0, 'meta', '' FROM documents WHERE doc_id % 6 = 1
-              UNION ALL SELECT doc_id, 2, 0, 'meta', '' FROM documents WHERE doc_id % 5 = 2
-              UNION ALL SELECT doc_id, 3, 0, 'title', '' FROM documents
-              UNION ALL SELECT doc_id, 4, 0, 'anchor', '' FROM documents
-              UNION ALL SELECT doc_id, 5, 0, 'heading', '' FROM documents
-              UNION ALL SELECT doc_id, 6, 0, 'prose', '' FROM documents
-                WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
-              UNION ALL SELECT doc_id, 7, t.i,
-                  CASE t.i WHEN 0 THEN 'anchor' ELSE 'dfn' END, ''
-                FROM documents CROSS JOIN (VALUES (0),(1)) t(i) WHERE doc_id % 3 = 0
-              UNION ALL SELECT doc_id, 9, 0, 'link', '' FROM documents WHERE doc_id % 7 = 0
-              UNION ALL SELECT doc_id, 10, 0, 'link', '' FROM documents WHERE doc_id % 5 = 4
-              UNION ALL SELECT doc_id, 11, 0, 'idl-block', '' FROM documents WHERE doc_id % 11 = 0
-              UNION ALL SELECT doc_id, 12, 0, 'figure',
-                  'https://img.example.org/doc-' || CAST(doc_id AS VARCHAR) || '.png'
-                FROM documents WHERE doc_id % 13 = 0
-              UNION ALL SELECT doc_id, 13, 0, 'anchor', '' FROM documents WHERE doc_id % 6 = 0
-              UNION ALL SELECT doc_id, 13, 1, 'ref-entry', ''
-                FROM documents WHERE doc_id % 6 = 0 AND doc_id % 4 = 2
-              UNION ALL SELECT doc_id, 13, 2, 'link', '' FROM documents WHERE doc_id % 6 = 0
-              UNION ALL SELECT doc_id, 14, t.i,
-                  CASE t.i WHEN 0 THEN 'heading' WHEN 1 THEN 'ref-entry' ELSE 'link' END, ''
-                FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE doc_id % 6 = 3
-              UNION ALL SELECT doc_id, 15, t.i,
-                  CASE WHEN t.i = 0 THEN 'anchor' WHEN t.i = 1 THEN 'dfn'
-                       ELSE 'css-propdef-row' END, ''
-                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
-                WHERE doc_id % 8 = 0
-              UNION ALL SELECT doc_id, 16, 0, 'css-prod', '' FROM documents WHERE doc_id % 16 = 0
-              UNION ALL SELECT doc_id, 17, t.i,
-                  CASE WHEN t.i = 0 THEN 'anchor' ELSE 'event-row' END, ''
-                FROM documents CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE doc_id % 9 = 0
-              UNION ALL SELECT doc_id, 18, t.i,
-                  CASE WHEN t.i = 0 THEN 'prose' WHEN t.i = 1 THEN 'anchor'
-                       ELSE 'algo-step' END, ''
-                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
-                WHERE doc_id % 12 = 0
-              UNION ALL SELECT doc_id, 19, 0, 'cddl-block', '' FROM documents WHERE doc_id % 14 = 0
-              UNION ALL SELECT doc_id, 20, t.i,
-                  CASE t.i WHEN 0 THEN 'heading' WHEN 3 THEN 'dfn'
-                       WHEN 4 THEN 'element-def' ELSE 'anchor' END, ''
-                FROM documents CROSS JOIN (VALUES (0),(1),(2),(3),(4)) t(i)
-                WHERE doc_id % 15 = 0
-              UNION ALL SELECT doc_id, 21, 0, 'css-data', '' FROM documents WHERE doc_id % 8 = 0
-              UNION ALL SELECT doc_id, 22, 0, 'refs-data', ''
-                FROM documents WHERE doc_id % 6 = 0 OR doc_id % 6 = 3
-              UNION ALL SELECT doc_id, 23, 0, 'events-data', '' FROM documents WHERE doc_id % 9 = 0
-              UNION ALL SELECT doc_id, 24, 0, 'algos-data', '' FROM documents WHERE doc_id % 12 = 0
+{_SPAN_PARTS_SQL}
             )
             SELECT doc_id,
                    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ph, i) - 1

@@ -516,7 +516,13 @@ def kcore(
 
     edges = edges.select_columns([src_col, dst_col]).materialize()
     if mode == "auto":
-        mode = "broadcast"
+        # nodes ≤ 2·edges, so broadcast is provably safe below the
+        # bound; beyond it take the distributed path
+        mode = (
+            "broadcast"
+            if 2 * edges.count() <= broadcast_max_nodes
+            else "join"
+        )
 
     if mode == "broadcast":
         surv: np.ndarray | None = None  # None = all nodes survive
@@ -539,12 +545,25 @@ def kcore(
             parts = edges.map_batches(
                 deg_partial, batch_format="pandas"
             ).to_pandas()
+            if parts.empty:
+                # empty edge list (Ray drops all-empty blocks — the
+                # column-less frame would KeyError below)
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array([], pa.int64()),
+                            "deg": pa.array([], pa.int64()),
+                        }
+                    )
+                )
             folded = parts.groupby("n", sort=True)["c"].sum()
             nodes = folded.index.to_numpy().astype(np.int64)
             deg = folded.to_numpy().astype(np.int64)
-            if surv is not None and len(nodes) > broadcast_max_nodes:
+            # enforced every round INCLUDING the first — the guard
+            # must fire before a survivor array that size is built
+            if len(nodes) > broadcast_max_nodes:
                 raise ValueError(
-                    "survivor set exceeds broadcast tier bound; "
+                    "node set exceeds broadcast tier bound; "
                     "use mode='join'"
                 )
             keep = deg >= k

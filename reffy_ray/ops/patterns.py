@@ -81,7 +81,7 @@ def event_pattern(
         if not n:
             return pd.DataFrame(
                 {c_: pd.Series([], dtype="int64")
-                 for c_ in ("user_id", "match_idx", "a_id", "b_id",
+                 for c_ in (key, "match_idx", "a_id", "b_id",
                             "c_id", "span_us")}
             )
         aa = np.asarray(out_a, dtype=np.int64)
@@ -89,7 +89,7 @@ def event_pattern(
         t_of = lambda q: ts[np.searchsorted(ids, q)]  # noqa: E731
         return pd.DataFrame(
             {
-                "user_id": np.full(n, int(g["u"].iloc[0]), dtype=np.int64),
+                key: np.full(n, int(g["u"].iloc[0]), dtype=np.int64),
                 "match_idx": np.arange(n, dtype=np.int64),
                 "a_id": aa,
                 "b_id": np.asarray(out_b, dtype=np.int64),

@@ -1356,7 +1356,7 @@ def late_events(
         if not len(b):
             return pd.DataFrame(
                 {c: pd.Series([], dtype="int64")
-                 for c in ("event_id", "user_id", "arrival_seq",
+                 for c in (id_col, user_col, "arrival_seq",
                            "is_late", "late_us")}
             )
         carry_max, prior = _ray.get(st_ref)[
@@ -1388,8 +1388,8 @@ def late_events(
         late = (pm != NONE) & (t < wm)
         return pd.DataFrame(
             {
-                "event_id": b["i"].to_numpy(),
-                "user_id": u,
+                id_col: b["i"].to_numpy(),
+                user_col: u,
                 "arrival_seq": seq.astype(np.int64),
                 "is_late": late.astype(np.int64),
                 "late_us": np.where(late, wm - t, 0).astype(np.int64),
