@@ -257,6 +257,77 @@ def _bpe_oracle_sql(merges: int = 4) -> str:
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _bpe_encode_oracle_sql(merges: int = 4) -> str:
+    """Encode oracle: the same unrolled merge rounds as
+    :func:`_bpe_oracle_sql` but carrying the source ``word`` through
+    every round, so the final vocab maps word → post-merge token
+    count; corpus words then join against it per document."""
+    parts = [
+        r"""WITH w0 AS (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""
+    ]
+    for s in range(merges):
+        parts.append(
+            f""", p{s} AS (
+  SELECT l[i] || ' ' || l[i+1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(sym), ' ') AS l, n FROM w{s}),
+       unnest(generate_series(1, len(l) - 1)) AS t(i)
+  GROUP BY pair
+), b{s} AS (SELECT pair, cnt FROM p{s} ORDER BY cnt DESC, pair ASC LIMIT 1)"""
+        )
+        parts.append(
+            f""", w{s + 1} AS (
+  SELECT word, replace(sym, ' ' || (SELECT pair FROM b{s}) || ' ',
+                 ' ' || replace((SELECT pair FROM b{s}), ' ', '') || ' ') AS sym,
+         n FROM w{s}
+)"""
+        )
+    return "".join(parts) + f"""
+, tok AS (
+  SELECT word, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tok
+  FROM w{merges}
+), docw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+FROM docw d JOIN tok t ON d.word = t.word
+WHERE d.word <> '' GROUP BY d.doc_id
+"""
+
+
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer application (ops/text.bpe_encode): train 4 BPE merges
+    over the corpus (bpe_merges), then encode every document with the
+    single-pass merge chain — per-doc word and post-merge token
+    counts. The tiny merge table is the only driver-side state."""
+    from reffy_ray.ops.text import bpe_encode, bpe_merges
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    trained = (
+        bpe_merges(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+            merges=4,
+        )
+        .to_pandas()
+        .sort_values("step")
+    )
+    rules = list(
+        zip(trained["left_sym"], trained["right_sym"], trained["merged"])
+    )
+    return bpe_encode(docs, rules)
+
+
 def q_bigram_counts(sf_dir: str):
     from reffy_ray.ops.text import bigram_counts
 
@@ -3285,6 +3356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality,
         "word_counts": q_word_counts,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "bigram_counts": q_bigram_counts,
         "skipgram_counts": q_skipgram_counts,
         "source_dup_stats": q_source_dup_stats,
@@ -4280,6 +4352,7 @@ def oracle_sql() -> dict[str, str]:
         # ops/text.bpe_merges: generated k-round unrolled BPE oracle —
         # see _bpe_oracle_sql for the round shape.
         "bpe_merges": _bpe_oracle_sql(4),
+        "bpe_encode": _bpe_encode_oracle_sql(4),
         "word_counts": r"""
             SELECT word, count(*) AS n
             FROM (

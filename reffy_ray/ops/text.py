@@ -1354,3 +1354,83 @@ def bpe_merges(ds, merges: int = 4):
             }
         )
     )
+
+
+def bpe_encode(
+    ds,
+    merge_rules,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "object":
+    """Apply a trained BPE merge table (:func:`bpe_merges` output) to
+    the corpus — the tokenizer-application half of the train→encode
+    loop. Each document's words are symbolized to the same
+    space-boundary form training used (``' h e l l o '``) and the
+    merges are applied ONCE EACH, IN TRAINING ORDER (the single-pass
+    variant; replace is non-overlapping left-to-right, byte-identical
+    to DuckDB ``replace()`` — see bpe_merges). Emits per document with
+    at least one word: ``(doc_id, n_words, n_tokens)``, n_tokens the
+    post-merge symbol count.
+
+    Scale shape: ``merge_rules`` is k tiny rows shipped in the task
+    closure; everything else is per-batch — words are deduped within
+    the batch (pandas factorize) so the k ``replace_substring`` passes
+    run over the batch VOCABULARY, not every occurrence, then token
+    counts scatter back through the code vector and a bincount per
+    doc. No shuffle at all.
+    """
+    import pandas as pd_
+
+    rules = [
+        (f" {l} {r} ", f" {m} ")
+        for l, r, m in merge_rules
+    ]
+
+    def enc(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        ids = pc.cast(b.column(id_col), pa.int64()).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        words: list = []
+        parents: list = []
+        for j, t in enumerate(texts):
+            ws = [w for w in re.split(r"\W+", (t or "").lower()) if w]
+            words.extend(ws)
+            parents.extend([j] * len(ws))
+        if not words:
+            return empty
+        codes, uniq = pd_.factorize(np.asarray(words, dtype=object))
+        ua = pa.array(list(uniq), pa.string())
+        sp = pc.replace_substring_regex(ua, "(.)", r"\1 ")
+        sym = pc.binary_join_element_wise(
+            pa.array([" "] * len(uniq)), sp, ""
+        )
+        for pat, rep in rules:
+            sym = pc.replace_substring(sym, pattern=pat, replacement=rep)
+        ntok_u = pc.add(
+            pc.count_substring(pc.utf8_trim_whitespace(sym), " "), 1
+        ).to_numpy(zero_copy_only=False)
+        par = np.asarray(parents, dtype=np.int64)
+        n_tokens = np.bincount(
+            par, weights=ntok_u[codes], minlength=len(ids)
+        ).astype(np.int64)
+        n_words = np.bincount(par, minlength=len(ids)).astype(np.int64)
+        keep = n_words > 0
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.asarray(ids, dtype=np.int64)[keep], pa.int64()
+                ),
+                "n_words": pa.array(n_words[keep], pa.int64()),
+                "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
