@@ -3141,6 +3141,16 @@ def q_corpus_report(sf_dir: str):
     return corpus_report(_docs(sf_dir))
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc first-occurrence 8-gram novelty share
+    (ops/dedup.ngram_novelty): the incremental-value curve over
+    ingestion order — shared gram explode, groupby-min first-doc
+    table, hash join back."""
+    from reffy_ray.ops.dedup import ngram_novelty
+
+    return ngram_novelty(_docs(sf_dir, columns=("doc_id", "text")))
+
+
 def q_dup_ngram_fraction(sf_dir: str):
     """Per-doc duplicated-8-gram fraction (ops/dedup.dup_ngram_fraction;
     Lee et al. 2022): share of each doc's distinct word 8-grams that
@@ -3438,6 +3448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logppl": q_unigram_logppl,
         "ccnet_buckets": q_ccnet_buckets,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "ngram_novelty": q_ngram_novelty,
         "corpus_report": q_corpus_report,
         "bigram_logppl": q_bigram_logppl,
         "semantic_dedup": q_semantic_dedup,
@@ -4002,6 +4013,38 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN df USING (gram)
             GROUP BY doc_id
         """,
+        # ops/dedup.ngram_novelty: first-occurrence novelty share
+        # (same gram reconstruction as dup_ngram_fraction)
+        "ngram_novelty": r"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\W+')) AS w,
+                       generate_subscripts(
+                         regexp_split_to_array(lower(text), '\W+'), 1) AS i
+                FROM documents)
+              WHERE w <> ''
+            ),
+            dl AS (SELECT doc_id, list(w ORDER BY j) AS ws FROM tok GROUP BY doc_id),
+            g AS MATERIALIZED (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 7)) AS i
+                    FROM dl)
+            ),
+            fd AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram)
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+            FROM g JOIN fd USING (gram)
+            GROUP BY doc_id
+        """,
+
         "unigram_logppl": r"""
             WITH tok AS (
               SELECT doc_id, word FROM (

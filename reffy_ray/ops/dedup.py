@@ -1455,38 +1455,11 @@ def containment_pairs(
     return joined.map_batches(verify, batch_format="pandas")
 
 
-def dup_ngram_fraction(
-    ds,
-    n: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-):
-    """Per-document duplicated-n-gram fraction — the memorization-risk
-    diagnostic from the substring-dedup literature (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better"): for
-    each document, the share of its DISTINCT word ``n``-grams that
-    also occur in at least one OTHER document. High values flag docs
-    whose content is mostly boilerplate shared across the corpus (the
-    docs substring-dedup would carve up); near-zero values are novel
-    text. Documents with fewer than ``n`` tokens are omitted (fraction
-    undefined).
-
-    Output Dataset(doc_id, n_grams, n_dup, dup_ppm) — all int64
-    (dup_ppm = n_dup·10⁶ // n_grams), exactly SQL-mirrorable.
-
-    Scale shape: per-doc distinct gram partials leave each task as
-    (doc_id, gram-hash) rows (the md5-uint64 kernel shared with the
-    repo's other hash oracles — gram strings never shuffle), one
-    groupby on the hash for the document-frequency table, a hash join
-    back on the gram key, and one per-doc groupby-sum. Nothing
-    corpus-sized is broadcast or collected; a super-frequent gram is a
-    single df row, not a pair explosion.
-    """
+def _distinct_gram_rows(ds, n: int, id_col: str, text_col: str):
+    """(doc_id, gh) rows — each document's DISTINCT word n-grams as
+    63-bit md5 keys (gram strings never shuffle); shared by
+    :func:`dup_ngram_fraction` and :func:`ngram_novelty`."""
     import re as _re
-
-    from ray.data.aggregate import Count, Sum
-
-    from reffy_ray.util import join_ready, safe_num_blocks
 
     _tok = _re.compile(r"\w+")
 
@@ -1515,9 +1488,43 @@ def dup_ngram_fraction(
             }
         )
 
-    exploded = ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns([id_col, text_col]).map_batches(
         gram_rows, batch_format="pyarrow"
     )
+
+
+def dup_ngram_fraction(
+    ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document duplicated-n-gram fraction — the memorization-risk
+    diagnostic from the substring-dedup literature (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, the share of its DISTINCT word ``n``-grams that
+    also occur in at least one OTHER document. High values flag docs
+    whose content is mostly boilerplate shared across the corpus (the
+    docs substring-dedup would carve up); near-zero values are novel
+    text. Documents with fewer than ``n`` tokens are omitted (fraction
+    undefined).
+
+    Output Dataset(doc_id, n_grams, n_dup, dup_ppm) — all int64
+    (dup_ppm = n_dup·10⁶ // n_grams), exactly SQL-mirrorable.
+
+    Scale shape: per-doc distinct gram partials leave each task as
+    (doc_id, gram-hash) rows (the md5-uint64 kernel shared with the
+    repo's other hash oracles — gram strings never shuffle), one
+    groupby on the hash for the document-frequency table, a hash join
+    back on the gram key, and one per-doc groupby-sum. Nothing
+    corpus-sized is broadcast or collected; a super-frequent gram is a
+    single df row, not a pair explosion.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    exploded = _distinct_gram_rows(ds, n, id_col, text_col)
     # each doc contributes a gram at most once → count() == doc frequency
     df = join_ready(
         exploded.groupby("gh").aggregate(Count(alias_name="df"))
@@ -1677,3 +1684,82 @@ def source_overlap(
         .groupby(["source_a", "source_b"])
         .aggregate(Sum("n", alias_name="n_shared_grams"))
     )
+
+
+def ngram_novelty(
+    ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document n-gram novelty — the incremental-value curve a
+    curation pipeline orders ingestion by: for each document, the
+    share of its DISTINCT word ``n``-grams that the corpus had not
+    seen in any EARLIER document (first occurrence, ingestion order =
+    ascending doc id). Early template docs score high and their later
+    clones near zero — the complement view to
+    :func:`dup_ngram_fraction`'s symmetric duplication share.
+    Documents with fewer than ``n`` tokens are omitted.
+
+    Output Dataset(doc_id, n_grams, n_novel, novelty_ppm) — all int64
+    (novelty_ppm = n_novel·10⁶ // n_grams), exactly SQL-mirrorable.
+
+    Scale shape: identical to :func:`dup_ngram_fraction` — shared
+    (doc_id, gram-hash) explode, one groupby-min for the
+    first-seeing-doc table, a hash join back, one per-doc groupby.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    exploded = _distinct_gram_rows(ds, n, id_col, text_col)
+    first = join_ready(
+        exploded.groupby("gh").aggregate(Min("doc_id", alias_name="fd"))
+    )
+    joined = exploded.join(
+        first,
+        join_type="inner",
+        num_partitions=safe_num_blocks(first),
+        on=("gh",),
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        novel = (
+            b.column("doc_id").to_numpy(zero_copy_only=False)
+            == b.column("fd").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "novel": pa.array(novel, pa.int64()),
+                "one": pa.array(np.ones(len(b), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("novel", alias_name="n_novel"),
+            Sum("one", alias_name="n_grams"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ng = b.column("n_grams").to_numpy(zero_copy_only=False)
+        nv = b.column("n_novel").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "n_grams": pa.array(ng.astype(np.int64), pa.int64()),
+                "n_novel": pa.array(nv.astype(np.int64), pa.int64()),
+                "novelty_ppm": pa.array(
+                    (nv.astype(np.int64) * 1_000_000) // ng.astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -89,7 +89,8 @@ ORACLE_KEYS = [
     "patch_dfns", "duplicated_substrings", "substring_dedup",
     "check_missing_dfns", "unigram_logppl", "bigram_logppl", "semantic_dedup",
     "fuzzy_decontaminate", "quality_classifier", "dsir_weights",
-    "ccnet_buckets", "dup_ngram_fraction", "corpus_report", "c4_clean",
+    "ccnet_buckets", "dup_ngram_fraction", "ngram_novelty",
+    "corpus_report", "c4_clean",
     "source_overlap", "attribution", "regression", "kmeans", "pagerank",
     "cc_components",
     "triangle_count", "bm25", "weighted_sample", "event_gaps",
