@@ -336,6 +336,18 @@ def q_bigram_counts(sf_dir: str):
     )
 
 
+def q_pmi(sf_dir: str):
+    """Top-100 PMI collocations (ops/text.pmi_collocations) over the
+    3-window co-occurrence table, min pair count 5; PMI snapped to an
+    int64 1e4 grid, fully ordered (pmi desc, words asc)."""
+    from reffy_ray.ops.text import pmi_collocations
+
+    return pmi_collocations(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        window=3, min_count=5, top_k=100,
+    )
+
+
 def q_skipgram_counts(sf_dir: str):
     from reffy_ray.ops.text import skipgram_counts
 
@@ -3449,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "ngram_novelty": q_ngram_novelty,
+        "pmi": q_pmi,
         "corpus_report": q_corpus_report,
         "bigram_logppl": q_bigram_logppl,
         "semantic_dedup": q_semantic_dedup,
@@ -4427,6 +4440,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ops/text.skipgram_counts: ordered pairs within 3 positions
         # (same filtered-position CTE as bigram_counts)
+        # ops/text.pmi_collocations: PMI over the 3-window pair table,
+        # min_count 5, top 100; double math mirrors the engine's
+        # expression tree term for term ((n/tp)/((c1/tw)*(c2/tw)))
+        # and snaps floor(x*1e4+0.5) (the bm25 convention)
+        "pmi": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\W+')) AS w,
+                     generate_subscripts(
+                       regexp_split_to_array(lower(text), '\W+'), 1) AS i
+              FROM documents
+            ),
+            filtered AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+              FROM toks WHERE w <> ''
+            ),
+            pairs AS (
+              SELECT a.w AS w1, b.w AS w2, count(*) AS n
+              FROM filtered a
+              JOIN filtered b
+                ON a.doc_id = b.doc_id AND b.j - a.j BETWEEN 1 AND 3
+              GROUP BY a.w, b.w
+            ),
+            uni AS (SELECT w, count(*) AS c FROM filtered GROUP BY w),
+            tot AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM pairs) AS tp,
+                           (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS tw)
+            SELECT w1, w2, CAST(n AS BIGINT) AS n,
+                   CAST(floor(
+                     log2((CAST(n AS DOUBLE) / tp) /
+                          ((CAST(u1.c AS DOUBLE) / tw)
+                           * (CAST(u2.c AS DOUBLE) / tw)))
+                     * 10000 + 0.5) AS BIGINT) AS pmi_e4
+            FROM pairs
+            JOIN uni u1 ON pairs.w1 = u1.w
+            JOIN uni u2 ON pairs.w2 = u2.w, tot
+            WHERE n >= 5
+            ORDER BY pmi_e4 DESC, w1 ASC, w2 ASC
+            LIMIT 100
+        """,
         "skipgram_counts": r"""
             WITH toks AS (
               SELECT doc_id,

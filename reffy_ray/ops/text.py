@@ -1434,3 +1434,108 @@ def bpe_encode(
         )
 
     return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pmi_collocations(
+    ds,
+    window: int = 3,
+    min_count: int = 5,
+    top_k: int = 100,
+) -> "object":
+    """Top collocations by pointwise mutual information over the
+    windowed co-occurrence table — the classic collocation-mining /
+    embedding-diagnostics statistic: PMI(x,y) = log2(p(x,y) /
+    (p(x)·p(y))) with pair probabilities from :func:`skipgram_counts`
+    and unigram probabilities from :func:`word_counts`. Pairs below
+    ``min_count`` are dropped (PMI is noise at low counts); the top
+    ``top_k`` rows by (PMI, w1, w2) are returned with PMI snapped to
+    an int64 1e4 grid (floor(x·10⁴+0.5), the repo's bm25 convention)
+    so ordering and hashes are engine-independent.
+
+    Scale shape: two combiner tables (pair counts, word counts — both
+    vocabulary-sized, distributed), two hash joins on the word keys,
+    two scalar totals to the driver, one sort of the ≥min_count
+    survivors (Zipf-small) + limit. Nothing corpus-sized anywhere.
+    """
+    from ray.data.aggregate import Sum
+
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    pairs = skipgram_counts(ds, window)
+    uni = join_ready(word_counts(ds))
+    tp = pairs.sum("n")
+    tw = uni.sum("n")
+    if not tp or not tw:
+        return rd_empty_pmi()
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("n"), min_count))
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    cand = pairs.map_batches(prep, batch_format="pyarrow")
+
+    def as_key(name, cname):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    name: b.column("word"),
+                    cname: pc.cast(b.column("n"), pa.int64()),
+                }
+            )
+
+        return f
+
+    u1 = uni.map_batches(as_key("w1", "c1"), batch_format="pyarrow")
+    u2 = uni.map_batches(as_key("w2", "c2"), batch_format="pyarrow")
+    j = join_ready(cand).join(
+        join_ready(u1), join_type="inner",
+        num_partitions=safe_num_blocks(u1), on=("w1",),
+    )
+    j = join_ready(j).join(
+        join_ready(u2), join_type="inner",
+        num_partitions=safe_num_blocks(u2), on=("w2",),
+    )
+
+    ftp, ftw = float(tp), float(tw)
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = b.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = b.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.log2((n / ftp) / ((c1 / ftw) * (c2 / ftw)))
+        e4 = np.floor(v * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "w1": b.column("w1"),
+                "w2": b.column("w2"),
+                "n": pc.cast(b.column("n"), pa.int64()),
+                "pmi_e4": pa.array(e4, pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_e4", "w1", "w2"], descending=[True, False, False])
+        .limit(top_k)
+    )
+
+
+def rd_empty_pmi():
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "pmi_e4": pa.array([], pa.int64()),
+            }
+        )
+    )

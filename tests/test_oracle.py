@@ -107,7 +107,7 @@ ORACLE_KEYS = [
     "ab_test", "share_of_total", "edit_distance", "trending_terms",
     "pareto", "decayed", "hll_users", "interval_merge", "containment",
     "skipgram_counts", "source_dup_stats", "bfs_hops", "bpe_merges",
-    "bpe_encode",
+    "bpe_encode", "pmi",
     "span_stream", "pack_interleaved", "media_text_pairs",
     "span_runs", "span_sections", "span_templates",
 ]
