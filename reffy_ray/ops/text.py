@@ -1436,6 +1436,21 @@ def bpe_encode(
     return ds.map_batches(enc, batch_format="pyarrow")
 
 
+def _empty_pmi():
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "pmi_e4": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
 def pmi_collocations(
     ds,
     window: int = 3,
@@ -1461,12 +1476,15 @@ def pmi_collocations(
 
     from reffy_ray.util import join_ready, safe_num_blocks
 
-    pairs = skipgram_counts(ds, window)
+    # join_ready materializes: pairs feeds both the total and the
+    # join, and without it the whole skipgram pipeline would execute
+    # twice (the unigram_logppl convention)
+    pairs = join_ready(skipgram_counts(ds, window))
     uni = join_ready(word_counts(ds))
     tp = pairs.sum("n")
     tw = uni.sum("n")
     if not tp or not tw:
-        return rd_empty_pmi()
+        return _empty_pmi()
 
     def prep(b: pa.Table) -> pa.Table:
         t = b.filter(pc.greater_equal(b.column("n"), min_count))
@@ -1478,7 +1496,11 @@ def pmi_collocations(
             }
         )
 
-    cand = pairs.map_batches(prep, batch_format="pyarrow")
+    cand = pairs.map_batches(prep, batch_format="pyarrow").materialize()
+    if cand.count() == 0:
+        # every pair below min_count: empty result, not a degenerate
+        # empty-partition join (ArrowInvalid)
+        return _empty_pmi()
 
     def as_key(name, cname):
         def f(b: pa.Table) -> pa.Table:
@@ -1526,16 +1548,4 @@ def pmi_collocations(
     )
 
 
-def rd_empty_pmi():
-    import ray.data as _rd
 
-    return _rd.from_arrow(
-        pa.table(
-            {
-                "w1": pa.array([], pa.string()),
-                "w2": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64()),
-                "pmi_e4": pa.array([], pa.int64()),
-            }
-        )
-    )

@@ -40,7 +40,7 @@ def main() -> None:
                     help="seeds parquet path, or 'fixture' / 'synth:N'")
     ap.add_argument("--out", default="/tmp/crawl_out")
     ap.add_argument("--checkpoint", default=None,
-                    help="checkpoint dir (defaults to <out>/checkpoint)")
+                    help="checkpoint dir (defaults to <out>/crawl)")
     ap.add_argument("--max-depth", type=int, default=2)
     args = ap.parse_args()
 
@@ -48,9 +48,9 @@ def main() -> None:
 
     if not ray.is_initialized():
         # under `ray job submit` the runtime sets RAY_ADDRESS to the
-        # cluster; locally it is "local" and this starts a one-node
-        # session — same code either way
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+        # cluster; without it, start a one-node local session (the
+        # "auto" default would raise ConnectionError with no cluster)
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False, logging_level="ERROR")
 
     from reffy_ray.pipelines.crawl import CrawlConfig
@@ -66,7 +66,8 @@ def main() -> None:
 
         seeds, mode = pq.read_table(args.seeds), "synth"
 
-    cfg = CrawlConfig(mode=mode, max_depth=args.max_depth)
+    cfg = CrawlConfig(mode=mode, max_depth=args.max_depth,
+                      checkpoint_dir=args.checkpoint)
     res = full_crawl(seeds, args.out, cfg)
     stats = res.index.get("stats", {})
     print(json.dumps({"out": args.out, "stats": stats}))
