@@ -2427,6 +2427,29 @@ def q_global_quantiles(sf_dir: str):
     return global_quantiles(li, value="l_extendedprice", qs=(0.5, 0.9, 0.99))
 
 
+def q_global_quantiles_skew(sf_dir: str):
+    """Exact global quantiles on a heavy-duplicate column (~95% zeros)
+    with a deliberately tiny driver cap — exercises the recursive
+    bucket refinement (ops/stats.global_quantiles): the hot zero bucket
+    is re-histogrammed until min==max instead of collecting it."""
+    from reffy_ray.ops.stats import global_quantiles
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        v = np.where(ok % 20 == 0, price.astype(np.float64), 0.0)
+        return pa.table({"v": v})
+
+    ds = li.map_batches(derive, batch_format="pyarrow")
+    return global_quantiles(ds, value="v", qs=(0.5, 0.9, 0.99), driver_cap=1000)
+
+
 def q_embedding_near_dups(sf_dir: str):
     from reffy_ray.ops.dedup import embedding_near_dups
 
@@ -3429,6 +3452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window": q_rolling_window,
         "group_quantiles": q_group_quantiles,
         "global_quantiles": q_global_quantiles,
+        "global_quantiles_skew": q_global_quantiles_skew,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -6845,6 +6869,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_extendedprice, 0.9)  AS q90,
                    quantile_disc(l_extendedprice, 0.99) AS q99
             FROM lineitem
+        """,
+        # ops/stats.global_quantiles: recursive refinement on ~95% zeros
+        "global_quantiles_skew": """
+            SELECT quantile_disc(v, 0.5)  AS q50,
+                   quantile_disc(v, 0.9)  AS q90,
+                   quantile_disc(v, 0.99) AS q99
+            FROM (
+              SELECT CASE WHEN l_orderkey % 20 = 0
+                          THEN CAST(l_extendedprice AS DOUBLE)
+                          ELSE 0.0 END AS v
+              FROM lineitem
+            )
         """,
         # ops/window.rolling_agg: trailing 7-day RANGE frame per user
         "rolling_window": """

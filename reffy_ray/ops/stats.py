@@ -48,6 +48,8 @@ def global_quantiles(
     value: str,
     qs=(0.5, 0.9, 0.99),
     bins: int = 4096,
+    driver_cap: int = 1_000_000,
+    _audit: list | None = None,
 ):
     """EXACT global discrete quantiles of one column without a global
     sort — the 100 TB path sketched above, made concrete:
@@ -57,14 +59,22 @@ def global_quantiles(
        (per-batch partials → one small groupby-sum — combiner pattern,
        only ≤ ``bins`` rows per task leave the cluster);
     3. invert the cumulative histogram to locate each target rank's
-       bucket, then collect ONLY those buckets' values (expected
-       n/bins rows each) and index the exact rank within them.
+       bucket; if that bucket holds ≤ ``driver_cap`` rows, collect ONLY
+       its values (expected n/bins rows) and index the exact rank
+       within them — otherwise **recursively re-histogram inside the
+       bucket** (tightened to the bucket's observed min/max each
+       level) until the target range fits under the cap. Heavy
+       duplicate skew terminates early: a range whose min == max IS
+       the answer, and a range narrower than ``bins`` float64 ulps
+       falls back to an exact distinct-value census (≤ ~``bins``
+       distinct values by construction). The driver therefore never
+       materializes more than ``driver_cap`` raw rows, regardless of
+       skew.
 
     Returns a one-row Arrow table (``q<pct>`` columns) whose values
     are actual data elements — identical to SQL ``quantile_disc``.
-    Partitioning assumption: a single bucket's values fit on the
-    driver; heavy duplicate skew concentrates a bucket, in which case
-    raise ``bins`` or recurse the refinement inside the bucket.
+    ``_audit``, when given, records the length of every driver-side
+    raw-value collection (test hook for the cap invariant).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -80,55 +90,169 @@ def global_quantiles(
     if n == 0 or vmin == vmax:
         val = None if n == 0 else vmin
         return pa.table({name: [val] for name in names})
-    edges = np.linspace(float(vmin), float(vmax), bins + 1)
 
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        v = batch.column(value).to_numpy(zero_copy_only=False)
-        counts, _ = np.histogram(v, bins=edges)
-        nz = np.nonzero(counts)[0]
-        return pa.table(
-            {
-                "bin": pa.array(nz, pa.int64()),
-                "cnt": pa.array(counts[nz], pa.int64()),
-            }
+    def range_mask(batch: pa.Table, lo: float, hi: float, last: bool):
+        col = batch.column(value)
+        return pc.and_(
+            pc.greater_equal(col, pa.scalar(lo)),
+            pc.less_equal(col, pa.scalar(hi))
+            if last
+            else pc.less(col, pa.scalar(hi)),
         )
 
-    hist_rows = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("bin")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
-    )
-    counts = np.zeros(bins, dtype=np.int64)
-    for r in hist_rows:
-        counts[r["bin"]] = r["cnt"]
-    cum = np.cumsum(counts)
+    def range_hist(lo: float, hi: float, last: bool, edges_: np.ndarray):
+        """Histogram of values in [lo, hi) (or [lo, hi] when ``last``)
+        over ``edges_`` — per-batch partials, one small groupby-sum."""
 
-    def bucket_values(b: int) -> np.ndarray:
-        lo, hi = edges[b], edges[b + 1]
-        last = b == bins - 1
+        def part(batch: pa.Table) -> pa.Table:
+            v = (
+                batch.filter(range_mask(batch, lo, hi, last))
+                .column(value)
+                .to_numpy(zero_copy_only=False)
+            )
+            counts, _ = np.histogram(v, bins=edges_)
+            nz = np.nonzero(counts)[0]
+            return pa.table(
+                {
+                    "bin": pa.array(nz, pa.int64()),
+                    "cnt": pa.array(counts[nz], pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all()
+        )
+        counts = np.zeros(len(edges_) - 1, dtype=np.int64)
+        for r in rows:
+            counts[r["bin"]] = r["cnt"]
+        return counts
+
+    def range_stats(lo: float, hi: float, last: bool):
+        """(min, max, count) of values in the range — combiner partials."""
+
+        def part(batch: pa.Table) -> pa.Table:
+            v = (
+                batch.filter(range_mask(batch, lo, hi, last))
+                .column(value)
+                .to_numpy(zero_copy_only=False)
+            )
+            if len(v) == 0:
+                return pa.table(
+                    {"mn": pa.array([], pa.float64()),
+                     "mx": pa.array([], pa.float64()),
+                     "cnt": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"mn": [float(v.min())], "mx": [float(v.max())],
+                 "cnt": pa.array([len(v)], pa.int64())}
+            )
+
+        rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+        if not rows:
+            return None, None, 0
+        return (
+            min(r["mn"] for r in rows),
+            max(r["mx"] for r in rows),
+            sum(r["cnt"] for r in rows),
+        )
+
+    def collect_range(lo: float, hi: float, last: bool) -> np.ndarray:
+        """Sorted actual data elements in the range (≤ driver_cap rows)."""
 
         def keep(batch: pa.Table) -> pa.Table:
-            col = batch.column(value)
-            mask = pc.and_(
-                pc.greater_equal(col, pa.scalar(lo)),
-                pc.less_equal(col, pa.scalar(hi))
-                if last
-                else pc.less(col, pa.scalar(hi)),
-            )
-            return batch.filter(mask).select([value])
+            return batch.filter(range_mask(batch, lo, hi, last)).select([value])
 
         rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
+        if _audit is not None:
+            _audit.append(len(rows))
+        assert len(rows) <= driver_cap, (
+            f"global_quantiles internal error: collected {len(rows)} rows "
+            f"> driver_cap={driver_cap}"
+        )
         return np.sort(np.array([r[value] for r in rows]))
+
+    def census_range(lo: float, hi: float, last: bool):
+        """Exact (value, count) census of the range, for ranges so
+        narrow that linspace cannot split them (≲ bins distinct float64
+        values by construction) — groupby-sum on distinct values, only
+        the tiny census table reaches the driver."""
+
+        def part(batch: pa.Table) -> pa.Table:
+            v = (
+                batch.filter(range_mask(batch, lo, hi, last))
+                .column(value)
+                .to_numpy(zero_copy_only=False)
+            )
+            u, c = np.unique(v, return_counts=True)
+            return pa.table({"v": u, "cnt": pa.array(c, pa.int64())})
+
+        rows = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all()
+        )
+        rows.sort(key=lambda r: r["v"])
+        return rows
+
+    def rank_select(lo: float, hi: float, last: bool, k: int, cnt: int):
+        """Value of 1-indexed rank ``k`` among the ``cnt`` values in
+        the range, collecting at most driver_cap raw rows per level."""
+        for _ in range(64):  # depth backstop; census fallback below
+            if cnt <= driver_cap:
+                return collect_range(lo, hi, last)[k - 1]
+            mn, mx, cnt2 = range_stats(lo, hi, last)
+            cnt = cnt2
+            if cnt <= driver_cap:
+                return collect_range(lo, hi, last)[k - 1]
+            if mn == mx:
+                return mn  # every value in range identical — the answer
+            edges_ = np.linspace(mn, mx, bins + 1)
+            if not np.all(np.diff(edges_) > 0):
+                break  # range narrower than bins ulps → census
+            counts = range_hist(lo, hi, last, edges_)
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, k, side="left"))
+            k -= int(cum[b - 1]) if b > 0 else 0
+            cnt = int(counts[b])
+            lo, hi = float(edges_[b]), float(edges_[b + 1])
+            # np.histogram puts mx in its top bin only; the sub-range
+            # is right-inclusive exactly when it is that top bin
+            last = b == bins - 1
+        # ulp-narrow or pathological range: exact distinct-value census
+        census = census_range(lo, hi, last)
+        run = 0
+        for r in census:
+            run += r["cnt"]
+            if run >= k:
+                return r["v"]
+        return census[-1]["v"]
+
+    edges = np.linspace(float(vmin), float(vmax), bins + 1)
+    counts = range_hist(float(vmin), float(vmax), True, edges)
+    cum = np.cumsum(counts)
 
     out, cache = {}, {}
     for q, name in zip(qs, names):
         r = max(math.ceil(q * n), 1)  # 1-indexed target rank
         b = int(np.searchsorted(cum, r, side="left"))
-        if b not in cache:
-            cache[b] = bucket_values(b)
         before = int(cum[b - 1]) if b > 0 else 0
-        out[name] = [cache[b][r - before - 1]]
+        if int(counts[b]) <= driver_cap:
+            if b not in cache:
+                cache[b] = collect_range(
+                    float(edges[b]), float(edges[b + 1]), b == bins - 1
+                )
+            out[name] = [cache[b][r - before - 1]]
+        else:
+            out[name] = [
+                rank_select(
+                    float(edges[b]), float(edges[b + 1]), b == bins - 1,
+                    r - before, int(counts[b]),
+                )
+            ]
     return pa.table(out)
 
 

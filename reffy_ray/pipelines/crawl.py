@@ -839,10 +839,13 @@ def crawl(
             gated = _politeness_admission(
                 frontier, gates, cfg.round_ms
             ).materialize()
-            admitted = gated.filter(lambda row: row["state"] == "admitted")
-            deferred = gated.filter(
-                lambda row: row["state"] == "deferred"
-            ).map_batches(_normalize_frontier, batch_format="pyarrow")
+            # expression filters: evaluated as vectorized Arrow kernels
+            # per block — the frontier is the one table that is large at
+            # 10^10 URLs, so no per-row Python here
+            admitted = gated.filter(expr="state == 'admitted'")
+            deferred = gated.filter(expr="state == 'deferred'").map_batches(
+                _normalize_frontier, batch_format="pyarrow"
+            )
         elif cfg.politeness:
             # open budget (useCrawl analog): everything admits, so skip
             # the shuffle — accounting piggybacks on the fetch stage

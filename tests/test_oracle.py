@@ -79,7 +79,7 @@ ORACLE_KEYS = [
     "near_dup_clusters", "near_dedup", "near_dedup_best",
     "token_budget_sample", "curation_pipeline", "quantize_embeddings",
     "asof_join", "range_join", "rolling_window", "group_quantiles",
-    "global_quantiles",
+    "global_quantiles", "global_quantiles_skew",
     "doc_freq", "top_terms",
     "decontaminate", "pii_redact", "gopher_quality", "normalize_text",
     "top_k_per_group", "knn_join",

@@ -1,5 +1,6 @@
 """Grouped exact quantiles (ops/stats.group_quantiles)."""
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -55,6 +56,44 @@ def test_global_quantiles_match_sorted_rank(ray_session):
     n = len(vals)
     for q, name in [(0.1, "q10"), (0.5, "q50"), (0.99, "q99")]:
         assert out.iloc[0][name] == s[max(math.ceil(q * n), 1) - 1]
+
+
+def test_global_quantiles_skew_respects_driver_cap(ray_session):
+    """≥90% one value: the refinement recurses instead of collecting
+    the whole hot bucket; the driver never sees > driver_cap raw rows."""
+    from reffy_ray.ops.stats import global_quantiles
+
+    import math
+
+    vals = [0.0] * 1900 + [float((i * 193) % 1009) + 1.0 for i in range(100)]
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    audit = []
+    out = global_quantiles(
+        ds, value="v", qs=(0.5, 0.9, 0.99), bins=16, driver_cap=50,
+        _audit=audit,
+    ).to_pandas()
+    s = sorted(vals)
+    n = len(vals)
+    for q, name in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
+        assert out.iloc[0][name] == s[max(math.ceil(q * n), 1) - 1]
+    assert audit, "expected at least one driver-side collection"
+    assert max(audit) <= 50
+
+
+def test_global_quantiles_narrow_range_census(ray_session):
+    """Two distinct values a few ulps apart under a tiny cap: linspace
+    cannot split the range, so the distinct-value census resolves it."""
+    from reffy_ray.ops.stats import global_quantiles
+
+    base = 1.0
+    nxt = float(np.nextafter(base, 2.0))
+    vals = [base] * 600 + [nxt] * 400
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(4)
+    out = global_quantiles(
+        ds, value="v", qs=(0.5, 0.9), bins=16, driver_cap=50
+    ).to_pandas()
+    assert out.iloc[0]["q50"] == base
+    assert out.iloc[0]["q90"] == nxt
 
 
 def test_global_quantiles_degenerate(ray_session):
