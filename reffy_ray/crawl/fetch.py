@@ -31,18 +31,79 @@ class Fetcher:
     previous crawl's checkpoint — the conditional-GET state.
     """
 
-    def __init__(self, mode: str = "fixture", cache_info_ref=None, synth_links: int = 8):
+    def __init__(self, mode: str = "fixture", cache_info_ref=None,
+                 synth_links: int = 8, http_base: str | None = None,
+                 http_timeout: float = 30.0):
         self.mode = mode
         self.cache_info = ray.get(cache_info_ref) if cache_info_ref is not None else {}
         self.synth_links = synth_links
         self.session_fetches = 0  # per-actor cache: ≤1 fetch per URL per crawl
         self._memo: dict[str, tuple[int, str]] = {}
+        self.http_base = (http_base or "").rstrip("/")
+        self.http_timeout = http_timeout
+        if mode == "http":
+            if not self.http_base:
+                raise ValueError("mode='http' requires http_base")
+            # real HTTP client state, built once per actor: an opener
+            # with a persistent redirect handler (reference fetch
+            # wrapper: src/lib/fetch.js:33-51)
+            import urllib.request
+
+            self._opener = urllib.request.build_opener()
+
+    def _http_fetch(self, url: str) -> tuple[int, str, str]:
+        """Real HTTP GET against ``http_base`` using the host-in-path
+        proxy mapping (see crawl/mockserver.py). Conditional GET: sends
+        ``If-Modified-Since`` from the previous crawl's cache_info and
+        short-circuits on 304 (src/lib/util.js:461-487,
+        specs-crawler.js:128-132). Redirects are followed; a redirected
+        response suppresses cache info like the reference
+        (test/crawl.js redirect case), so the next crawl refetches
+        rather than conditional-GETting a moved URL."""
+        import urllib.error
+        import urllib.request
+
+        from .mockserver import proxy_path
+
+        target = self.http_base + proxy_path(url)
+        headers = {}
+        lm_known = self.cache_info.get(url)
+        if lm_known:
+            headers["If-Modified-Since"] = lm_known
+        req = urllib.request.Request(target, headers=headers)
+        try:
+            with self._opener.open(req, timeout=self.http_timeout) as resp:
+                body = resp.read().decode("utf-8", errors="replace")
+                redirected = resp.geturl() != target
+                lm = "" if redirected else (
+                    resp.headers.get("Last-Modified") or ""
+                )
+                return resp.status, body, lm
+        except urllib.error.HTTPError as e:
+            if e.code == 304:
+                return 304, "", lm_known or ""
+            return e.code, "", ""
+        except (urllib.error.URLError, TimeoutError, OSError):
+            # network-level failure: captured per URL like any HTTP
+            # error (crawl continues, error column set —
+            # specs-crawler.js:166-171); 599 is the conventional
+            # network-connect-timeout pseudo-status
+            return 599, "", ""
 
     def _do_fetch(self, url: str) -> tuple[int, str, str]:
         """→ (status, html, last_modified)."""
         if url in self._memo:
             st, html = self._memo[url]
             return st, html, ""
+        if self.mode == "http":
+            result3 = self._http_fetch(url)
+            # memoize non-304 outcomes: ≤1 wire fetch per URL per crawl
+            # per actor (refresh:'once', src/lib/fetch.js:41-43); 304
+            # stays unmemoized so its last_modified survives
+            if result3[0] != 304:
+                self._memo[url] = (result3[0], result3[1])
+                self.session_fetches += 1
+            return result3
         if self.mode == "fixture":
             if url in corpus.ERROR_URLS:
                 return corpus.ERROR_URLS[url], "", ""

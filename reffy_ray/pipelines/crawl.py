@@ -40,7 +40,7 @@ from ..crawl.politeness import PolitenessGates
 from ..crawl.robots import allowed_batch
 from ..crawl.seen import SeenSet, TallyActor
 from ..schemas import SPAN_STRUCT
-from ..stages.parse import spans_from_html
+from ..stages.parse import respec_source_error, spans_from_html
 from ..urlnorm import canonicalize_url, coarse_origin, host_of
 
 CRAWLER_VERSION = f"reffy-ray-{__version__}"
@@ -48,7 +48,10 @@ CRAWLER_VERSION = f"reffy-ray-{__version__}"
 
 @dataclass
 class CrawlConfig:
-    mode: str = "fixture"              # fixture | synth
+    mode: str = "fixture"              # fixture | synth | http
+    # mode='http': base URL of the HTTP endpoint (host-in-path proxy
+    # mapping, see crawl/mockserver.py) — the real-network fetch tier
+    http_base: str | None = None
     max_depth: int = 0                 # link-discovery depth (synth mode)
     max_rounds: int = 6
     num_seen_shards: int = 8
@@ -155,6 +158,9 @@ class SpanAssembler:
                         r["url"],
                         list(zip(r["page_urls"] or [], r["page_htmls"] or [])),
                     )
+                    # ungenerated ReSpec/Bikeshed source → error
+                    # recorded, content kept (see respec_source_error)
+                    err = respec_source_error(spans)
                 except Exception as e:
                     err = f"{type(e).__name__}: {e}"
             elif r["status"] == 304:
@@ -203,8 +209,8 @@ class FetchParse:
     are retained and this fusion just chains them."""
 
     def __init__(self, mode="fixture", cache_info_ref=None, synth_links=8,
-                 fallback_ref=None, gates=None):
-        self.fetch = Fetcher(mode, cache_info_ref, synth_links)
+                 fallback_ref=None, gates=None, http_base=None):
+        self.fetch = Fetcher(mode, cache_info_ref, synth_links, http_base=http_base)
         self.parse = SpanAssembler(fallback_ref)
         # open-budget politeness accounting piggybacks here (one
         # fire-and-forget RPC per (batch, origin)) instead of costing
@@ -237,7 +243,8 @@ def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
                       extract_modules: tuple[str, ...] | None = None,
                       extracts_dir: str | None = None,
                       extracts_round: str = "round=0",
-                      drop_spans: bool = False) -> pa.Table:
+                      drop_spans: bool = False,
+                      http_base: str | None = None) -> pa.Table:
     fp = _FETCH_PARSE_CACHE.get(crawl_id)
     if fp is None:
         # hot parse workers run without the cyclic GC: the parser breaks
@@ -247,7 +254,8 @@ def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
         import gc
 
         gc.disable()
-        fp = FetchParse(mode, cache_info_ref, synth_links, fallback_ref, gates)
+        fp = FetchParse(mode, cache_info_ref, synth_links, fallback_ref, gates,
+                        http_base=http_base)
         _FETCH_PARSE_CACHE.clear()  # drop stale crawls' state
         _FETCH_PARSE_CACHE[crawl_id] = fp
     out = fp(batch)
@@ -872,6 +880,7 @@ def crawl(
                 extracts_dir=ex_dir,
                 extracts_round=f"round={r}",
                 drop_spans=cfg.fused_drop_spans,
+                http_base=cfg.http_base,
             ),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,

@@ -1513,6 +1513,34 @@ def spans_from_html(
     ]
 
 
+def respec_source_error(spans: list[dict]) -> str | None:
+    """Ungenerated-source guard. The reference renders specs in a
+    browser and WAITS for ReSpec generation before extracting
+    (src/lib/util.js:613-628 — ≤60 retries then error); this engine
+    parses static HTML, so a raw ReSpec/Bikeshed *source* — generator
+    machinery present but none of the generated structure (no title
+    span, no heading spans) — would otherwise silently extract
+    nothing. Return the reference-style error message for such a
+    document (caller records it in the ``error`` column, content
+    kept, crawl continues — specs-crawler.js:166-171 semantics)."""
+    gen = None
+    saw_marker = False
+    for s in spans:
+        k = s["kind"]
+        if k in ("title", "heading"):
+            saw_marker = True
+        elif k == "meta" and s["text"].startswith("generator="):
+            gen = s["text"][len("generator="):]
+    if gen and not saw_marker:
+        return (
+            f"Spec generator '{gen}' detected but no generated content "
+            "markers (title/headings) present — document looks like an "
+            "ungenerated source; the reference waits for generation "
+            "before extracting (src/lib/util.js:613-628)"
+        )
+    return None
+
+
 class SpanParser:
     """Actor-pool stage: Arrow batch of fetched HTML → documents rows.
 

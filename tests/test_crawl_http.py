@@ -1,0 +1,181 @@
+"""mode='http' e2e: the real-HTTP fetch tier driven against the
+in-process mock server (reference: test/crawl.js:51-208 runs the whole
+crawl against src/lib/mock-server.js). Covers 200, 304, 404+fallback,
+redirect — the same assertions as the fixture-mode tests, now over a
+genuine socket + headers path."""
+
+import pyarrow as pa
+import pytest
+
+from reffy_ray.crawl.mockserver import FixtureHTTPServer, original_url, proxy_path
+from reffy_ray.pipelines.crawl import CrawlConfig, crawl
+from reffy_ray.sources.corpus import fixture_seeds
+
+
+RAW_RESPEC_URL = "https://w3c.github.io/raw-respec-source/"
+RAW_RESPEC_HTML = """<html><head>
+  <script>var respecConfig = { shortName: 'raw', specStatus: 'ED' };</script>
+  <script src='https://www.w3.org/Tools/respec/respec-w3c' async></script>
+</head><body>
+  <section data-include='intro.md' data-include-format='markdown'></section>
+  <section id='conformance'></section>
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    with FixtureHTTPServer(
+        extra={RAW_RESPEC_URL: RAW_RESPEC_HTML},
+        redirects={
+            "https://www.w3.org/TR/imoved/": "https://w3c.github.io/mediacapture-output/"
+        },
+    ) as srv:
+        yield srv
+
+
+def _seed_row(url, rank=0, shortname="s"):
+    return {
+        "url": url, "shortname": shortname, "series_shortname": shortname,
+        "series_composition": "full", "series_version": "1.0",
+        "nightly_url": url, "release_url": None, "pages": [],
+        "standing": "good", "seed_rank": rank,
+    }
+
+
+def test_proxy_path_roundtrip():
+    for u in ["https://www.w3.org/TR/WOFF2/", "https://a.b/c/d.html?x=1"]:
+        assert original_url(proxy_path(u)) == u
+
+
+def test_http_mode_matches_fixture_mode(ray_session, tmp_path, http_server):
+    """The flagship assertion: an http-mode crawl over the wire yields
+    the exact same document table (order contract included) as the
+    in-memory fixture mode."""
+    seeds = fixture_seeds()
+    res_http = crawl(seeds, CrawlConfig(
+        mode="http", http_base=http_server.base_url,
+        checkpoint_dir=str(tmp_path / "ck_http"),
+    ))
+    res_fix = crawl(seeds, CrawlConfig(
+        mode="fixture", checkpoint_dir=str(tmp_path / "ck_fix"),
+    ))
+    rows_http = sorted(
+        res_http.ordered_documents().take_all(), key=lambda r: r["url"]
+    )
+    rows_fix = sorted(
+        res_fix.ordered_documents().take_all(), key=lambda r: r["url"]
+    )
+    assert len(rows_http) == len(rows_fix) == 5
+    for a, b in zip(rows_http, rows_fix):
+        assert a["url"] == b["url"]
+        assert a["status"] == b["status"]
+        assert a["spans"] == b["spans"]
+    # order contract holds over the wire too (reffy.js:164-167)
+    ranks = [r["seed_rank"] for r in res_http.ordered_documents().take_all()]
+    assert ranks == sorted(ranks)
+
+
+def test_http_not_modified_reuses_checkpoint(ray_session, tmp_path, http_server):
+    # conditional GET over the wire: If-Modified-Since → 304 → reuse
+    url = "https://www.w3.org/TR/ididnotchange/"
+    seeds = pa.Table.from_pylist([_seed_row(url, shortname="ididnotchange")])
+    fallback = {url: [
+        {"kind": "title", "text": "Cached Title", "media_ref": "", "offset": 0}
+    ]}
+    cache_info = {url: "Fri, 11 Feb 2022 00:00:42 GMT"}
+    cfg = CrawlConfig(
+        mode="http", http_base=http_server.base_url,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    res = crawl(seeds, cfg, fallback_spans=fallback, cache_info=cache_info)
+    docs = res.documents().take_all()
+    assert docs[0]["status"] == 304
+    assert docs[0]["crawl_cache"] == "not modified"
+    assert docs[0]["spans"][0]["text"] == "Cached Title"
+    assert docs[0]["error"] is None
+    # the server really answered 304 (not a client-side shortcut)
+    assert (url, 304) in http_server.request_log
+
+
+def test_http_changed_page_refetches(ray_session, tmp_path, http_server):
+    # stale If-Modified-Since → 200 with fresh body + new Last-Modified
+    url = "https://www.w3.org/TR/ididnotchange/"
+    seeds = pa.Table.from_pylist([_seed_row(url, shortname="ididnotchange")])
+    cache_info = {url: "Mon, 01 Jan 2001 00:00:00 GMT"}
+    cfg = CrawlConfig(
+        mode="http", http_base=http_server.base_url,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    res = crawl(seeds, cfg, cache_info=cache_info)
+    docs = res.documents().take_all()
+    assert docs[0]["status"] == 200
+    titles = [s["text"] for s in docs[0]["spans"] if s["kind"] == "title"]
+    assert titles == ["Changed"]
+
+
+def test_http_error_url_captured_with_fallback(ray_session, tmp_path, http_server):
+    # real 404 over the wire: error recorded AND fallback content kept
+    url = "https://www.w3.org/TR/idontexist/"
+    seeds = pa.Table.from_pylist([_seed_row(url, shortname="idontexist")])
+    fallback = {url: [
+        {"kind": "title", "text": "Fallback Title", "media_ref": "", "offset": 0}
+    ]}
+    cfg = CrawlConfig(
+        mode="http", http_base=http_server.base_url,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    res = crawl(seeds, cfg, fallback_spans=fallback)
+    docs = res.documents().take_all()
+    assert len(docs) == 1
+    assert "404" in docs[0]["error"]
+    assert docs[0]["spans"][0]["text"] == "Fallback Title"
+    assert res.counters.to_pylist()[0]["errors"] == 1
+    assert (url, 404) in http_server.request_log
+
+
+def test_raw_respec_source_guard_unit():
+    # parse-level guard: generator machinery but no generated markers
+    from reffy_ray.stages.parse import respec_source_error, spans_from_html
+
+    spans = spans_from_html(RAW_RESPEC_HTML, RAW_RESPEC_URL)
+    msg = respec_source_error(spans)
+    assert msg is not None and "ungenerated" in msg
+    # a generated-looking ReSpec doc (has headings) is NOT flagged
+    ok = spans_from_html(
+        "<script>respecConfig = {};</script><h2 id='x'>1. Intro</h2>",
+        RAW_RESPEC_URL,
+    )
+    assert respec_source_error(ok) is None
+
+
+def test_http_raw_respec_source_error_row(ray_session, tmp_path, http_server):
+    # e2e: the crawl records the reference-style error row instead of
+    # silently extracting nothing (util.js:613-628 wait analog)
+    seeds = pa.Table.from_pylist([_seed_row(RAW_RESPEC_URL, shortname="raw")])
+    cfg = CrawlConfig(
+        mode="http", http_base=http_server.base_url,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    res = crawl(seeds, cfg)
+    docs = res.documents().take_all()
+    assert len(docs) == 1
+    assert docs[0]["status"] == 200
+    assert docs[0]["error"] is not None and "ungenerated" in docs[0]["error"]
+
+
+def test_http_redirect_followed(ray_session, tmp_path, http_server):
+    # 301 → client follows Location to the target spec's content
+    url = "https://www.w3.org/TR/imoved/"
+    seeds = pa.Table.from_pylist([_seed_row(url, shortname="imoved")])
+    cfg = CrawlConfig(
+        mode="http", http_base=http_server.base_url,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    res = crawl(seeds, cfg)
+    docs = res.documents().take_all()
+    assert docs[0]["status"] == 200
+    assert docs[0]["error"] is None
+    # body is the redirect target's (mediacapture-output) content
+    idl = [s["text"] for s in docs[0]["spans"] if s["kind"] == "idl-block"]
+    assert idl and "interface Foo" in idl[0]
+    assert (url, 301) in http_server.request_log
