@@ -1707,6 +1707,15 @@ def ngram_novelty(
     Scale shape: identical to :func:`dup_ngram_fraction` — shared
     (doc_id, gram-hash) explode, one groupby-min for the
     first-seeing-doc table, a hash join back, one per-doc groupby.
+
+    Collision approximation (accepted convention, shared with
+    :func:`dup_ngram_fraction`): grams are identified by their 63-bit
+    md5 hash, so two distinct grams colliding merge their
+    first-occurrence records and flip novelty for the later document.
+    Negligible at test scale; at ~10^10 distinct grams the birthday
+    bound implies ~10 expected collisions corpus-wide — widen the key
+    (full 128-bit md5 as two int64 columns) if exactness at that
+    scale matters.
     """
     from ray.data.aggregate import Min, Sum
 

@@ -542,12 +542,27 @@ def kcore(
                 n, c = np.unique(ends, return_counts=True)
                 return pd.DataFrame({"n": n, "c": c})
 
-            parts = edges.map_batches(
+            # streaming driver fold: partials arrive one block at a
+            # time and are folded into the (node → degree) series
+            # incrementally, so driver memory is bounded by the folded
+            # node set (guard-checked DURING the fold) plus one block —
+            # never the concatenated per-block partials, which can
+            # reach ~2×edges rows on a fragmented edge list
+            folded = None
+            for bt in edges.map_batches(
                 deg_partial, batch_format="pandas"
-            ).to_pandas()
-            if parts.empty:
-                # empty edge list (Ray drops all-empty blocks — the
-                # column-less frame would KeyError below)
+            ).iter_batches(batch_format="pandas", batch_size=None):
+                if bt.empty:
+                    continue
+                g = bt.groupby("n")["c"].sum()
+                folded = g if folded is None else folded.add(g, fill_value=0)
+                if len(folded) > broadcast_max_nodes:
+                    raise ValueError(
+                        "node set exceeds broadcast tier bound; "
+                        "use mode='join'"
+                    )
+            if folded is None:
+                # empty edge list (Ray drops all-empty blocks)
                 return rd.from_arrow(
                     pa.table(
                         {
@@ -556,16 +571,9 @@ def kcore(
                         }
                     )
                 )
-            folded = parts.groupby("n", sort=True)["c"].sum()
+            folded = folded.sort_index()
             nodes = folded.index.to_numpy().astype(np.int64)
             deg = folded.to_numpy().astype(np.int64)
-            # enforced every round INCLUDING the first — the guard
-            # must fire before a survivor array that size is built
-            if len(nodes) > broadcast_max_nodes:
-                raise ValueError(
-                    "node set exceeds broadcast tier bound; "
-                    "use mode='join'"
-                )
             keep = deg >= k
             new_surv = nodes[keep]
             if surv is not None and len(new_surv) == len(surv):

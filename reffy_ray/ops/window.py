@@ -1359,9 +1359,23 @@ def late_events(
                  for c in (id_col, user_col, "arrival_seq",
                            "is_late", "late_us")}
             )
-        carry_max, prior = _ray.get(st_ref)[
-            (int(b["u"].iloc[0]), int(b["s"].iloc[0]), int(b["i"].iloc[0]))
-        ]
+        # the stitch map is keyed by each block's first (u, s, i) row
+        # and relies on the census and assign passes seeing IDENTICAL
+        # block boundaries over the same materialized sorted dataset
+        # (batch_size=None per-block batching; same shape as
+        # event_gaps' census stitch). A re-chunk between the passes
+        # would break the contract — fail loud with the assumption
+        # spelled out rather than a bare KeyError.
+        key = (int(b["u"].iloc[0]), int(b["s"].iloc[0]), int(b["i"].iloc[0]))
+        entry = _ray.get(st_ref).get(key)
+        if entry is None:
+            raise RuntimeError(
+                f"late_events stitch miss for block starting at {key}: "
+                "census and assign saw different block boundaries — the "
+                "per-block stitch assumes batch_size=None preserves the "
+                "materialized dataset's block layout between passes"
+            )
+        carry_max, prior = entry
         u, t = b["u"].to_numpy(), b["t"].to_numpy()
         n = len(b)
         # inclusive running max per user segment, shifted to exclusive

@@ -379,3 +379,76 @@ def test_politeness_boundary_weighted_pages(ray_session):
     assert states["https://drafts.csswg.org/a/"] == "admitted"
     assert states["https://drafts.csswg.org/b/"] == "deferred"
     assert states["https://drafts.csswg.org/c/"] == "deferred"
+
+
+def test_crash_between_docs_write_and_manifest_resumes_clean(ray_session, tmp_path):
+    """Crash-consistency: kill the crawl AFTER round r's document part
+    files are written but BEFORE the seen-snapshot/frontier/manifest
+    checkpoint lands (the write ordering in crawl()'s checkpoint
+    block), then resume. The resume must wipe the partial round and
+    re-execute it: zero duplicate doc_ids and a seen-set identical to
+    an uninterrupted run (reference version-gate semantics,
+    specs-crawler.js:87-98)."""
+    import shutil
+
+    from reffy_ray.sources.corpus import scaled_seeds
+    from reffy_ray.state.cuckoo import CuckooFilter
+
+    base = dict(mode="synth", max_depth=1, expand_links=True,
+                round_ms=float("inf"), synth_links=3, num_seen_shards=4)
+    seeds = scaled_seeds(8)
+
+    # uninterrupted reference run
+    a_dir = tmp_path / "a"
+    res_a = crawl(seeds, CrawlConfig(**base, checkpoint_dir=str(a_dir)))
+    docs_a = sorted(
+        r["doc_id"]
+        for r in res_a.documents().select_columns(["doc_id"]).take_all()
+    )
+    rounds_a = res_a.stats["rounds"]
+    assert rounds_a >= 2  # the crash round below must not be round 0
+
+    # crash run: complete rounds 0..r-1, snapshot the manifest, run
+    # round r to get its docs on disk, then rewind every checkpoint
+    # artifact the crash would have prevented — manifest, seen
+    # snapshot, counters — leaving the round-r docs dir behind,
+    # truncated to make it genuinely partial
+    last = rounds_a - 1
+    b_dir = tmp_path / "b"
+    crawl(seeds, CrawlConfig(**base, checkpoint_dir=str(b_dir),
+                             max_rounds=last))
+    manifest_before = (b_dir / "manifest.json").read_text()
+    counters_before = (b_dir / "counters.parquet").read_bytes()
+    crawl(seeds, CrawlConfig(**base, checkpoint_dir=str(b_dir),
+                             max_rounds=rounds_a, resume=True))
+    (b_dir / "manifest.json").write_text(manifest_before)
+    (b_dir / "counters.parquet").write_bytes(counters_before)
+    shutil.rmtree(b_dir / "seen" / f"round={last}", ignore_errors=True)
+    stray_frontier = b_dir / "frontier" / f"round={rounds_a}.parquet"
+    if stray_frontier.exists():
+        shutil.rmtree(stray_frontier, ignore_errors=True)
+    partial = sorted((b_dir / "documents" / f"round={last}").glob("*.parquet"))
+    assert partial, "crash simulation needs round-r doc part files"
+    partial[0].unlink()  # the round is now half-written
+
+    # resume from the crash state
+    res_b = crawl(seeds, CrawlConfig(**base, checkpoint_dir=str(b_dir),
+                                     max_rounds=rounds_a, resume=True))
+    docs_b = [
+        r["doc_id"]
+        for r in res_b.documents().select_columns(["doc_id"]).take_all()
+    ]
+    assert len(docs_b) == len(set(docs_b)), "duplicate doc_ids after resume"
+    assert sorted(docs_b) == docs_a
+    assert res_b.stats["rounds"] == rounds_a
+
+    # seen-set content identical to the uninterrupted run (exact sets
+    # from the final snapshots; cuckoo table bytes are layout-dependent)
+    for i in range(4):
+        sa = CuckooFilter.from_bytes(
+            (a_dir / "seen" / f"round={last}" / f"shard-{i}.bin").read_bytes()
+        )
+        sb = CuckooFilter.from_bytes(
+            (b_dir / "seen" / f"round={last}" / f"shard-{i}.bin").read_bytes()
+        )
+        assert sa.exact == sb.exact
