@@ -3065,16 +3065,38 @@ def q_frame_sample(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal decode plumbing (stubbed codec, deterministic fake)."""
-    from reffy_ray.ops.multimodal import MediaDecoder, synth_media_batch
+    """REAL multimodal decode: binary PPM images and RIFF WAVE PCM16
+    audio decoded by the pure-numpy codecs (ops/codecs.py) inside the
+    MediaDecoder actor pool; video payloads (compressed) stay stubbed.
+    The synthetic payloads follow closed-form pixel/sample rules
+    (synth_media_batch_real docstring), so the oracle verifies the
+    decoded values analytically."""
+    from reffy_ray.ops.multimodal import MediaDecoder, synth_media_batch_real
 
-    media = rd.from_arrow(synth_media_batch(256))
-    return media.map_batches(
+    media = rd.from_arrow(synth_media_batch_real(256))
+    decoded = media.map_batches(
         MediaDecoder,
-        fn_constructor_kwargs={"fake": True},
+        fn_constructor_kwargs={"fake": False},
         batch_format="pyarrow",
         concurrency=2,
-    ).select_columns(["media_id", "kind", "decode_status"])
+    )
+
+    def flatten(b: pa.Table) -> pa.Table:
+        feats = b.column("feature").to_pylist()
+        names = ["dim_a", "dim_b", "channels", "units",
+                 "v_first", "v_last", "v_min", "v_max"]
+        cols = {
+            "media_id": b.column("media_id"),
+            "kind": b.column("kind"),
+            "decode_status": b.column("decode_status"),
+        }
+        for j, name in enumerate(names):
+            cols[name] = pa.array(
+                [None if f is None else int(f[j]) for f in feats], pa.int64()
+            )
+        return pa.table(cols)
+
+    return decoded.map_batches(flatten, batch_format="pyarrow")
 
 
 def q_duplicated_substrings(sf_dir: str):
@@ -6971,10 +6993,50 @@ def oracle_sql() -> dict[str, str]:
                    ), ',') AS targets
             FROM documents WHERE doc_id % 9 = 0
         """,
-        # crawl_fixture / media_features / annotate_links (fixture
-        # variant): intentionally omitted — stateful-distributed
-        # semantics (crawl rounds, stubbed decode); driver records
-        # rows-only.
+        # ops/multimodal.MediaDecoder(fake=False) + ops/codecs: real
+        # PPM/WAV decode; the synthetic payloads follow closed-form
+        # pixel/sample rules (synth_media_batch_real), so the oracle
+        # reproduces the decoded values analytically. Video rows are
+        # stubbed (compressed codec) → NULL features.
+        "media_features": """
+            WITH m AS (
+              SELECT i, i % 3 AS r,
+                     16 + (i % 8) * 4 AS w,
+                     12 + (i % 5) * 4 AS h,
+                     160 + i AS ns
+              FROM range(256) t(i)
+            )
+            SELECT 'mr0-' || CAST(i AS VARCHAR) AS media_id,
+              CASE r WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+              CASE r WHEN 2 THEN 'stubbed' ELSE 'ok' END AS decode_status,
+              CASE r WHEN 0 THEN w WHEN 1 THEN 8000 END AS dim_a,
+              CASE r WHEN 0 THEN h WHEN 1 THEN 0 END AS dim_b,
+              CASE r WHEN 0 THEN 3 WHEN 1 THEN 1 END AS channels,
+              CASE r WHEN 0 THEN w * h WHEN 1 THEN ns END AS units,
+              CASE r WHEN 0 THEN i
+                     WHEN 1 THEN (i - 128) * 256 END AS v_first,
+              CASE r WHEN 0 THEN (i + h + w) % 256
+                     WHEN 1 THEN (((2 * i + 159) % 256) - 128) * 256
+                     END AS v_last,
+              CASE r WHEN 0 THEN
+                       CASE WHEN i + h + w > 255 THEN 0 ELSE i END
+                     WHEN 1 THEN
+                       CASE WHEN 2 * i + 159 > 255 THEN -32768
+                            ELSE (i - 128) * 256 END
+                     END AS v_min,
+              CASE r WHEN 0 THEN
+                       CASE WHEN i + h + w > 255 THEN 255
+                            ELSE i + h + w END
+                     WHEN 1 THEN
+                       CASE WHEN 2 * i + 159 > 255 THEN 32512
+                            ELSE (2 * i + 31) * 256 END
+                     END AS v_max
+            FROM m
+        """,
+        # crawl_fixture / annotate_links (fixture variant):
+        # intentionally omitted — stateful-distributed semantics
+        # (crawl rounds); driver records rows-only.
     }
 
 

@@ -60,6 +60,53 @@ def synth_media_batch(n: int, seed: int = 0) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_media_batch_real(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic media rows with REAL decodable payloads: binary
+    PPM (P6) images and RIFF WAVE PCM16 audio built by ops/codecs'
+    encoders; video rows carry an opaque payload (compressed codecs
+    stay stubbed in this container).
+
+    Pixel / sample rules are closed-form so a SQL oracle can verify
+    the decoded values analytically (q_media_features):
+
+    - image i: w = 16 + (i%8)·4, h = 12 + (i%5)·4,
+      pix(y, x, c) = (i + y + x + c) mod 256
+    - audio i: rate 8000 Hz mono, n_samples = 160 + i,
+      sample(k) = ((i + k) mod 256 − 128) · 256
+    """
+    from .codecs import encode_pnm, encode_wav
+
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
+            y, x, c = np.ogrid[0:h, 0:w, 0:3]
+            payload = encode_pnm(((i + y + x + c) % 256).astype(np.uint8))
+            mime, dur = "image/x-portable-pixmap", 0
+        elif kind == "audio":
+            k = np.arange(160 + i, dtype=np.int64)
+            payload = encode_wav((((i + k) % 256 - 128) * 256).astype(np.int16))
+            w = h = 0
+            mime, dur = "audio/wav", (160 + i) * 1000 // 8000
+        else:
+            payload = hashlib.md5(f"video-{seed}-{i}".encode()).digest() * 8
+            w, h = 64, 48
+            mime, dur = "video/mp4", 1000 + i
+        rows.append(
+            {
+                "media_id": f"mr{seed}-{i}",
+                "kind": kind,
+                "payload": payload,
+                "mime": mime,
+                "width": w,
+                "height": h,
+                "duration_ms": dur,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 def media_manifest(batch) -> pa.Table:
     """Interleaved media spans → media manifest rows: one row per
     figure/image span of a documents batch (doc_id, media_ref, kind,
@@ -194,20 +241,53 @@ class MediaDecoder:
 
     ``fake=True`` → deterministic 8-dim feature from the payload hash
     (pipeline plumbing testable without codecs). ``fake=False`` →
-    NotImplementedError at decode time, as mandated for this container.
-    Real deployment: replace ``_decode`` with PIL/torchaudio/pyav calls
-    loaded once here in ``__init__``.
+    REAL decode for uncompressed formats via the pure-numpy codecs in
+    ops/codecs.py — binary PNM images (P5/P6) and RIFF WAVE PCM audio
+    — emitting the 8-dim feature
+    ``[dim_a, dim_b, channels, units, v_first, v_last, v_min, v_max]``
+    (image: dim_a/b = width/height, units = pixels; audio: dim_a =
+    sample rate, dim_b = 0, units = samples; all values exactly
+    representable in float32). Compressed formats (PNG/JPEG/MP4)
+    raise NotImplementedError → ``decode_status='stubbed'`` — no
+    compression libraries exist in this container; a real deployment
+    extends ``_decode`` with PIL/torchaudio/pyav calls loaded once
+    per actor here in ``__init__``.
     """
 
     def __init__(self, fake: bool = True, feature_dim: int = 8):
         self.fake = fake
         self.dim = feature_dim
-        # real impl would load codecs/models here, once per actor
+        if not fake:
+            # codec entry points bound once per actor
+            from .codecs import decode_pnm, decode_wav
+
+            self._decode_pnm = decode_pnm
+            self._decode_wav = decode_wav
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if not self.fake:
+            if kind == "image" and payload[:1] == b"P":
+                arr = self._decode_pnm(payload)
+                channels = 1 if arr.ndim == 2 else arr.shape[2]
+                flat = arr.reshape(-1).astype(np.int64)
+                h, w = arr.shape[:2]
+                return np.array(
+                    [w, h, channels, w * h, flat[0], flat[-1],
+                     flat.min(), flat.max()],
+                    dtype=np.float32,
+                )
+            if kind == "audio" and payload[:4] == b"RIFF":
+                rate, samples = self._decode_wav(payload)
+                channels = 1 if samples.ndim == 1 else samples.shape[1]
+                flat = samples.reshape(-1).astype(np.int64)
+                return np.array(
+                    [rate, 0, channels, len(samples), flat[0], flat[-1],
+                     flat.min(), flat.max()],
+                    dtype=np.float32,
+                )
             raise NotImplementedError(
-                "media codecs unavailable in this container; run with fake=True"
+                f"no codec for kind={kind!r} payload (compressed formats "
+                "are stubbed in this container)"
             )
         h = hashlib.sha256(payload).digest()
         return (
@@ -289,8 +369,22 @@ class MediaResizer:
 
     def _resample(self, payload: bytes, w: int, h: int) -> bytes:
         if not self.fake:
+            # real path for uncompressed PNM: nearest-neighbor index
+            # sampling in pure numpy (ops/codecs.py round-trip);
+            # compressed formats remain stubbed (no libs here)
+            if payload[:1] == b"P":
+                from .codecs import decode_pnm, encode_pnm
+
+                arr = decode_pnm(payload)
+                src_h, src_w = arr.shape[:2]
+                if w <= 0 or h <= 0:
+                    raise ValueError("resample target must be positive")
+                ys = (np.arange(h) * src_h) // h
+                xs = (np.arange(w) * src_w) // w
+                return encode_pnm(arr[ys][:, xs])
             raise NotImplementedError(
-                "image codecs unavailable in this container; run with fake=True"
+                "no codec for this payload (compressed formats are "
+                "stubbed in this container); run with fake=True"
             )
         return hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
 

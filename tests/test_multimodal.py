@@ -53,10 +53,64 @@ def test_media_resizer_aspect_fit(ray_session):
     assert out["payload"].map(len).eq(32).all()
 
 
-def test_media_resizer_real_path_raises():
+def test_media_resizer_real_path_raises_for_compressed():
     r = MediaResizer(fake=False)
     with pytest.raises(NotImplementedError):
-        r._resample(b"x", 10, 10)
+        r._resample(b"\x89PNG...", 10, 10)
+
+
+def test_media_resizer_real_pnm_nearest_neighbor():
+    from reffy_ray.ops.codecs import decode_pnm, encode_pnm
+
+    arr = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    out = MediaResizer(fake=False)._resample(encode_pnm(arr), 4, 3)
+    got = decode_pnm(out)
+    assert got.shape == (3, 4, 3)
+    # nearest-neighbor index sampling: rows 0,2,4 / cols 0,2,4,6
+    assert np.array_equal(got, arr[[0, 2, 4]][:, [0, 2, 4, 6]])
+
+
+def test_codecs_roundtrip():
+    from reffy_ray.ops.codecs import (
+        decode_pnm, decode_wav, encode_pnm, encode_wav,
+    )
+
+    rgb = np.random.default_rng(7).integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_pnm(rgb)), rgb)
+    gray = rgb[:, :, 0]
+    assert np.array_equal(decode_pnm(encode_pnm(gray)), gray)
+    # PNM comments and multi-whitespace headers parse too
+    hand = b"P5\n# a comment\n 4  2 \n255\n" + bytes(range(8))
+    assert decode_pnm(hand).shape == (2, 4)
+
+    pcm = (np.random.default_rng(9).integers(-32768, 32768, 500)
+           .astype(np.int16))
+    rate, got = decode_wav(encode_wav(pcm, 8000))
+    assert rate == 8000 and np.array_equal(got, pcm)
+    # stdlib wave agrees with the hand-rolled RIFF parser
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(encode_wav(pcm, 8000))) as wf:
+        assert wf.getframerate() == 8000
+        assert np.array_equal(
+            np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2"), pcm
+        )
+
+
+def test_media_decoder_real_pnm_wav_features():
+    from reffy_ray.ops.codecs import encode_pnm, encode_wav
+
+    d = MediaDecoder(fake=False)
+    arr = np.full((2, 3, 3), 9, dtype=np.uint8)
+    arr[0, 0, 0], arr[1, 2, 2] = 4, 250
+    f = d._decode(encode_pnm(arr), "image")
+    assert f.tolist() == [3.0, 2.0, 3.0, 6.0, 4.0, 250.0, 4.0, 250.0]
+    pcm = np.array([-5, 0, 7, 32000], dtype=np.int16)
+    f = d._decode(encode_wav(pcm, 16000), "audio")
+    assert f.tolist() == [16000.0, 0.0, 1.0, 4.0, -5.0, 32000.0, -5.0, 32000.0]
+    with pytest.raises(NotImplementedError):
+        d._decode(b"\x00\x01compressed", "video")
 
 
 def test_media_decoder_fake_features_deterministic():

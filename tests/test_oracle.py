@@ -70,7 +70,7 @@ ORACLE_KEYS = [
     "char_entropy",
     "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
-    "frame_sample",
+    "frame_sample", "media_features",
     "word_counts", "bigram_counts", "sessionize",
     "cohort_retention", "line_dedup",
     "fingerprint", "simhash", "minhash_pairs", "jaccard_pairs",
@@ -134,7 +134,7 @@ def test_query_matches_oracle(contract, name):
 
 
 ROWS_ONLY_KEYS = [
-    "crawl_fixture", "media_features", "annotate_links",
+    "crawl_fixture", "annotate_links",
 ]
 
 
@@ -144,9 +144,6 @@ def test_rows_only_queries_run(contract, name):
     assert res is not None
     if name in ("crawl_fixture",):
         assert len(res) == 5
-    if name == "media_features":
-        assert len(res) == 256
-        assert set(res["decode_status"]) == {"fake"}
 
 
 def test_contract_key_completeness(contract):
