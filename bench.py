@@ -324,8 +324,10 @@ def run_scaling() -> dict:
     pattern (lo, hi, hi, lo) per block: averaging each level within a
     block cancels linear drift to first order."""
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, seeds: int | None = None) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+        if seeds is not None:
+            env["GRAFT_SCALING_SEEDS"] = str(seeds)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -337,10 +339,10 @@ def run_scaling() -> dict:
 
     n_blocks = int(os.environ.get("GRAFT_SCALE_BLOCKS", "2"))
 
-    def block(lo: int, hi: int) -> tuple[list, list]:
-        a1 = run(lo)
-        b1, b2 = run(hi), run(hi)
-        a2 = run(lo)
+    def block(lo: int, hi: int, seeds: int | None = None) -> tuple[list, list]:
+        a1 = run(lo, seeds)
+        b1, b2 = run(hi, seeds), run(hi, seeds)
+        a2 = run(lo, seeds)
         _time.sleep(3)  # let the previous session's plasma store drain
         return [a1, a2], [b1, b2]
 
@@ -379,19 +381,46 @@ def run_scaling() -> dict:
             "block_efficiencies_steady": [round(e, 3) for e in steady_effs],
             "scaling_efficiency_steady": round(mean(steady_effs), 3),
         }
+    # 8k-seed compatibility reading (one ABBA block at the round-2
+    # protocol's corpus size), so readings stay comparable across the
+    # 8k→24k protocol change and both corpus sizes appear in every
+    # --scaling output. Skippable for fast hot-window campaigns.
+    if not (only and "8v32@8k" not in only.split(",")) and not os.environ.get(
+        "GRAFT_SCALE_SKIP_COMPAT"
+    ):
+        blk = block(8, 32, seeds=8000)
+        pairs_out["8v32@8k"] = {
+            "seeds": 8000,
+            "block_efficiencies_full_job": [round(eff_of(blk, 8, 32, "full"), 3)],
+            "block_efficiencies_steady": [round(eff_of(blk, 8, 32, "steady"), 3)],
+            "scaling_efficiency_steady": round(eff_of(blk, 8, 32, "steady"), 3),
+        }
     mandated = pairs_out["8v32"]
     calib = pairs_out.get(f"{SCALE_LO}v{SCALE_HI}")
     return {
         "metric": "crawl+extract URLs/sec scaling efficiency, N vs 4N CPUs "
-                  "(mandated 8v32 pair + 4v16 hardware-calibration pair)",
+                  "(mandated 8v32 pair + 4v16 hardware-calibration pair + "
+                  "8k-seed compatibility block)",
         # headline: mandated protocol, steady-state regime (the large
         # fetch round + its extract share — the regime a 10^10-URL
         # crawl spends ~all its time in; the 2-round sandbox corpus
         # overweights the fixed prologue by construction)
         "scaling_efficiency": mandated["scaling_efficiency_steady"],
+        # the criterion is the MULTI-BLOCK MEAN at the stated protocol
+        # (not any single bar-clearing block); per-block readings are
+        # in pairs.*.block_efficiencies_steady
+        "criterion": (
+            f"multi-block mean of steady 8v32 efficiency at the "
+            f"{SCALING_SEEDS}-seed protocol"
+        ),
+        "seeds": SCALING_SEEDS,
         "scaling_efficiency_full_job": mandated["scaling_efficiency_full_job"],
         "scaling_efficiency_4v16": (
             calib["scaling_efficiency_steady"] if calib else None
+        ),
+        "scaling_efficiency_8k_compat": (
+            pairs_out["8v32@8k"]["scaling_efficiency_steady"]
+            if "8v32@8k" in pairs_out else None
         ),
         "pairs": pairs_out,
         "hardware_note": "shared host; plain-multiprocessing probe caps any "

@@ -7,10 +7,16 @@ mode (`--debug`, reffy.js:85), markdown summary (`--markdown`),
 terse/quiet output, fallback crawl reuse and cache reset.
 
 Usage:
-    python -m reffy_ray.cli crawl --output /tmp/out [--mode fixture|synth]
+    python -m reffy_ray.cli crawl [--output /tmp/out | -o '{return}']
+        [--mode fixture|synth|http] [--http-base URL]
         [--seeds N] [--module name ...] [--markdown] [--debug]
         [--use-crawl FOLDER] [--fallback FOLDER] [--reset-cache]
         [--post name ...] [--quiet] [--terse]
+
+Omitting --output (or passing '-' / '{return}') crawls into a scratch
+folder and dumps the index JSON to stdout — the reference's
+output:'{return}' magic (specs-crawler.js:590-596) and its
+console-output default (reffy.js:104-108).
 """
 
 from __future__ import annotations
@@ -45,7 +51,7 @@ def cmd_crawl(args) -> int:
     from .pipelines.full_crawl import default_modules, full_crawl, markdown_report
     from .sources.corpus import fixture_seeds, scaled_seeds
 
-    seeds = fixture_seeds() if args.mode == "fixture" else scaled_seeds(args.seeds)
+    seeds = fixture_seeds() if args.mode != "synth" else scaled_seeds(args.seeds)
 
     modules = default_modules()
     if args.module:
@@ -54,6 +60,7 @@ def cmd_crawl(args) -> int:
 
     cfg = CrawlConfig(
         mode=args.mode,
+        http_base=args.http_base,
         # --debug: serial crawl, one document at a time (reffy.js:85)
         fetch_concurrency=1 if args.debug else args.concurrency,
         parse_concurrency=1 if args.debug else args.concurrency,
@@ -70,11 +77,25 @@ def cmd_crawl(args) -> int:
     if args.use_crawl:
         return cmd_post_process(args)
 
-    res = full_crawl(seeds, args.output, cfg, modules=modules,
+    # output:'{return}' magic (specs-crawler.js:590-596) / no --output
+    # (reffy.js:104-108 console path): crawl into a scratch folder and
+    # dump the full index JSON — results included — to stdout
+    to_stdout = args.output in (None, "-", "{return}")
+    out_dir = args.output
+    if to_stdout:
+        import tempfile
+
+        out_dir = tempfile.mkdtemp(prefix="reffy_ray_crawl_")
+
+    res = full_crawl(seeds, out_dir, cfg, modules=modules,
                      fallback_spans=fallback)
     if not args.quiet:
         out = res.index if not args.terse else res.index.get("stats")
         print(json.dumps(out, indent=None if args.terse else 2))
+    elif to_stdout:
+        # --quiet with '{return}' still emits the payload — it IS the
+        # requested output, quiet only suppresses commentary
+        print(json.dumps(res.index))
     if args.markdown:
         import ray.data as rd
 
@@ -157,8 +178,14 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     c = sub.add_parser("crawl", help="crawl specs and extract all modules")
-    c.add_argument("--output", "-o", required=True, help="output folder")
-    c.add_argument("--mode", choices=["fixture", "synth"], default="fixture")
+    c.add_argument("--output", "-o", default=None,
+                   help="output folder; omit, '-' or '{return}' to dump the "
+                        "crawl index JSON to stdout (output:'{return}' magic)")
+    c.add_argument("--mode", choices=["fixture", "synth", "http"],
+                   default="fixture")
+    c.add_argument("--http-base", default=None,
+                   help="mode=http: base URL of the fetch endpoint "
+                        "(host-in-path mapping, crawl/mockserver.py)")
     c.add_argument("--seeds", type=int, default=100, help="synth seed count")
     c.add_argument("--module", "-m", action="append",
                    help="restrict to these extractor modules")

@@ -67,9 +67,17 @@ class Fetcher:
 
         target = self.http_base + proxy_path(url)
         headers = {}
-        lm_known = self.cache_info.get(url)
+        known = self.cache_info.get(url)
+        # cache_info values are either the bare Last-Modified string or
+        # {"last_modified": ..., "etag": ...} — the reference's
+        # crawlCacheInfo carries both validators (specs-crawler.js:
+        # 87-98; fetch wrapper sends If-Modified-Since AND If-None-Match)
+        lm_known = known.get("last_modified") if isinstance(known, dict) else known
+        etag_known = known.get("etag") if isinstance(known, dict) else None
         if lm_known:
             headers["If-Modified-Since"] = lm_known
+        if etag_known:
+            headers["If-None-Match"] = etag_known
         req = urllib.request.Request(target, headers=headers)
         try:
             with self._opener.open(req, timeout=self.http_timeout) as resp:

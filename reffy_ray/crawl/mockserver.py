@@ -41,6 +41,13 @@ from urllib.parse import urlsplit
 from ..sources import corpus
 
 
+def fixture_etag(last_modified: str) -> str:
+    """Deterministic ETag the server derives from Last-Modified."""
+    import hashlib
+
+    return '"' + hashlib.md5(last_modified.encode()).hexdigest()[:16] + '"'
+
+
 def proxy_path(url: str) -> str:
     """`https://host/path` → `/host/path` (the host-in-path mapping)."""
     parts = urlsplit(url)
@@ -109,10 +116,18 @@ class FixtureHTTPServer:
                     return
                 lm = corpus.NOT_MODIFIED_URLS.get(url)
                 if lm is not None:
-                    if self.headers.get("If-Modified-Since") == lm:
+                    # both validators, like a real origin: Last-Modified
+                    # and a derived ETag; 304 when EITHER matches
+                    etag = fixture_etag(lm)
+                    if (
+                        self.headers.get("If-Modified-Since") == lm
+                        or self.headers.get("If-None-Match") == etag
+                    ):
                         with outer._lock:
                             outer.request_log.append((url, 304))
-                        self._reply(304, headers={"Last-Modified": lm})
+                        self._reply(
+                            304, headers={"Last-Modified": lm, "ETag": etag}
+                        )
                         return
                     body = "<title>Changed</title>".encode()
                     with outer._lock:
@@ -120,7 +135,7 @@ class FixtureHTTPServer:
                     self._reply(
                         200, body,
                         {"Content-Type": "text/html; charset=utf-8",
-                         "Last-Modified": lm},
+                         "Last-Modified": lm, "ETag": etag},
                     )
                     return
                 html = outer.extra.get(url)

@@ -97,6 +97,29 @@ def test_http_not_modified_reuses_checkpoint(ray_session, tmp_path, http_server)
     assert (url, 304) in http_server.request_log
 
 
+def test_http_etag_if_none_match_304(ray_session, tmp_path, http_server):
+    # ETag-only conditional GET (stale Last-Modified, matching
+    # If-None-Match) → 304 → checkpoint reuse
+    from reffy_ray.crawl.mockserver import fixture_etag
+
+    url = "https://www.w3.org/TR/ididnotchange/"
+    lm = "Fri, 11 Feb 2022 00:00:42 GMT"
+    seeds = pa.Table.from_pylist([_seed_row(url, shortname="ididnotchange")])
+    fallback = {url: [
+        {"kind": "title", "text": "Cached Title", "media_ref": "", "offset": 0}
+    ]}
+    cache_info = {url: {"last_modified": "Mon, 01 Jan 2001 00:00:00 GMT",
+                        "etag": fixture_etag(lm)}}
+    cfg = CrawlConfig(
+        mode="http", http_base=http_server.base_url,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    res = crawl(seeds, cfg, fallback_spans=fallback, cache_info=cache_info)
+    docs = res.documents().take_all()
+    assert docs[0]["status"] == 304
+    assert docs[0]["spans"][0]["text"] == "Cached Title"
+
+
 def test_http_changed_page_refetches(ray_session, tmp_path, http_server):
     # stale If-Modified-Since → 200 with fresh body + new Last-Modified
     url = "https://www.w3.org/TR/ididnotchange/"
