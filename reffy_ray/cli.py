@@ -68,6 +68,8 @@ def cmd_crawl(args) -> int:
         # fresh crawl is the default (the reference's default too);
         # --resume opts into checkpoint continuation explicitly
         resume=args.resume and not args.reset_cache,
+        # --release: crawl release URLs, skip no-release seeds
+        use_release=args.release,
     )
 
     fallback = None
@@ -196,6 +198,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="continue from an existing checkpoint")
     c.add_argument("--reset-cache", action="store_true",
                    help="ignore any existing checkpoint (config.json resetCache)")
+    c.add_argument("--release", action="store_true",
+                   help="crawl release URLs; skip seeds without one")
     c.add_argument("--markdown", action="store_true", help="write report.md")
     c.add_argument("--debug", action="store_true", help="serial crawl")
     c.add_argument("--terse", action="store_true", help="stats only")

@@ -111,6 +111,9 @@ class CrawlConfig:
     expand_links: bool = False
     exact_seen: bool = True
     seen_capacity_per_shard: int = 1 << 18
+    # --release: crawl release URLs, skip seeds without one
+    # (prepareListOfSpecs release branch; test/crawl.js --release)
+    use_release: bool = False
 
 
 @dataclass
@@ -300,10 +303,23 @@ def _fetch_parse_task(batch: pa.Table, *, crawl_id: str, mode: str,
     return out
 
 
-def _seed_frontier(seeds: pa.Table) -> pa.Table:
-    urls = [u or r for u, r in zip(
-        seeds.column("nightly_url").to_pylist(), seeds.column("url").to_pylist()
-    )]
+def _seed_frontier(seeds: pa.Table, use_release: bool = False) -> pa.Table:
+    """Seed rows → frontier rows. Default crawls the nightly URL
+    (falling back to the canonical URL); ``use_release`` crawls the
+    release URL instead and SKIPS seeds without one — the reference's
+    ``--release`` semantics (prepareListOfSpecs picks spec.release and
+    drops no-release specs; test/crawl.js --release cases)."""
+    if use_release:
+        keep = [
+            i for i, u in enumerate(seeds.column("release_url").to_pylist())
+            if u
+        ]
+        seeds = seeds.take(pa.array(keep, pa.int64()))
+        urls = seeds.column("release_url").to_pylist()
+    else:
+        urls = [u or r for u, r in zip(
+            seeds.column("nightly_url").to_pylist(), seeds.column("url").to_pylist()
+        )]
     return pa.table(
         {
             "doc_id": seeds.column("shortname"),
@@ -777,7 +793,7 @@ def crawl(
     cache_ref = ray.put(cache_info or {})
 
     if start_round == 0:
-        seed_frontier = rd.from_arrow(_seed_frontier(seeds))
+        seed_frontier = rd.from_arrow(_seed_frontier(seeds, cfg.use_release))
         # materialize: seen-filter is stateful, must run exactly once
         frontier: rd.Dataset | None = _gate_candidates(
             seed_frontier, seen, tally=tally

@@ -452,3 +452,30 @@ def test_crash_between_docs_write_and_manifest_resumes_clean(ray_session, tmp_pa
             (b_dir / "seen" / f"round={last}" / f"shard-{i}.bin").read_bytes()
         )
         assert sa.exact == sb.exact
+
+
+def test_seed_frontier_release_mode():
+    """--release semantics: crawl release URLs, skip seeds without one
+    (prepareListOfSpecs release branch; test/crawl.js --release)."""
+    import pyarrow as pa
+
+    from reffy_ray.pipelines.crawl import _seed_frontier
+
+    seeds = fixture_seeds()
+    # add a nightly-only seed that release mode must skip
+    extra = pa.Table.from_pylist([{
+        "url": "https://example.org/draft/", "shortname": "draft-only",
+        "series_shortname": "draft-only", "series_composition": "full",
+        "series_version": "1.0",
+        "nightly_url": "https://example.org/draft/", "release_url": None,
+        "pages": [], "standing": "good", "seed_rank": 99,
+    }], schema=seeds.schema)
+    seeds = pa.concat_tables([seeds, extra])
+
+    rel = _seed_frontier(seeds, use_release=True)
+    urls = rel.column("url").to_pylist()
+    assert len(urls) == 5 and all("www.w3.org/TR/" in u for u in urls)
+    assert "draft-only" not in rel.column("doc_id").to_pylist()
+
+    default = _seed_frontier(seeds)
+    assert default.num_rows == 6  # nightly mode keeps every seed

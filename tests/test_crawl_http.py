@@ -186,6 +186,31 @@ def test_http_raw_respec_source_error_row(ray_session, tmp_path, http_server):
     assert docs[0]["error"] is not None and "ungenerated" in docs[0]["error"]
 
 
+def test_http_release_mode_crawls_release_urls(ray_session, tmp_path):
+    # --release e2e: the release URL is fetched (served via extra),
+    # the nightly-only seed is skipped
+    rel_url = "https://www.w3.org/TR/WOFF2/"
+    with FixtureHTTPServer(
+        extra={rel_url: "<title>WOFF2 Release</title><h2 id='a'>1. A</h2>"}
+    ) as srv:
+        seeds = pa.Table.from_pylist([
+            {**_seed_row("https://w3c.github.io/woff/woff2/",
+                         rank=0, shortname="WOFF2"),
+             "release_url": rel_url},
+            _seed_row("https://example.org/draft-only/", rank=1,
+                      shortname="draft-only"),  # no release_url
+        ])
+        cfg = CrawlConfig(
+            mode="http", http_base=srv.base_url,
+            checkpoint_dir=str(tmp_path / "ck"), use_release=True,
+        )
+        res = crawl(seeds, cfg)
+        docs = res.documents().take_all()
+        assert [d["url"] for d in docs] == [rel_url]
+        titles = [s["text"] for s in docs[0]["spans"] if s["kind"] == "title"]
+        assert titles == ["WOFF2 Release"]
+
+
 def test_http_redirect_followed(ray_session, tmp_path, http_server):
     # 301 → client follows Location to the target spec's content
     url = "https://www.w3.org/TR/imoved/"
