@@ -555,6 +555,35 @@ def q_anti_join(sf_dir: str):
     return anti_join(cust, okeys, on="c_custkey")
 
 
+def q_skew_join(sf_dir: str):
+    """Inner equi-join with explicit hot-key skew handling
+    (ops/joins.equi_join — the north rule's skew-salting clause
+    applied to the general join). Key jk = 0 when user_id % 3 == 0
+    else user_id manufactures one hot key owning ~1/3 of the corpus;
+    ``hot_cap = max(200, n/20)`` routes it through the broadcast
+    map-side tier while every other key goes through Ray's native
+    hash join, masked so no partition ever sees the hot key's flood."""
+    from ray.data.aggregate import Count
+
+    from reffy_ray.ops.joins import equi_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def add_jk(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        jk = np.where(u % 3 == 0, np.int64(0), u)
+        return pa.table(
+            {"event_id": b.column("event_id"), "jk": pa.array(jk, pa.int64())}
+        )
+
+    left = ev.map_batches(add_jk, batch_format="pyarrow")
+    counts = left.groupby("jk").aggregate(Count(alias_name="jk_rows"))
+    n = ev.count()
+    return equi_join(left, counts, on="jk", hot_cap=max(200, n // 20))
+
+
 def q_lang_fertility(sf_dir: str):
     """Per-language tokenizer fertility (ops/text.lang_fertility):
     exact integer word / BPE-ish subword totals, combiner shape."""
@@ -3528,6 +3557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_window": q_watermark_window,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
+        "skew_join": q_skew_join,
         "nation_revenue": q_nation_revenue,
         "lang_fertility": q_lang_fertility,
         "daily_new_users": q_daily_new_users,
@@ -6187,6 +6217,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000)
+        """,
+        # ops/joins.equi_join: inner join over the manufactured
+        # hot key (jk=0 owns ~1/3 of events); the engine splits hot
+        # keys onto a broadcast map-side tier and cold keys onto the
+        # native hash join — same rows either way
+        "skew_join": """
+            WITH l AS (
+                SELECT event_id,
+                       CASE WHEN user_id % 3 = 0 THEN 0
+                            ELSE user_id END AS jk
+                FROM events
+            ),
+            r AS (SELECT jk, COUNT(*) AS jk_rows FROM l GROUP BY jk)
+            SELECT l.event_id, l.jk, r.jk_rows
+            FROM l JOIN r USING (jk)
         """,
         # ops/sampling.weighted_sample(weight=n_chars, denom=1000):
         # keep iff H(id|salt) mod 1000 < n_chars — integer-only

@@ -509,3 +509,163 @@ def last_touch_attribution(
         return out
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def equi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    hot_cap: int = 1_000_000,
+    suffix: str = "_r",
+    broadcast_max_rows: int = 5_000_000,
+) -> rd.Dataset:
+    """Distributed inner equi-join with explicit hot-key skew
+    handling (the north rule's "hot-host skew salting" clause applied
+    to the general join).
+
+    A plain hash join routes every row of one key to one partition —
+    a key owning 30% of the corpus makes one straggler task hold 30%
+    of the data (OOM + tail latency at 100 TB). Two tiers instead:
+
+    1. **Census** — per-block partial key counts (one tiny Arrow
+       ``group_by`` per batch) folded by one small ``groupby(on)``
+       over (distinct-keys x blocks) rows, never the data itself.
+       Keys whose LEFT count >= ``hot_cap`` are hot; by construction
+       there are at most ``|left| / hot_cap`` of them, so the hot-key
+       set is always driver-small.
+    2. **Hot tier** — the hot keys' RIGHT rows are collected once
+       (bounded by ``broadcast_max_rows``, raises past it) and
+       broadcast via ``ray.put``; hot left rows merge map-side inside
+       ``map_batches`` with no shuffle at all.
+       **Cold tier** — everything else goes through Ray's native
+       hash join (both sides partition by key, nothing collected).
+
+    Right value columns are renamed with ``suffix`` when they collide
+    with left column names. Output column order: left columns then
+    right value columns, identical in both tiers (union-safe).
+    """
+    import ray as _ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from reffy_ray.util import join_ready, safe_num_blocks
+
+    l_names = list(left.schema().names)
+    r_schema = right.schema()
+    r_value = [c for c in r_schema.names if c != on]
+    r_out = [c + suffix if c in l_names else c for c in r_value]
+    out_order = l_names + r_out
+
+    if r_out != r_value:
+        ren = dict(zip(r_value, r_out))
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [ren.get(c, c) for c in b.column_names]
+            )
+
+        right = right.map_batches(rename, batch_format="pyarrow")
+
+    # 1. census of LEFT key counts (partial per block, tiny shuffle)
+    def partial_counts(b: pa.Table) -> pa.Table:
+        t = b.select([on]).group_by(on).aggregate([([], "count_all")])
+        return pa.table(
+            {on: t.column(on), "partial": t.column("count_all")}
+        )
+
+    census = (
+        left.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(on)
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+    census = census.materialize()
+    total_keys = census.count()
+    hot_keys = [
+        r[on]
+        for r in census.filter(expr=f"cnt >= {hot_cap}").take_all()
+    ]
+
+    if not hot_keys:
+        joined = left.join(
+            join_ready(right),
+            join_type="inner",
+            num_partitions=safe_num_blocks(left),
+            on=(on,),
+        )
+        return joined.select_columns(out_order)
+
+    key_type = left.schema().types[l_names.index(on)]
+    hot_arr = pa.array(hot_keys, key_type)
+    hot_set = set(hot_keys)
+
+    # 2a. hot tier: right rows for hot keys, collected once + broadcast
+    def right_hot(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column(on), value_set=hot_arr))
+
+    hot_right_parts = [
+        b
+        for b in right.map_batches(right_hot, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    if hot_right_parts:
+        hot_right = pa.concat_tables(hot_right_parts)
+        if hot_right.num_rows > broadcast_max_rows:
+            raise ValueError(
+                f"hot keys' right side has {hot_right.num_rows} rows "
+                f"(> {broadcast_max_rows}); raise hot_cap or "
+                "pre-aggregate the right side"
+            )
+    else:
+        hot_right = pa.table(
+            {
+                c: pa.array([], t)
+                for c, t in zip(
+                    [on] + r_out,
+                    [key_type]
+                    + [
+                        r_schema.types[r_schema.names.index(v)]
+                        for v in r_value
+                    ],
+                )
+            }
+        )
+    bref = _ray.put(hot_right.to_pandas())
+    _cache: dict = {}
+
+    def hot_merge(b: pa.Table) -> pd.DataFrame:
+        mask = pc.is_in(b.column(on), value_set=hot_arr)
+        sub = b.filter(mask).to_pandas()
+        key = bref.hex()
+        bdf = _cache.get(key)
+        if bdf is None:
+            bdf = _ray.get(bref)
+            _cache[key] = bdf
+        merged = sub.merge(bdf, on=on, how="inner")
+        return merged[out_order]
+
+    hot_out = left.map_batches(hot_merge, batch_format="pyarrow")
+
+    # every left key hot -> the cold tier would hand the hash join
+    # empty inputs (Ray's join crashes on the degenerate zero-column
+    # blocks empty partitions produce — see join_ready); skip it
+    if len(hot_keys) == total_keys:
+        return hot_out.select_columns(out_order)
+
+    # 2b. cold tier: native hash join with hot keys masked out of BOTH
+    # sides, so no partition ever receives a hot key's row flood
+    def cold_mask(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.invert(pc.is_in(b.column(on), value_set=hot_arr))
+        )
+
+    cold_out = (
+        left.map_batches(cold_mask, batch_format="pyarrow")
+        .join(
+            join_ready(right.map_batches(cold_mask, batch_format="pyarrow")),
+            join_type="inner",
+            num_partitions=safe_num_blocks(left),
+            on=(on,),
+        )
+        .select_columns(out_order)
+    )
+    return cold_out.union(hot_out.select_columns(out_order))

@@ -1528,6 +1528,22 @@ def respec_source_error(spans: list[dict]) -> str | None:
     for s in spans:
         k = s["kind"]
         if k in ("title", "heading"):
+            # Draft-CSS-server hiccup: a directory listing served in
+            # place of the spec ("Index of /css-foo/..."), detected on
+            # the first h1 exactly as the reference does
+            # (src/lib/util.js:600-604, after browser-specs). Title
+            # spans carry plain text; heading spans carry the heading
+            # JSON struct with the rendered title inside.
+            if not saw_marker:
+                txt = s["text"]
+                if k == "heading":
+                    try:
+                        h = json.loads(txt)
+                        txt = h.get("title", "") if h.get("level") == 1 else ""
+                    except (ValueError, AttributeError):
+                        txt = ""
+                if txt.lstrip().startswith("Index of "):
+                    return "CSS server issue detected"
             saw_marker = True
         elif k == "meta" and s["text"].startswith("generator="):
             gen = s["text"][len("generator="):]

@@ -171,6 +171,33 @@ def test_raw_respec_source_guard_unit():
     assert respec_source_error(ok) is None
 
 
+def test_css_server_index_of_guard_unit():
+    # draft-CSS-server hiccup: directory listing in place of the spec
+    # (reference throws on the first h1 — src/lib/util.js:600-604)
+    from reffy_ray.stages.parse import respec_source_error, spans_from_html
+
+    listing = spans_from_html(
+        "<title>Index of /css-align-3</title><h1>Index of /css-align-3</h1>"
+        "<ul><li><a href='Overview.html'>Overview.html</a></li></ul>",
+        "https://drafts.csswg.org/css-align-3/",
+    )
+    msg = respec_source_error(listing)
+    assert msg == "CSS server issue detected"
+    # bare directory listing with no <title> — the h1 heading span
+    # carries the text inside the heading JSON struct
+    bare = spans_from_html(
+        "<h1>Index of /css-grid-9</h1><ul><li>Overview.html</li></ul>",
+        "https://drafts.csswg.org/css-grid-9/",
+    )
+    assert respec_source_error(bare) == "CSS server issue detected"
+    # a real spec whose h1 merely CONTAINS 'Index of' later is fine
+    ok = spans_from_html(
+        "<h1>CSS Alignment</h1><h2>Index of terms</h2>",
+        "https://drafts.csswg.org/css-align-3/",
+    )
+    assert respec_source_error(ok) is None
+
+
 def test_http_raw_respec_source_error_row(ray_session, tmp_path, http_server):
     # e2e: the crawl records the reference-style error row instead of
     # silently extracting nothing (util.js:613-628 wait analog)

@@ -230,3 +230,84 @@ def test_last_touch_attribution(ray_session):
     assert out.loc[5, "touch_event_id"] == -1
     assert out.loc[5, "touch_ts"] == T("1970-01-01")
     assert out.loc[6, "touch_event_id"] == -1
+
+
+# --- equi_join (hot-key skew split) ---------------------------------
+
+
+def _skewed_sides():
+    # key 7 is hot (6 of 10 left rows); 1/2/3 are cold
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": [7, 7, 7, 7, 7, 7, 1, 2, 3, 1],
+                "lv": list(range(10)),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": [7, 1, 2, 9],
+                "rv": ["h", "a", "b", "x"],
+                "lv": [70, 10, 20, 90],  # collides with left's lv
+            }
+        )
+    )
+    return left, right
+
+
+def _expected():
+    l = pd.DataFrame({"k": [7, 7, 7, 7, 7, 7, 1, 2, 3, 1],
+                      "lv": list(range(10))})
+    r = pd.DataFrame({"k": [7, 1, 2, 9], "rv": ["h", "a", "b", "x"],
+                      "lv_r": [70, 10, 20, 90]})
+    return (
+        l.merge(r, on="k", how="inner")
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+
+
+def _canon(ds):
+    return (
+        ds.to_pandas()[["k", "lv", "rv", "lv_r"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+
+
+def test_equi_join_hot_and_cold_tiers_match_pandas(ray_session):
+    from reffy_ray.ops.joins import equi_join
+
+    left, right = _skewed_sides()
+    exp = _expected()[["k", "lv", "rv", "lv_r"]]
+    # hot_cap=3 -> key 7 rides the broadcast tier, 1/2/3 the hash join
+    got_split = _canon(equi_join(left, right, on="k", hot_cap=3))
+    pd.testing.assert_frame_equal(got_split, exp)
+    # hot_cap huge -> pure native hash join; identical rows
+    left2, right2 = _skewed_sides()
+    got_native = _canon(equi_join(left2, right2, on="k", hot_cap=10**9))
+    pd.testing.assert_frame_equal(got_native, exp)
+
+
+def test_equi_join_broadcast_cap_raises(ray_session):
+    from reffy_ray.ops.joins import equi_join
+
+    left, right = _skewed_sides()
+    try:
+        equi_join(left, right, on="k", hot_cap=3, broadcast_max_rows=0)
+    except ValueError as e:
+        assert "hot keys" in str(e)
+    else:
+        raise AssertionError("expected ValueError past broadcast cap")
+
+
+def test_equi_join_all_hot_keys_no_right_match_dropped(ray_session):
+    # inner semantics: left key 3 has no right row -> absent; right
+    # key 9 has no left row -> absent
+    from reffy_ray.ops.joins import equi_join
+
+    left, right = _skewed_sides()
+    out = equi_join(left, right, on="k", hot_cap=1).to_pandas()
+    assert set(out["k"]) == {7, 1, 2}

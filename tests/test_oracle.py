@@ -95,7 +95,8 @@ ORACLE_KEYS = [
     "cc_components",
     "triangle_count", "bm25", "weighted_sample", "event_gaps",
     "late_events", "event_pattern", "kcore", "watermark_window",
-    "semi_join", "anti_join", "nation_revenue", "lang_fertility",
+    "semi_join", "anti_join", "skew_join", "nation_revenue",
+    "lang_fertility",
     "daily_new_users", "price_histogram", "user_top_event",
     "kmv_distinct", "event_type_pairs", "heavy_hitters", "priority_sample",
     "event_transitions", "user_paths", "corr_stats", "winsorize",
