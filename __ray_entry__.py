@@ -516,6 +516,35 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, n_nodes=n, iters=3)
 
 
+def q_hits(sf_dir: str):
+    """2-iteration HITS hub/authority scores (ops/graph.hits,
+    broadcast tier at test scale; join tier beyond 20M nodes) over the
+    same hub-skewed doc_id // j link graph as pagerank — low ids
+    accumulate authority, high ids are pure hubs."""
+    import numpy as np
+
+    from reffy_ray.ops.graph import hits
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        src = np.repeat(ids, 3)
+        j = np.tile(np.array([2, 4, 8]), len(ids))
+        return pd.DataFrame(
+            {
+                "src": src.astype("int64"),
+                "dst": (src // j).astype("int64"),
+            }
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pandas")
+    return hits(edges, n_nodes=n, iters=2)
+
+
 def _custkey_big_orders(sf_dir: str):
     """Customer dim side + the key column of orders over 300k total
     price (threshold keeps BOTH the semi and anti results non-empty at
@@ -3545,6 +3574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "kmeans": q_kmeans,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "cc_components": q_cc_components,
         "triangle_count": q_triangle_count,
         "bfs_hops": q_bfs_hops,
@@ -5340,6 +5370,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(r * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                      AS rank_e9
             FROM r3
+        """,
+        # ops/graph.hits: 2 iterations of a[dst]+=h[src] / h[src]+=a[dst],
+        # each L2-normalized then snapped to 12 decimals (both engine
+        # tiers use the identical snapped math)
+        "hits": """
+            WITH edges AS (
+              SELECT doc_id AS src, doc_id // j AS dst
+              FROM documents, (VALUES (2), (4), (8)) AS v(j)
+            ),
+            nodes AS (
+              SELECT CAST(unnest(generate_series(
+                       0, (SELECT count(*) FROM documents) - 1))
+                     AS BIGINT) AS node
+            ),
+            h0 AS (SELECT node, CAST(1 AS DOUBLE) AS v FROM nodes),
+            ar1 AS MATERIALIZED (
+              SELECT e.dst AS node, sum(h0.v) AS c
+              FROM edges e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+            arf1 AS MATERIALIZED (
+              SELECT nd.node, coalesce(ar1.c, CAST(0 AS DOUBLE)) AS c
+              FROM nodes nd LEFT JOIN ar1 ON nd.node = ar1.node),
+            na1 AS (SELECT CASE WHEN sqrt(sum(c*c)) = 0
+                                THEN CAST(1 AS DOUBLE)
+                                ELSE sqrt(sum(c*c)) END AS s FROM arf1),
+            a1 AS MATERIALIZED (
+              SELECT node, round(c / (SELECT s FROM na1), 12) AS v
+              FROM arf1),
+            hr1 AS MATERIALIZED (
+              SELECT e.src AS node, sum(a1.v) AS c
+              FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+            hrf1 AS MATERIALIZED (
+              SELECT nd.node, coalesce(hr1.c, CAST(0 AS DOUBLE)) AS c
+              FROM nodes nd LEFT JOIN hr1 ON nd.node = hr1.node),
+            nh1 AS (SELECT CASE WHEN sqrt(sum(c*c)) = 0
+                                THEN CAST(1 AS DOUBLE)
+                                ELSE sqrt(sum(c*c)) END AS s FROM hrf1),
+            h1 AS MATERIALIZED (
+              SELECT node, round(c / (SELECT s FROM nh1), 12) AS v
+              FROM hrf1),
+            ar2 AS MATERIALIZED (
+              SELECT e.dst AS node, sum(h1.v) AS c
+              FROM edges e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+            arf2 AS MATERIALIZED (
+              SELECT nd.node, coalesce(ar2.c, CAST(0 AS DOUBLE)) AS c
+              FROM nodes nd LEFT JOIN ar2 ON nd.node = ar2.node),
+            na2 AS (SELECT CASE WHEN sqrt(sum(c*c)) = 0
+                                THEN CAST(1 AS DOUBLE)
+                                ELSE sqrt(sum(c*c)) END AS s FROM arf2),
+            a2 AS MATERIALIZED (
+              SELECT node, round(c / (SELECT s FROM na2), 12) AS v
+              FROM arf2),
+            hr2 AS MATERIALIZED (
+              SELECT e.src AS node, sum(a2.v) AS c
+              FROM edges e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+            hrf2 AS MATERIALIZED (
+              SELECT nd.node, coalesce(hr2.c, CAST(0 AS DOUBLE)) AS c
+              FROM nodes nd LEFT JOIN hr2 ON nd.node = hr2.node),
+            nh2 AS (SELECT CASE WHEN sqrt(sum(c*c)) = 0
+                                THEN CAST(1 AS DOUBLE)
+                                ELSE sqrt(sum(c*c)) END AS s FROM hrf2),
+            h2 AS MATERIALIZED (
+              SELECT node, round(c / (SELECT s FROM nh2), 12) AS v
+              FROM hrf2)
+            SELECT h2.node,
+                   CAST(floor(h2.v * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     AS hub_e9,
+                   CAST(floor(a2.v * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     AS auth_e9
+            FROM h2 JOIN a2 ON h2.node = a2.node
         """,
         # ops/stats.histogram(width=10000): bucket = floor(v/10000),
         # identical IEEE division+floor in both engines

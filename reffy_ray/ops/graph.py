@@ -649,3 +649,223 @@ def kcore(
             return surv_ds
         prev_n = n
     raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+
+
+def hits(
+    edges: rd.Dataset,
+    n_nodes: int,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    snap: int = 12,
+    mode: str = "auto",
+    broadcast_max_nodes: int = 20_000_000,
+) -> rd.Dataset:
+    """HITS hub/authority scores (Kleinberg 1999) over integer node
+    ids ``0..n_nodes-1``. One iteration = authority update
+    ``a[dst] += h[src]`` then hub update ``h[src] += a[dst]``, each
+    L2-normalized then snapped to ``snap`` decimals (summation order
+    never leaks forward, so both tiers hash-match the SQL oracle).
+    Returns ``(node, hub_e9, auth_e9)`` — scores ×1e9, floor(x+0.5).
+
+    Tiers mirror :func:`pagerank`: ``broadcast`` keeps the two
+    node-sized vectors as driver state shipped per half-step via
+    ``ray.put`` (edges stay distributed; per-block ``bincount``
+    partials); ``join`` keeps scores as a distributed table — each
+    half-step is one hash join + one ``groupby`` sum, plus a scalar
+    sum-of-squares reduction for the norm. Nothing node-sized reaches
+    the driver on the join tier."""
+    if iters < 1:
+        raise ValueError("hits needs iters >= 1")
+    if mode == "auto":
+        mode = "broadcast" if n_nodes <= broadcast_max_nodes else "join"
+    if mode == "broadcast":
+        return _hits_broadcast(
+            edges, n_nodes, iters, src_col, dst_col, snap
+        )
+    return _hits_join(edges, n_nodes, iters, src_col, dst_col, snap)
+
+
+def _hits_finish(h: np.ndarray, a: np.ndarray) -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(len(h), dtype=np.int64)),
+                "hub_e9": pa.array(
+                    np.floor(h * 1e9 + 0.5).astype("int64")
+                ),
+                "auth_e9": pa.array(
+                    np.floor(a * 1e9 + 0.5).astype("int64")
+                ),
+            }
+        )
+    )
+
+
+def _hits_broadcast(
+    edges: rd.Dataset,
+    n_nodes: int,
+    iters: int,
+    src_col: str,
+    dst_col: str,
+    snap: int,
+) -> rd.Dataset:
+    edges = edges.materialize()
+
+    def spread(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        """raw[to] = sum vec[from] over edges, as per-block partials."""
+        vref = ray.put(vec)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            v = ray.get(vref)
+            c = np.bincount(
+                batch[to_col].to_numpy(),
+                weights=v[batch[from_col].to_numpy()],
+                minlength=n_nodes,
+            )
+            nz = np.flatnonzero(c)
+            return pd.DataFrame({"node": nz, "c": c[nz]})
+
+        parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
+        raw = np.zeros(n_nodes)
+        np.add.at(raw, parts["node"].to_numpy(), parts["c"].to_numpy())
+        return raw
+
+    def norm_snap(raw: np.ndarray) -> np.ndarray:
+        nrm = float(np.sqrt(np.sum(raw * raw))) or 1.0
+        return np.round(raw / nrm, snap)
+
+    h = np.ones(n_nodes)
+    a = np.zeros(n_nodes)
+    for _ in range(iters):
+        a = norm_snap(spread(h, src_col, dst_col))
+        h = norm_snap(spread(a, dst_col, src_col))
+    return _hits_finish(h, a)
+
+
+def _hits_join(
+    edges: rd.Dataset,
+    n_nodes: int,
+    iters: int,
+    src_col: str,
+    dst_col: str,
+    snap: int,
+) -> rd.Dataset:
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()
+    nodes = rd.range(n_nodes)
+
+    def zero_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": batch["id"].astype("int64"),
+                "c": np.zeros(len(batch), dtype=np.float64),
+            }
+        )
+
+    zeros = nodes.map_batches(zero_rows, batch_format="pandas").materialize()
+
+    def spread(vec_ds: rd.Dataset, from_col: str, to_col: str) -> rd.Dataset:
+        """(node, v) table -> raw (node, c) table: one hash join on the
+        ``from`` endpoint + one groupby sum on the ``to`` endpoint."""
+        joined = edges.join(
+            join_ready(
+                vec_ds.map_batches(
+                    lambda b, fc=from_col: b.rename(columns={"node": fc}),
+                    batch_format="pandas",
+                )
+            ),
+            join_type="inner",
+            num_partitions=safe_num_blocks(edges),
+            on=(from_col,),
+        )
+
+        def rows(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": batch[to_col].astype("int64"),
+                    "c": batch["v"].to_numpy(),
+                }
+            )
+
+        return (
+            joined.map_batches(rows, batch_format="pandas")
+            .union(zeros)
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+
+    def norm_snap(raw: rd.Dataset) -> rd.Dataset:
+        # raw is consumed twice (norm + divide); materialize so the
+        # groupby shuffle isn't re-executed
+        raw = raw.materialize()
+        # scalar sum-of-squares reduction — one number to the driver
+        sq = raw.map_batches(
+            lambda b: pd.DataFrame({"c2": b["c"].to_numpy() ** 2}),
+            batch_format="pandas",
+        )
+        nrm = float(np.sqrt(sq.sum("c2"))) or 1.0
+
+        def div(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": batch["node"].astype("int64"),
+                    "v": np.round(batch["c"].to_numpy() / nrm, snap),
+                }
+            )
+
+        return raw.map_batches(div, batch_format="pandas").materialize()
+
+    h = nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["id"].astype("int64"), "v": np.ones(len(b))}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    a = None
+    for _ in range(iters):
+        a = norm_snap(spread(h, src_col, dst_col))
+        h = norm_snap(spread(a, dst_col, src_col))
+
+    # zip h and a with a union + groupby-sum instead of a join: both
+    # sides are groupby-derived (possible degenerate empty pandas
+    # partitions that Ray's join builder chokes on), and every node
+    # appears exactly once per side, so Sum reassembles the pair
+    def tag(which: str):
+        def rows(batch: pd.DataFrame) -> pd.DataFrame:
+            v = batch["v"].to_numpy()
+            z = np.zeros(len(batch))
+            return pd.DataFrame(
+                {
+                    "node": batch["node"].astype("int64"),
+                    "hv": v if which == "h" else z,
+                    "av": v if which == "a" else z,
+                }
+            )
+
+        return rows
+
+    from ray.data.aggregate import Sum as _Sum
+
+    merged = (
+        h.map_batches(tag("h"), batch_format="pandas")
+        .union(a.map_batches(tag("a"), batch_format="pandas"))
+        .groupby("node")
+        .aggregate(_Sum("hv", alias_name="hv"), _Sum("av", alias_name="av"))
+    )
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": batch["node"].astype("int64"),
+                "hub_e9": np.floor(
+                    batch["hv"].to_numpy() * 1e9 + 0.5
+                ).astype("int64"),
+                "auth_e9": np.floor(
+                    batch["av"].to_numpy() * 1e9 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    return merged.map_batches(fin, batch_format="pandas")

@@ -225,3 +225,68 @@ def test_kcore_peels_to_fixpoint(ray_session):
         )
         assert out["node"].tolist() == [0, 1, 2, 3], mode
         assert out["deg"].tolist() == [3, 3, 3, 3], mode
+
+
+# --- HITS -----------------------------------------------------------
+
+
+def _hits_ref(edge_list, n, iters=2):
+    """Driver-side dense reference with the same snap/norm math."""
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        raw = np.zeros(n)
+        for s, d in edge_list:
+            raw[d] += h[s]
+        nrm = np.sqrt((raw * raw).sum()) or 1.0
+        a = np.round(raw / nrm, 12)
+        raw = np.zeros(n)
+        for s, d in edge_list:
+            raw[s] += a[d]
+        nrm = np.sqrt((raw * raw).sum()) or 1.0
+        h = np.round(raw / nrm, 12)
+    return (
+        np.floor(h * 1e9 + 0.5).astype("int64"),
+        np.floor(a * 1e9 + 0.5).astype("int64"),
+    )
+
+
+def _star_edges():
+    # node 0 is the authority everyone points at; 4 also points at 1
+    return [(1, 0), (2, 0), (3, 0), (4, 0), (4, 1)]
+
+
+def test_hits_matches_dense_reference(ray_session):
+    from reffy_ray.ops.graph import hits
+
+    el = _star_edges()
+    edges = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+    got = (
+        hits(edges, n_nodes=5, iters=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    eh, ea = _hits_ref(el, 5)
+    assert list(got["hub_e9"]) == list(eh)
+    assert list(got["auth_e9"]) == list(ea)
+    # node 0 is the top authority and a zero hub
+    assert got["auth_e9"].idxmax() == 0
+    assert got.loc[0, "hub_e9"] == 0
+
+
+def test_hits_tiers_agree(ray_session):
+    from reffy_ray.ops.graph import hits
+
+    el = _star_edges() + [(0, 2), (2, 3)]
+    edges = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+    b = (
+        hits(edges, n_nodes=5, iters=2, mode="broadcast")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    edges2 = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+    j = (
+        hits(edges2, n_nodes=5, iters=2, mode="join")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(b, j)
