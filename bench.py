@@ -440,8 +440,19 @@ def _campaign_series() -> dict | None:
     (tools/scaling_*.json, the BASELINE.md measurement campaign) into
     the valid-block series at the default 24k protocol."""
     import glob
+    import re
 
-    effs, names = [], []
+    def probes_of(rec: dict) -> list[float]:
+        if "probe_effs" in rec:
+            return [float(x) for x in rec["probe_effs"]]
+        out = []
+        for k in ("preprobe", "postprobe"):
+            m = re.search(r"eff ([0-9.]+)", rec.get(k, "") or "")
+            if m:
+                out.append(float(m.group(1)))
+        return out
+
+    effs, names, ratios, ceilings = [], [], [], []
     for f in sorted(
         glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tools", "scaling_*.json"))
@@ -460,14 +471,36 @@ def _campaign_series() -> dict | None:
         ):
             effs.append(rec["steady_eff"])
             names.append(rec.get("campaign", os.path.basename(f)))
+            pr = probes_of(rec)
+            ceil = sum(pr) / len(pr) if pr else None
+            ceilings.append(ceil)
+            ratios.append(
+                round(rec["steady_eff"] / ceil, 3) if ceil else None
+            )
     if not effs:
         return None
+    known = [r for r in ratios if r]
     return {
         "protocol": "probe-bracketed ABBA 24k seeds "
                     "(tools/run_scaling_block.py)",
-        "blocks": {n: e for n, e in zip(names, effs)},
+        "blocks": {
+            n: {"steady_eff": e, "ceiling": c and round(c, 3),
+                "engine_over_ceiling": r}
+            for n, e, c, r in zip(names, effs, ceilings, ratios)
+        },
         "n_valid_blocks": len(effs),
         "mean_steady_eff": round(sum(effs) / len(effs), 3),
+        # the same-window warm-multiprocessing kernel ceiling (mean of
+        # the two bracketing probes) — what this HOST can scale 8→32
+        # in that window; engine_over_ceiling ~>= 1.0 means Ray-side
+        # serialization is not the limiter, the shared host's
+        # bandwidth phase is
+        "mean_ceiling": round(
+            sum(c for c in ceilings if c) / max(1, len(known)), 3
+        ),
+        "mean_engine_over_ceiling": round(
+            sum(known) / max(1, len(known)), 3
+        ),
     }
 
 
