@@ -363,6 +363,11 @@ def run_scaling() -> dict:
     # fast follow-up campaigns inside a known-hot host window, where
     # spending the window on the calibration pair would waste it.
     only = os.environ.get("GRAFT_SCALE_PAIRS")
+    if only and "8v32" not in only.split(","):
+        raise SystemExit(
+            "GRAFT_SCALE_PAIRS must include the mandated 8v32 pair "
+            f"(got {only!r}) — refusing before any block runs"
+        )
     for lo, hi in ((8, 32), (SCALE_LO, SCALE_HI)):
         label = f"{lo}v{hi}"
         if label in pairs_out or (only and label not in only.split(",")):

@@ -5,4 +5,4 @@ From-scratch reimplementation of the capabilities of w3c/reffy
 Arrow span tables. See SURVEY.md for the blueprint.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # 0.2.0: documents schema gained last_modified

@@ -73,8 +73,9 @@ def cmd_crawl(args) -> int:
     )
 
     fallback = None
+    cache_info = None
     if args.fallback:
-        fallback = _load_fallback_spans(args.fallback)
+        fallback, cache_info = _load_fallback_spans(args.fallback)
 
     if args.use_crawl:
         return cmd_post_process(args)
@@ -90,20 +91,28 @@ def cmd_crawl(args) -> int:
         out_dir = tempfile.mkdtemp(prefix="reffy_ray_crawl_")
 
     res = full_crawl(seeds, out_dir, cfg, modules=modules,
-                     fallback_spans=fallback)
-    if not args.quiet:
+                     fallback_spans=fallback, cache_info=cache_info)
+    if to_stdout:
+        # '{return}' / no --output: the full index on stdout IS the
+        # requested output — --terse trims it to stats, --quiet only
+        # suppresses commentary, never the payload (reffy.js:104-108);
+        # the scratch folder is named on stderr so extracts stay
+        # reachable
         out = res.index if not args.terse else res.index.get("stats")
         print(json.dumps(out, indent=None if args.terse else 2))
-    elif to_stdout:
-        # --quiet with '{return}' still emits the payload — it IS the
-        # requested output, quiet only suppresses commentary
-        print(json.dumps(res.index))
+        if not args.quiet:
+            print(f"crawl folder: {res.out_dir}", file=sys.stderr)
+    elif not args.quiet:
+        out = res.index if not args.terse else res.index.get("stats")
+        print(json.dumps(out, indent=None if args.terse else 2))
     if args.markdown:
         import ray.data as rd
 
         docs = rd.read_parquet(os.path.join(res.out_dir, "crawl", "documents"))
         md = markdown_report(res, docs)
-        md_path = os.path.join(args.output, "report.md")
+        # args.output may be None/'-'/'{return}' (stdout mode): the
+        # report lives next to the crawl, in the resolved folder
+        md_path = os.path.join(res.out_dir, "report.md")
         with open(md_path, "w") as f:
             f.write(md)
         if not args.quiet:
@@ -111,16 +120,30 @@ def cmd_crawl(args) -> int:
     return 0
 
 
-def _load_fallback_spans(folder: str) -> dict:
-    """Previous crawl's documents parquet → {url: spans} fallback map
-    (the --fallback reuse path, specs-crawler.js:421-427)."""
+def _load_fallback_spans(folder: str) -> tuple[dict, dict]:
+    """Previous crawl's documents parquet → ({url: spans} fallback map,
+    {url: validator} cache_info). The --fallback reuse path
+    (specs-crawler.js:421-427) and the crawl-cache reuse
+    (specs-crawler.js:87-98) read the SAME checkpoint: the
+    last_modified column is the persisted conditional-GET state."""
     import pyarrow.parquet as pq
 
     docs_dir = os.path.join(folder, "crawl", "documents")
     if not os.path.isdir(docs_dir):
         docs_dir = folder
-    tbl = pq.read_table(docs_dir, columns=["url", "spans"])
-    return dict(zip(tbl.column("url").to_pylist(), tbl.column("spans").to_pylist()))
+    try:
+        tbl = pq.read_table(
+            docs_dir, columns=["url", "spans", "last_modified"]
+        )
+        lms = tbl.column("last_modified").to_pylist()
+    except Exception:
+        # pre-0.2.0 checkpoint without the validator column
+        tbl = pq.read_table(docs_dir, columns=["url", "spans"])
+        lms = [None] * tbl.num_rows
+    urls = tbl.column("url").to_pylist()
+    spans = dict(zip(urls, tbl.column("spans").to_pylist()))
+    cache = {u: lm for u, lm in zip(urls, lms) if lm}
+    return spans, cache
 
 
 def cmd_post_process(args) -> int:

@@ -18,10 +18,25 @@ the reference loads them into the same browser page
 
 from __future__ import annotations
 
+import json
+
 import pyarrow as pa
 import ray
 
 from ..sources import corpus
+
+
+def _validator(lm: str | None, etag: str | None) -> str:
+    """Composite conditional-GET validator string for the
+    ``last_modified`` fetch column: the bare Last-Modified value when
+    that's all the origin sent (back-compat), else a JSON object
+    carrying both validators. Round-trips through ``cache_info``
+    (Fetcher.__init__ json-parses '{'-prefixed values), so a harvested
+    column re-arms BOTH If-Modified-Since and If-None-Match on the
+    next crawl."""
+    if etag:
+        return json.dumps({"last_modified": lm or "", "etag": etag})
+    return lm or ""
 
 
 class Fetcher:
@@ -35,7 +50,20 @@ class Fetcher:
                  synth_links: int = 8, http_base: str | None = None,
                  http_timeout: float = 30.0):
         self.mode = mode
-        self.cache_info = ray.get(cache_info_ref) if cache_info_ref is not None else {}
+        raw_cache = (
+            ray.get(cache_info_ref) if cache_info_ref is not None else {}
+        )
+        # values are bare Last-Modified strings, {"last_modified",
+        # "etag"} dicts, or the JSON composite a previous crawl's
+        # last_modified column harvested (_validator)
+        self.cache_info = {}
+        for u, v in raw_cache.items():
+            if isinstance(v, str) and v.startswith("{"):
+                try:
+                    v = json.loads(v)
+                except ValueError:
+                    pass
+            self.cache_info[u] = v
         self.synth_links = synth_links
         self.session_fetches = 0  # per-actor cache: ≤1 fetch per URL per crawl
         self._memo: dict[str, tuple[int, str]] = {}
@@ -83,13 +111,18 @@ class Fetcher:
             with self._opener.open(req, timeout=self.http_timeout) as resp:
                 body = resp.read().decode("utf-8", errors="replace")
                 redirected = resp.geturl() != target
+                # a redirected response suppresses BOTH validators so
+                # the next crawl refetches the moved URL
                 lm = "" if redirected else (
                     resp.headers.get("Last-Modified") or ""
                 )
-                return resp.status, body, lm
+                etag = None if redirected else resp.headers.get("ETag")
+                return resp.status, body, _validator(lm, etag)
         except urllib.error.HTTPError as e:
             if e.code == 304:
-                return 304, "", lm_known or ""
+                # both known validators stay armed for the next crawl
+                # (the 304 itself confirms they're still valid)
+                return 304, "", _validator(lm_known, etag_known)
             return e.code, "", ""
         except (urllib.error.URLError, TimeoutError, OSError):
             # network-level failure: captured per URL like any HTTP

@@ -51,7 +51,20 @@ def _pnm_header(payload: bytes):
             i = j
     if len(tokens) != 3:
         raise ValueError("truncated PNM header")
-    i += 1  # single whitespace byte after maxval, then raster data
+    # EXACTLY one whitespace byte after maxval, then raster — the
+    # netpbm contract, and what Pillow implements (fp.read(1)). A
+    # CRLF-after-maxval file is out-of-spec (the \n would decode as
+    # the first raster byte) — reject it loudly instead of shifting
+    # every pixel by one.
+    sep = payload[i:i + 1]
+    if not sep.isspace():
+        raise ValueError("PNM header not followed by whitespace")
+    if sep == b"\r" and payload[i + 1:i + 2] == b"\n":
+        raise ValueError(
+            "CRLF after PNM maxval — out-of-spec header (netpbm "
+            "mandates a single whitespace byte before the raster)"
+        )
+    i += 1
     width, height, maxval = tokens
     return magic, width, height, maxval, i
 
@@ -65,9 +78,12 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     if channels is None:
         raise ValueError(f"unsupported PNM magic {magic!r}")
     need = w * h * channels
+    if len(payload) - off < need:
+        raise ValueError(
+            f"truncated PNM raster: need {need} bytes, have "
+            f"{len(payload) - off}"
+        )
     data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
-    if len(data) < need:
-        raise ValueError("truncated PNM raster")
     return data.reshape((h, w) if channels == 1 else (h, w, channels))
 
 

@@ -728,7 +728,10 @@ def _hits_broadcast(
 
         parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
         raw = np.zeros(n_nodes)
-        np.add.at(raw, parts["node"].to_numpy(), parts["c"].to_numpy())
+        # empty edge list -> Ray drops all-empty blocks and to_pandas
+        # yields a column-less frame (same case kcore guards)
+        if len(parts):
+            np.add.at(raw, parts["node"].to_numpy(), parts["c"].to_numpy())
         return raw
 
     def norm_snap(raw: np.ndarray) -> np.ndarray:

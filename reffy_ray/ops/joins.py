@@ -568,7 +568,16 @@ def equi_join(
 
     # 1. census of LEFT key counts (partial per block, tiny shuffle)
     def partial_counts(b: pa.Table) -> pa.Table:
-        t = b.select([on]).group_by(on).aggregate([([], "count_all")])
+        # null keys never match in an inner join (SQL NULL = NULL is
+        # false) — drop them from the census so None can't become a
+        # "hot key"; the tier masks below drop them from the output
+        # too (is_in -> null -> filtered), which IS inner semantics
+        t = (
+            b.select([on])
+            .drop_null()
+            .group_by(on)
+            .aggregate([([], "count_all")])
+        )
         return pa.table(
             {on: t.column(on), "partial": t.column("count_all")}
         )
@@ -596,7 +605,6 @@ def equi_join(
 
     key_type = left.schema().types[l_names.index(on)]
     hot_arr = pa.array(hot_keys, key_type)
-    hot_set = set(hot_keys)
 
     # 2a. hot tier: right rows for hot keys, collected once + broadcast
     def right_hot(b: pa.Table) -> pa.Table:
@@ -630,17 +638,16 @@ def equi_join(
             }
         )
     bref = _ray.put(hot_right.to_pandas())
-    _cache: dict = {}
+    # single-slot per-worker memo: avoids re-deserializing the
+    # broadcast frame on every batch (closure list, one fixed bref)
+    _memo: list = []
 
     def hot_merge(b: pa.Table) -> pd.DataFrame:
         mask = pc.is_in(b.column(on), value_set=hot_arr)
         sub = b.filter(mask).to_pandas()
-        key = bref.hex()
-        bdf = _cache.get(key)
-        if bdf is None:
-            bdf = _ray.get(bref)
-            _cache[key] = bdf
-        merged = sub.merge(bdf, on=on, how="inner")
+        if not _memo:
+            _memo.append(_ray.get(bref))
+        merged = sub.merge(_memo[0], on=on, how="inner")
         return merged[out_order]
 
     hot_out = left.map_batches(hot_merge, batch_format="pyarrow")

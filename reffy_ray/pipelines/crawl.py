@@ -138,6 +138,26 @@ class CrawlResult:
         """Reference order contract: seed order (reffy.js:164-167)."""
         return self.documents().sort(["seed_rank", "depth", "url"])
 
+    def cache_info(self) -> dict[str, str]:
+        """url → conditional-GET validator harvested from this crawl
+        (bare Last-Modified, or the JSON composite carrying ETag too —
+        crawl/fetch._validator). The analog of the reference's
+        crawl-cache.json (specs-crawler.js:87-98): feed it to the next
+        crawl's ``cache_info`` to re-arm If-Modified-Since /
+        If-None-Match. Streamed fold over the documents checkpoint —
+        at production scale the cache IS the parquet column; this
+        driver dict is for the reference-sized reuse path."""
+        out: dict[str, str] = {}
+        ds = self.documents().select_columns(["url", "last_modified"])
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            for u, lm in zip(
+                b.column("url").to_pylist(),
+                b.column("last_modified").to_pylist(),
+            ):
+                if lm:
+                    out[u] = lm
+        return out
+
 
 class SpanAssembler:
     """Actor-pool stage: fetched rows → documents rows.
@@ -199,6 +219,14 @@ class SpanAssembler:
                 "status": pa.array([r["status"] for r in rows], pa.int32()),
                 "error": pa.array(out_err, pa.string()),
                 "crawl_cache": pa.array(out_cache, pa.string()),
+                # conditional-GET validator passthrough (crawl-cache
+                # persistence: the checkpoint column IS the cache the
+                # reference keeps in crawl-cache.json) — see
+                # CrawlResult.cache_info()
+                "last_modified": pa.array(
+                    [r.get("last_modified") or None for r in rows],
+                    pa.string(),
+                ),
                 "out_links": pa.array(out_links, pa.list_(pa.string())),
             }
         )

@@ -254,3 +254,39 @@ def test_http_redirect_followed(ray_session, tmp_path, http_server):
     idl = [s["text"] for s in docs[0]["spans"] if s["kind"] == "idl-block"]
     assert idl and "interface Foo" in idl[0]
     assert (url, 301) in http_server.request_log
+
+
+def test_http_validator_harvest_roundtrip(ray_session, tmp_path, http_server):
+    # crawl 1 harvests the conditional-GET validators into the
+    # documents checkpoint (the reference's crawl-cache.json analog,
+    # specs-crawler.js:87-98); crawl 2 fed res.cache_info() hits 304
+    # via the re-armed validators
+    url = "https://www.w3.org/TR/ididnotchange/"
+    seeds = pa.Table.from_pylist([_seed_row(url, shortname="ididnotchange")])
+    cfg1 = CrawlConfig(
+        mode="http", http_base=http_server.base_url,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    res1 = crawl(seeds, cfg1)
+    docs1 = res1.documents().take_all()
+    assert docs1[0]["status"] == 200
+    ci = res1.cache_info()
+    # the harvested validator is the JSON composite carrying BOTH
+    # validators (the mock server sends Last-Modified and ETag)
+    import json as _json
+
+    v = _json.loads(ci[url])
+    assert v["last_modified"] and v["etag"].startswith('"')
+
+    spans1 = docs1[0]["spans"]
+    cfg2 = CrawlConfig(
+        mode="http", http_base=http_server.base_url,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    res2 = crawl(seeds, cfg2, fallback_spans={url: spans1}, cache_info=ci)
+    docs2 = res2.documents().take_all()
+    assert docs2[0]["status"] == 304
+    assert docs2[0]["crawl_cache"] == "not modified"
+    assert (url, 304) in http_server.request_log
+    # a 304 keeps the validators armed for crawl 3
+    assert _json.loads(res2.cache_info()[url])["etag"] == v["etag"]

@@ -311,3 +311,29 @@ def test_equi_join_all_hot_keys_no_right_match_dropped(ray_session):
     left, right = _skewed_sides()
     out = equi_join(left, right, on="k", hot_cap=1).to_pandas()
     assert set(out["k"]) == {7, 1, 2}
+
+
+def test_equi_join_null_and_string_keys(ray_session):
+    # null keys never match (inner semantics) and can't become hot;
+    # string keys work through census, both tiers
+    from reffy_ray.ops.joins import equi_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": ["a", "a", "a", None, "b", None],
+                "lv": [1, 2, 3, 4, 5, 6],
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table({"k": ["a", "b", None], "rv": [10, 20, 30]})
+    )
+    out = (
+        equi_join(left, right, on="k", hot_cap=3)  # "a" is hot
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == ["a", "a", "a", "b"]
+    assert list(out["rv"]) == [10, 10, 10, 20]

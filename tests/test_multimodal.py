@@ -231,3 +231,20 @@ def test_span_sections_heading_segments():
         [7, 2, 2, 1, 4],
         [9, 0, 1, 0, 0],
     ]
+
+
+def test_pnm_rejects_crlf_and_truncation():
+    # out-of-spec CRLF after maxval must fail loudly (a silent decode
+    # would shift every pixel by one byte); truncation names the sizes
+    import numpy as np
+    import pytest as _pytest
+
+    from reffy_ray.ops.codecs import decode_pnm, encode_pnm
+
+    good = encode_pnm(np.arange(6, dtype=np.uint8).reshape(2, 3))
+    assert decode_pnm(good).shape == (2, 3)
+    crlf = good.replace(b"255\n", b"255\r\n", 1)
+    with _pytest.raises(ValueError, match="CRLF"):
+        decode_pnm(crlf)
+    with _pytest.raises(ValueError, match="truncated PNM raster"):
+        decode_pnm(good[:-2])

@@ -47,7 +47,8 @@ def main() -> None:
         line = kernel_probe()
         eff = probe_eff(line)
         log(f"sniff eff={eff:.3f} ({line})")
-        if eff < gate:
+        # NaN-safe: a malformed probe (eff=nan) must NOT open the gate
+        if not eff >= gate:
             time.sleep(90)
             continue
         name = f"{prefix}{i}"
