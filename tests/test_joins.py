@@ -337,3 +337,30 @@ def test_equi_join_null_and_string_keys(ray_session):
     )
     assert list(out["k"]) == ["a", "a", "a", "b"]
     assert list(out["rv"]) == [10, 10, 10, 20]
+
+
+def test_equi_join_right_fanout_multiplicities(ray_session):
+    # two right rows on one hot key and one cold key: inner join
+    # multiplies — both tiers must agree with pandas
+    from reffy_ray.ops.joins import equi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": [7, 7, 7, 1, 1], "lv": [0, 1, 2, 3, 4]})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": [7, 7, 1, 1], "rv": ["a", "b", "c", "d"]})
+    )
+    exp = (
+        pd.DataFrame({"k": [7, 7, 7, 1, 1], "lv": [0, 1, 2, 3, 4]})
+        .merge(pd.DataFrame({"k": [7, 7, 1, 1],
+                             "rv": ["a", "b", "c", "d"]}), on="k")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    got = (
+        equi_join(left, right, on="k", hot_cap=3)  # 7 hot, 1 cold
+        .to_pandas()[["k", "lv", "rv"]]
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
