@@ -2805,6 +2805,27 @@ def q_media_text_pairs(sf_dir: str):
     return _span_docs(sf_dir).map_batches(media_text_pairs, batch_format="pyarrow")
 
 
+def q_media_dedup(sf_dir: str):
+    """Cross-document exact media dedup by payload content hash
+    (ops/multimodal.media_dedup): two synth_media_batch_real batches
+    with different seeds share every image/audio payload byte-for-byte
+    (the pixel/sample rules are seed-independent) while video payloads
+    are seed-keyed — so each image/audio row has exactly one cross-seed
+    duplicate and the canonical (min media_id) is the seed-0 row. The
+    engine hashes REAL payload bytes; the oracle predicts the groups
+    from the closed-form generation rules, so a codec or generator
+    drift breaks the match."""
+    from reffy_ray.ops.multimodal import media_dedup, synth_media_batch_real
+
+    media = rd.from_arrow(
+        pa.concat_tables(
+            [synth_media_batch_real(150, seed=0),
+             synth_media_batch_real(150, seed=1)]
+        )
+    )
+    return media_dedup(media)
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-style grouped aggregate (generic relational capability)."""
     from ray.data.aggregate import Count, Sum
@@ -3551,6 +3572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_interleaved": q_pack_interleaved,
         "media_text_pairs": q_media_text_pairs,
         "media_manifest": q_media_manifest,
+        "media_dedup": q_media_dedup,
         "frame_sample": q_frame_sample,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
@@ -7136,6 +7158,33 @@ def oracle_sql() -> dict[str, str]:
                               ELSE [] END)
                    ), ',') AS targets
             FROM documents WHERE doc_id % 9 = 0
+        """,
+        # ops/multimodal.media_dedup: payload-hash exact dedup. The
+        # engine md5s the real PNM/WAV bytes; this oracle predicts the
+        # duplicate groups from the closed-form generation rules
+        # (image/audio payloads are seed-independent → one cross-seed
+        # duplicate each; video payloads are seed-keyed → singletons)
+        "media_dedup": """
+            WITH rows AS (
+              SELECT s.seed, g.i,
+                     CASE g.i % 3 WHEN 0 THEN 'image'
+                                  WHEN 1 THEN 'audio'
+                                  ELSE 'video' END AS kind
+              FROM range(0, 150) AS g(i), (VALUES (0), (1)) AS s(seed)
+            ),
+            keyed AS (
+              SELECT kind,
+                     'mr' || seed || '-' || i AS media_id,
+                     CASE WHEN kind = 'video'
+                          THEN 'video-' || seed || '-' || i
+                          ELSE kind || '-' || i END AS dup_key
+              FROM rows
+            )
+            SELECT k.media_id, k.kind,
+                   min(k2.media_id) AS canonical_id,
+                   count(*) AS group_size
+            FROM keyed k JOIN keyed k2 USING (dup_key)
+            GROUP BY k.media_id, k.kind
         """,
         # ops/multimodal.MediaDecoder(fake=False) + ops/codecs: real
         # PPM/WAV decode; the synthetic payloads follow closed-form

@@ -635,3 +635,51 @@ def span_templates(docs: "object") -> "object":
         return t.filter(pc.greater_equal(t.column("n_docs"), 2))
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def media_dedup(media) -> "rd.Dataset":
+    """Cross-document exact media dedup by payload content hash — the
+    100 TB multimodal-pipeline primitive (the same image embedded on a
+    million pages must be fetched/decoded/stored once).
+
+    Scale shape: the md5 is computed per batch where the payload
+    already lives (payloads never move), then ONE groupby shuffle over
+    the slim ``(content_key, media_id, kind)`` projection — orders of
+    magnitude smaller than the payload bytes. Canonical per group =
+    lexicographic-min media_id (deterministic first-wins, the in-doc
+    dedup convention); every member row comes back annotated with its
+    canonical id and group size, so a downstream rewrite of span
+    ``media_ref``s is a broadcast/bucketed map, and storage keeps one
+    payload per group.
+    """
+    import pandas as pd
+    import ray.data as rd  # noqa: F401  (type only)
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(p).hexdigest()
+            for p in b.column("payload").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": b.column("media_id"),
+                "kind": b.column("kind"),
+                "content_key": pa.array(hs, pa.string()),
+            }
+        )
+
+    slim = media.map_batches(hash_rows, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_id": g["media_id"],
+                "kind": g["kind"],
+                "canonical_id": g["media_id"].min(),
+                "group_size": np.int64(len(g)),
+            }
+        )
+
+    return slim.groupby("content_key").map_groups(
+        fold, batch_format="pandas"
+    )

@@ -248,3 +248,26 @@ def test_pnm_rejects_crlf_and_truncation():
         decode_pnm(crlf)
     with _pytest.raises(ValueError, match="truncated PNM raster"):
         decode_pnm(good[:-2])
+
+
+def test_media_dedup_groups_identical_payloads(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reffy_ray.ops.multimodal import MEDIA_SCHEMA, media_dedup
+
+    rows = [
+        {"media_id": "b", "kind": "image", "payload": b"\x01\x02",
+         "mime": "x", "width": 1, "height": 1, "duration_ms": 0},
+        {"media_id": "a", "kind": "image", "payload": b"\x01\x02",
+         "mime": "x", "width": 1, "height": 1, "duration_ms": 0},
+        {"media_id": "c", "kind": "audio", "payload": b"\x03",
+         "mime": "x", "width": 0, "height": 0, "duration_ms": 1},
+    ]
+    media = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    out = media_dedup(media).to_pandas().set_index("media_id")
+    assert out.loc["a", "canonical_id"] == "a"
+    assert out.loc["b", "canonical_id"] == "a"  # min id wins
+    assert out.loc["b", "group_size"] == 2
+    assert out.loc["c", "canonical_id"] == "c"
+    assert out.loc["c", "group_size"] == 1

@@ -70,7 +70,7 @@ ORACLE_KEYS = [
     "char_entropy",
     "ann_topk", "lineitem_agg", "orders_by_segment",
     "events_window", "idlparsed", "idlnames", "backrefs", "media_manifest",
-    "frame_sample", "media_features",
+    "frame_sample", "media_features", "media_dedup",
     "word_counts", "bigram_counts", "sessionize",
     "cohort_retention", "line_dedup",
     "fingerprint", "simhash", "minhash_pairs", "jaccard_pairs",
