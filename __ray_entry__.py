@@ -545,6 +545,36 @@ def q_hits(sf_dir: str):
     return hits(edges, n_nodes=n, iters=2)
 
 
+def q_random_walks(sf_dir: str):
+    """Deterministic hash-chosen random walks (ops/graph.random_walks,
+    broadcast tier at test scale): one 3-step walk per doc over the
+    doc_id // j link graph; next hop = out-neighbor minimizing
+    md5('walk|{w}|{t}|{d}'), so the SQL oracle replays the exact same
+    'random' choices via row_number over the md5 ordering."""
+    import numpy as np
+
+    from reffy_ray.ops.graph import random_walks
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        src = np.repeat(ids, 3)
+        j = np.tile(np.array([2, 4, 8]), len(ids))
+        return pd.DataFrame(
+            {
+                "src": src.astype("int64"),
+                "dst": (src // j).astype("int64"),
+            }
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pandas")
+    return random_walks(edges, n_nodes=n, walk_len=3)
+
+
 def _custkey_big_orders(sf_dir: str):
     """Customer dim side + the key column of orders over 300k total
     price (threshold keeps BOTH the semi and anti results non-empty at
@@ -3597,6 +3627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "random_walks": q_random_walks,
         "cc_components": q_cc_components,
         "triangle_count": q_triangle_count,
         "bfs_hops": q_bfs_hops,
@@ -5461,6 +5492,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(a2.v * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)
                      AS auth_e9
             FROM h2 JOIN a2 ON h2.node = a2.node
+        """,
+        # ops/graph.random_walks: the hash-chosen walk replayed step
+        # by step — row_number over the md5 ordering IS the engine's
+        # argmin choice rule
+        "random_walks": """
+            WITH nodes AS (
+              SELECT CAST(doc_id AS BIGINT) AS w FROM documents
+            ),
+            s0 AS (SELECT w, w AS node FROM nodes),
+            c1 AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     md5('walk|' || s.w || '|0|' || (s.node // j)) AS h
+              FROM s0 s, (VALUES (2), (4), (8)) AS v(j)),
+            s1 AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM c1) WHERE rn = 1),
+            c2 AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     md5('walk|' || s.w || '|1|' || (s.node // j)) AS h
+              FROM s1 s, (VALUES (2), (4), (8)) AS v(j)),
+            s2 AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM c2) WHERE rn = 1),
+            c3 AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     md5('walk|' || s.w || '|2|' || (s.node // j)) AS h
+              FROM s2 s, (VALUES (2), (4), (8)) AS v(j)),
+            s3 AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM c3) WHERE rn = 1)
+            SELECT w AS walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
+            UNION ALL
+            SELECT w, CAST(1 AS BIGINT), node FROM s1
+            UNION ALL
+            SELECT w, CAST(2 AS BIGINT), node FROM s2
+            UNION ALL
+            SELECT w, CAST(3 AS BIGINT), node FROM s3
         """,
         # ops/stats.histogram(width=10000): bucket = floor(v/10000),
         # identical IEEE division+floor in both engines

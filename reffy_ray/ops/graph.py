@@ -872,3 +872,177 @@ def _hits_join(
         )
 
     return merged.map_batches(fin, batch_format="pandas")
+
+
+def random_walks(
+    edges: rd.Dataset,
+    n_nodes: int,
+    walk_len: int = 4,
+    salt: str = "walk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    mode: str = "auto",
+    broadcast_max_edges: int = 50_000_000,
+) -> rd.Dataset:
+    """Deterministic hash-chosen random walks (the node2vec/PPR
+    sampling primitive made reproducible): one walk per node
+    ``0..n_nodes-1``; from node ``u`` at step ``t`` the walk moves to
+    the out-neighbor ``d`` minimizing ``md5(f"{salt}|{walk}|{t}|{d}")``
+    (hex-string order, ties broken by min ``d``) — a fixed-seed
+    "random" choice both engine tiers and a SQL oracle replay exactly.
+    A dead-end walk stays in place. Returns ``(walk_id, step, node)``
+    for steps ``0..walk_len``.
+
+    - ``broadcast`` (≤ ``broadcast_max_edges``): adjacency shipped
+      once via ``ray.put``; each walk batch runs ALL its steps
+      map-side — zero shuffles for the whole walk table.
+    - ``join``: per step one hash join frontier⋈edges + one
+      ``groupby(walk)`` argmin — nothing node-sized on the driver,
+      the billion-node path. Identical choice rule, same output.
+    """
+    import hashlib as _hl
+
+    if mode == "auto":
+        try:
+            n_edges = edges.count()
+        except Exception:
+            n_edges = broadcast_max_edges + 1
+        mode = "broadcast" if n_edges <= broadcast_max_edges else "join"
+
+    def choice_key(w: int, t: int, d: int) -> str:
+        return _hl.md5(f"{salt}|{w}|{t}|{d}".encode()).hexdigest()
+
+    if mode == "broadcast":
+        adj: dict[int, list] = {}
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            for s, d in zip(
+                b.column(src_col).to_pylist(), b.column(dst_col).to_pylist()
+            ):
+                adj.setdefault(s, []).append(d)
+        for s in adj:
+            adj[s] = sorted(set(adj[s]))
+        adj_ref = ray.put(adj)
+
+        def walk_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            a = ray.get(adj_ref)
+            ws, ss, ns = [], [], []
+            for w in batch["id"].to_numpy():
+                cur = int(w)
+                ws.append(w); ss.append(0); ns.append(cur)
+                for t in range(walk_len):
+                    nbrs = a.get(cur)
+                    if nbrs:
+                        cur = min(
+                            nbrs, key=lambda d: (choice_key(w, t, d), d)
+                        )
+                    ws.append(w); ss.append(t + 1); ns.append(cur)
+            return pd.DataFrame(
+                {
+                    "walk_id": pd.Series(ws, dtype="int64"),
+                    "step": pd.Series(ss, dtype="int64"),
+                    "node": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+        return rd.range(n_nodes).map_batches(
+            walk_batch, batch_format="pandas"
+        )
+
+    # join tier: one co-partitioning shuffle per step. Ray's native
+    # join operator stalls/crashes when a side carries the degenerate
+    # empty pandas partitions map/groupby stages emit (see hits), so
+    # the frontier⋈edges step uses the repo's tagged-union + groupby
+    # shape (backrefs bucket join): all of a walk's candidates share
+    # key = its current node, so the argmin choice happens INSIDE the
+    # group — one shuffle per step, no second aggregate.
+    frontier = rd.range(n_nodes).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["id"].astype("int64"),
+                "side": np.zeros(len(b), dtype="int8"),
+                "walk_id": b["id"].astype("int64"),
+                "dst": np.full(len(b), -1, dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    tagged_edges = edges.map_batches(
+        lambda b, sc=src_col, dc=dst_col: pd.DataFrame(
+            {
+                "key": b[sc].astype("int64"),
+                "side": np.ones(len(b), dtype="int8"),
+                "walk_id": np.full(len(b), -1, dtype="int64"),
+                "dst": b[dc].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    outputs = [
+        frontier.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "walk_id": b["walk_id"].astype("int64"),
+                    "step": np.zeros(len(b), dtype="int64"),
+                    "node": b["key"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    ]
+    for t in range(walk_len):
+        def step_groups(g: pd.DataFrame, t=t) -> pd.DataFrame:
+            cur = int(g["key"].iloc[0])
+            walks = g.loc[g["side"] == 0, "walk_id"]
+            if walks.empty:
+                return pd.DataFrame({"walk_id": [], "node": []}).astype(
+                    {"walk_id": "int64", "node": "int64"}
+                )
+            nbrs = sorted(set(g.loc[g["side"] == 1, "dst"].astype(int)))
+            nxt = [
+                cur if not nbrs else min(
+                    nbrs, key=lambda d, w=int(w): (choice_key(w, t, d), d)
+                )
+                for w in walks
+            ]
+            return pd.DataFrame(
+                {
+                    "walk_id": walks.astype("int64").to_numpy(),
+                    "node": pd.Series(nxt, dtype="int64").to_numpy(),
+                }
+            )
+
+        stepped = (
+            frontier.union(tagged_edges)
+            .groupby("key")
+            .map_groups(step_groups, batch_format="pandas")
+            .materialize()
+        )
+        outputs.append(
+            stepped.map_batches(
+                lambda b, t=t: pd.DataFrame(
+                    {
+                        "walk_id": b["walk_id"].astype("int64"),
+                        "step": np.full(len(b), t + 1, dtype="int64"),
+                        "node": b["node"].astype("int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        frontier = stepped.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["node"].astype("int64"),
+                    "side": np.zeros(len(b), dtype="int8"),
+                    "walk_id": b["walk_id"].astype("int64"),
+                    "dst": np.full(len(b), -1, dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out

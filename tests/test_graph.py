@@ -290,3 +290,55 @@ def test_hits_tiers_agree(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(b, j)
+
+
+# --- random_walks ---------------------------------------------------
+
+
+def test_random_walks_tiers_agree_and_deterministic(ray_session):
+    from reffy_ray.ops.graph import random_walks
+
+    el = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 0)]
+    edges = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+    b = (
+        random_walks(edges, n_nodes=4, walk_len=3, mode="broadcast")
+        .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    )
+    edges2 = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+    j = (
+        random_walks(edges2, n_nodes=4, walk_len=3, mode="join")
+        .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(b, j)
+    # step 0 is the start node; every hop follows a real edge
+    adj = {}
+    for s, d in el:
+        adj.setdefault(s, set()).add(d)
+    for w in range(4):
+        walk = b[b.walk_id == w].sort_values("step")["node"].tolist()
+        assert walk[0] == w
+        for a_, b_ in zip(walk, walk[1:]):
+            assert b_ in adj[a_]
+    # determinism: a second run is identical
+    edges3 = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+    again = (
+        random_walks(edges3, n_nodes=4, walk_len=3, mode="broadcast")
+        .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(b, again)
+
+
+def test_random_walks_dead_end_stays(ray_session):
+    from reffy_ray.ops.graph import random_walks
+
+    el = [(0, 1)]  # node 1 is a dead end; 2 is isolated
+    for mode in ("broadcast", "join"):
+        edges = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+        out = (
+            random_walks(edges, n_nodes=3, walk_len=2, mode=mode)
+            .to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+        )
+        w0 = out[out.walk_id == 0]["node"].tolist()
+        assert w0 == [0, 1, 1], mode  # walks to 1, then stays
+        w2 = out[out.walk_id == 2]["node"].tolist()
+        assert w2 == [2, 2, 2], mode  # isolated node never moves
