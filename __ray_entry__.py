@@ -575,6 +575,17 @@ def q_random_walks(sf_dir: str):
     return random_walks(edges, n_nodes=n, walk_len=3)
 
 
+def q_walk_pairs(sf_dir: str):
+    """Skip-gram pairs from the deterministic walks
+    (ops/graph.walk_skipgrams over random_walks output) — the
+    node2vec/DeepWalk training-pair generator; window 2 over the
+    3-step walks."""
+    from reffy_ray.ops.graph import walk_skipgrams
+
+    walks = q_random_walks(sf_dir)
+    return walk_skipgrams(walks, window=2)
+
+
 def _custkey_big_orders(sf_dir: str):
     """Customer dim side + the key column of orders over 300k total
     price (threshold keeps BOTH the semi and anti results non-empty at
@@ -3628,6 +3639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "random_walks": q_random_walks,
+        "walk_pairs": q_walk_pairs,
         "cc_components": q_cc_components,
         "triangle_count": q_triangle_count,
         "bfs_hops": q_bfs_hops,
@@ -5538,6 +5550,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT w, CAST(2 AS BIGINT), node FROM s2
             UNION ALL
             SELECT w, CAST(3 AS BIGINT), node FROM s3
+        """,
+        # ops/graph.walk_skipgrams over the same walks: every ordered
+        # pair at step distance 1..2 within a walk
+        "walk_pairs": """
+            WITH nodes AS (
+              SELECT CAST(doc_id AS BIGINT) AS w FROM documents
+            ),
+            s0 AS (SELECT w, w AS node FROM nodes),
+            c1 AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     md5('walk|' || s.w || '|0|' || (s.node // j)) AS h
+              FROM s0 s, (VALUES (2), (4), (8)) AS v(j)),
+            s1 AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM c1) WHERE rn = 1),
+            c2 AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     md5('walk|' || s.w || '|1|' || (s.node // j)) AS h
+              FROM s1 s, (VALUES (2), (4), (8)) AS v(j)),
+            s2 AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM c2) WHERE rn = 1),
+            c3 AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     md5('walk|' || s.w || '|2|' || (s.node // j)) AS h
+              FROM s2 s, (VALUES (2), (4), (8)) AS v(j)),
+            s3 AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM c3) WHERE rn = 1),
+            allsteps AS MATERIALIZED (
+              SELECT w, CAST(0 AS BIGINT) AS step, node FROM s0
+              UNION ALL SELECT w, CAST(1 AS BIGINT), node FROM s1
+              UNION ALL SELECT w, CAST(2 AS BIGINT), node FROM s2
+              UNION ALL SELECT w, CAST(3 AS BIGINT), node FROM s3
+            )
+            SELECT a.node AS node_a, b.node AS node_b,
+                   count(*) AS n_pairs
+            FROM allsteps a JOIN allsteps b
+              ON a.w = b.w AND b.step - a.step BETWEEN 1 AND 2
+            GROUP BY a.node, b.node
         """,
         # ops/stats.histogram(width=10000): bucket = floor(v/10000),
         # identical IEEE division+floor in both engines

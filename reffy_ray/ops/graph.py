@@ -1046,3 +1046,50 @@ def random_walks(
     for o in outputs[1:]:
         out = out.union(o)
     return out
+
+
+def walk_skipgrams(
+    walks: rd.Dataset, window: int = 2
+) -> rd.Dataset:
+    """Skip-gram training pairs from a walk table — the node2vec /
+    DeepWalk pair generator: for each walk, every ordered pair of
+    nodes at step distance ``1..window`` contributes one count.
+    Input: ``(walk_id, step, node)`` (random_walks output). Output:
+    ``(node_a, node_b, n_pairs)`` where ``node_a`` is the earlier
+    step. One ``groupby(walk_id)`` shuffle (walks are short, groups
+    tiny) + per-batch Arrow count partials folded by one small
+    ``groupby`` — the corpus-sized pair stream never materializes."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def pairs(g: pd.DataFrame, window=window) -> pd.DataFrame:
+        g = g.sort_values("step")
+        nodes = g["node"].to_numpy()
+        a, b = [], []
+        for d in range(1, window + 1):
+            if d < len(nodes):
+                a.append(nodes[:-d])
+                b.append(nodes[d:])
+        if not a:
+            return pd.DataFrame(
+                {"node_a": [], "node_b": [], "partial": []}
+            ).astype({"node_a": "int64", "node_b": "int64",
+                      "partial": "int64"})
+        aa = np.concatenate(a)
+        bb = np.concatenate(b)
+        df = pd.DataFrame({"node_a": aa, "node_b": bb})
+        out = (
+            df.groupby(["node_a", "node_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "partial"})
+        )
+        return out.astype(
+            {"node_a": "int64", "node_b": "int64", "partial": "int64"}
+        )
+
+    return (
+        walks.groupby("walk_id")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["node_a", "node_b"])
+        .aggregate(Sum("partial", alias_name="n_pairs"))
+    )

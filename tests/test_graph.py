@@ -342,3 +342,20 @@ def test_random_walks_dead_end_stays(ray_session):
         assert w0 == [0, 1, 1], mode  # walks to 1, then stays
         w2 = out[out.walk_id == 2]["node"].tolist()
         assert w2 == [2, 2, 2], mode  # isolated node never moves
+
+
+def test_walk_skipgrams_counts_hand_checked(ray_session):
+    from reffy_ray.ops.graph import walk_skipgrams
+
+    walks = rd.from_pandas(pd.DataFrame(
+        {"walk_id": [0, 0, 0, 1, 1],
+         "step": [0, 1, 2, 0, 1],
+         "node": [5, 6, 5, 6, 5]}
+    ))
+    out = (
+        walk_skipgrams(walks, window=2).to_pandas()
+        .sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    )
+    # walk 0 (5,6,5): d1 -> (5,6),(6,5); d2 -> (5,5). walk 1 (6,5): (6,5)
+    got = {(r.node_a, r.node_b): r.n_pairs for r in out.itertuples()}
+    assert got == {(5, 6): 1, (6, 5): 2, (5, 5): 1}
