@@ -4071,6 +4071,48 @@ SELECT a, b, round(cosine, 6) AS cosine FROM cos WHERE cosine >= 0.3
 """
 
 
+# Shared walk-replay CTE chain (ops/graph.random_walks choice rule:
+# next hop = argmin md5('walk|{w}|{t}|{d}'), min-d tie-break) — ONE
+# definition consumed by both the random_walks and walk_pairs oracles
+# so the two can never drift apart.
+_WALK_CTES = """
+            WITH nodes AS (
+              SELECT CAST(doc_id AS BIGINT) AS w FROM documents
+            ),
+            s0 AS (SELECT w, w AS node FROM nodes),
+            c1 AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     md5('walk|' || s.w || '|0|' || (s.node // j)) AS h
+              FROM s0 s, (VALUES (2), (4), (8)) AS v(j)),
+            s1 AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM c1) WHERE rn = 1),
+            c2 AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     md5('walk|' || s.w || '|1|' || (s.node // j)) AS h
+              FROM s1 s, (VALUES (2), (4), (8)) AS v(j)),
+            s2 AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM c2) WHERE rn = 1),
+            c3 AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     md5('walk|' || s.w || '|2|' || (s.node // j)) AS h
+              FROM s2 s, (VALUES (2), (4), (8)) AS v(j)),
+            s3 AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM c3) WHERE rn = 1)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "headings_from_text": """
@@ -5508,41 +5550,7 @@ def oracle_sql() -> dict[str, str]:
         # ops/graph.random_walks: the hash-chosen walk replayed step
         # by step — row_number over the md5 ordering IS the engine's
         # argmin choice rule
-        "random_walks": """
-            WITH nodes AS (
-              SELECT CAST(doc_id AS BIGINT) AS w FROM documents
-            ),
-            s0 AS (SELECT w, w AS node FROM nodes),
-            c1 AS MATERIALIZED (
-              SELECT s.w, s.node // j AS d,
-                     md5('walk|' || s.w || '|0|' || (s.node // j)) AS h
-              FROM s0 s, (VALUES (2), (4), (8)) AS v(j)),
-            s1 AS MATERIALIZED (
-              SELECT w, d AS node FROM (
-                SELECT w, d,
-                       row_number() OVER (PARTITION BY w
-                                          ORDER BY h, d) AS rn
-                FROM c1) WHERE rn = 1),
-            c2 AS MATERIALIZED (
-              SELECT s.w, s.node // j AS d,
-                     md5('walk|' || s.w || '|1|' || (s.node // j)) AS h
-              FROM s1 s, (VALUES (2), (4), (8)) AS v(j)),
-            s2 AS MATERIALIZED (
-              SELECT w, d AS node FROM (
-                SELECT w, d,
-                       row_number() OVER (PARTITION BY w
-                                          ORDER BY h, d) AS rn
-                FROM c2) WHERE rn = 1),
-            c3 AS MATERIALIZED (
-              SELECT s.w, s.node // j AS d,
-                     md5('walk|' || s.w || '|2|' || (s.node // j)) AS h
-              FROM s2 s, (VALUES (2), (4), (8)) AS v(j)),
-            s3 AS MATERIALIZED (
-              SELECT w, d AS node FROM (
-                SELECT w, d,
-                       row_number() OVER (PARTITION BY w
-                                          ORDER BY h, d) AS rn
-                FROM c3) WHERE rn = 1)
+        "random_walks": _WALK_CTES + """
             SELECT w AS walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
             UNION ALL
             SELECT w, CAST(1 AS BIGINT), node FROM s1
@@ -5552,42 +5560,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT w, CAST(3 AS BIGINT), node FROM s3
         """,
         # ops/graph.walk_skipgrams over the same walks: every ordered
-        # pair at step distance 1..2 within a walk
-        "walk_pairs": """
-            WITH nodes AS (
-              SELECT CAST(doc_id AS BIGINT) AS w FROM documents
-            ),
-            s0 AS (SELECT w, w AS node FROM nodes),
-            c1 AS MATERIALIZED (
-              SELECT s.w, s.node // j AS d,
-                     md5('walk|' || s.w || '|0|' || (s.node // j)) AS h
-              FROM s0 s, (VALUES (2), (4), (8)) AS v(j)),
-            s1 AS MATERIALIZED (
-              SELECT w, d AS node FROM (
-                SELECT w, d,
-                       row_number() OVER (PARTITION BY w
-                                          ORDER BY h, d) AS rn
-                FROM c1) WHERE rn = 1),
-            c2 AS MATERIALIZED (
-              SELECT s.w, s.node // j AS d,
-                     md5('walk|' || s.w || '|1|' || (s.node // j)) AS h
-              FROM s1 s, (VALUES (2), (4), (8)) AS v(j)),
-            s2 AS MATERIALIZED (
-              SELECT w, d AS node FROM (
-                SELECT w, d,
-                       row_number() OVER (PARTITION BY w
-                                          ORDER BY h, d) AS rn
-                FROM c2) WHERE rn = 1),
-            c3 AS MATERIALIZED (
-              SELECT s.w, s.node // j AS d,
-                     md5('walk|' || s.w || '|2|' || (s.node // j)) AS h
-              FROM s2 s, (VALUES (2), (4), (8)) AS v(j)),
-            s3 AS MATERIALIZED (
-              SELECT w, d AS node FROM (
-                SELECT w, d,
-                       row_number() OVER (PARTITION BY w
-                                          ORDER BY h, d) AS rn
-                FROM c3) WHERE rn = 1),
+        # pair at step distance 1..2 within a walk (shared CTE chain —
+        # the two walk oracles cannot drift apart)
+        "walk_pairs": _WALK_CTES + """,
             allsteps AS MATERIALIZED (
               SELECT w, CAST(0 AS BIGINT) AS step, node FROM s0
               UNION ALL SELECT w, CAST(1 AS BIGINT), node FROM s1

@@ -883,6 +883,7 @@ def random_walks(
     dst_col: str = "dst",
     mode: str = "auto",
     broadcast_max_edges: int = 50_000_000,
+    n_edges: int | None = None,
 ) -> rd.Dataset:
     """Deterministic hash-chosen random walks (the node2vec/PPR
     sampling primitive made reproducible): one walk per node
@@ -903,38 +904,60 @@ def random_walks(
     import hashlib as _hl
 
     if mode == "auto":
-        try:
+        # pass n_edges when known to skip the count() execution;
+        # otherwise materialize so the count and the adjacency scan
+        # share one upstream execution (count failures propagate —
+        # silently switching tier on error would hide the real cause)
+        if n_edges is None:
+            edges = edges.materialize()
             n_edges = edges.count()
-        except Exception:
-            n_edges = broadcast_max_edges + 1
         mode = "broadcast" if n_edges <= broadcast_max_edges else "join"
 
     def choice_key(w: int, t: int, d: int) -> str:
         return _hl.md5(f"{salt}|{w}|{t}|{d}".encode()).hexdigest()
 
     if mode == "broadcast":
-        adj: dict[int, list] = {}
+        # CSR adjacency (indptr + sorted-dedup targets): ~16 bytes per
+        # edge as two int64 numpy arrays — vs ~100 B/edge for a
+        # dict-of-lists — so the 50M-edge cap costs ~800 MB, not
+        # multi-GB of PyObjects, and ray.put is a flat buffer copy
+        srcs, dsts = [], []
         for b in edges.iter_batches(batch_format="pyarrow"):
-            for s, d in zip(
-                b.column(src_col).to_pylist(), b.column(dst_col).to_pylist()
-            ):
-                adj.setdefault(s, []).append(d)
-        for s in adj:
-            adj[s] = sorted(set(adj[s]))
-        adj_ref = ray.put(adj)
+            srcs.append(b.column(src_col).to_numpy(zero_copy_only=False))
+            dsts.append(b.column(dst_col).to_numpy(zero_copy_only=False))
+        if srcs:
+            src_a = np.concatenate(srcs).astype(np.int64)
+            dst_a = np.concatenate(dsts).astype(np.int64)
+            order = np.lexsort((dst_a, src_a))
+            src_a, dst_a = src_a[order], dst_a[order]
+            keep = np.ones(len(src_a), dtype=bool)
+            keep[1:] = (np.diff(src_a) != 0) | (np.diff(dst_a) != 0)
+            src_a, dst_a = src_a[keep], dst_a[keep]
+        else:
+            src_a = np.empty(0, dtype=np.int64)
+            dst_a = np.empty(0, dtype=np.int64)
+        indptr = np.searchsorted(src_a, np.arange(n_nodes + 1))
+        adj_ref = ray.put((indptr, dst_a))
 
         def walk_batch(batch: pd.DataFrame) -> pd.DataFrame:
-            a = ray.get(adj_ref)
+            indptr_, targets = ray.get(adj_ref)
             ws, ss, ns = [], [], []
             for w in batch["id"].to_numpy():
                 cur = int(w)
                 ws.append(w); ss.append(0); ns.append(cur)
                 for t in range(walk_len):
-                    nbrs = a.get(cur)
-                    if nbrs:
-                        cur = min(
-                            nbrs, key=lambda d: (choice_key(w, t, d), d)
-                        )
+                    # a dst outside 0..n_nodes-1 has no indptr slot —
+                    # treat as a dead end (the walk stays put)
+                    nbrs = (
+                        targets[indptr_[cur]:indptr_[cur + 1]]
+                        if 0 <= cur < n_nodes
+                        else ()
+                    )
+                    if len(nbrs):
+                        cur = int(min(
+                            nbrs,
+                            key=lambda d: (choice_key(w, t, int(d)), d),
+                        ))
                     ws.append(w); ss.append(t + 1); ns.append(cur)
             return pd.DataFrame(
                 {
@@ -1063,13 +1086,21 @@ def walk_skipgrams(
     from ray.data.aggregate import Sum
 
     def pairs(g: pd.DataFrame, window=window) -> pd.DataFrame:
-        g = g.sort_values("step")
+        # TRUE step distance, not array position: a walk table with
+        # step gaps (filtered walks) must not pair non-adjacent steps
+        # as distance 1. Stable sort + first-occurrence searchsorted
+        # keeps duplicate-step input deterministic.
+        g = g.sort_values("step", kind="stable")
+        steps = g["step"].to_numpy()
         nodes = g["node"].to_numpy()
         a, b = [], []
         for d in range(1, window + 1):
-            if d < len(nodes):
-                a.append(nodes[:-d])
-                b.append(nodes[d:])
+            j = np.searchsorted(steps, steps + d)
+            ok = (j < len(steps))
+            ok[ok] &= steps[j[ok]] == steps[ok] + d
+            if ok.any():
+                a.append(nodes[ok])
+                b.append(nodes[j[ok]])
         if not a:
             return pd.DataFrame(
                 {"node_a": [], "node_b": [], "partial": []}

@@ -653,7 +653,6 @@ def media_dedup(media) -> "rd.Dataset":
     payload per group.
     """
     import pandas as pd
-    import ray.data as rd  # noqa: F401  (type only)
 
     def hash_rows(b: pa.Table) -> pa.Table:
         hs = [

@@ -359,3 +359,15 @@ def test_walk_skipgrams_counts_hand_checked(ray_session):
     # walk 0 (5,6,5): d1 -> (5,6),(6,5); d2 -> (5,5). walk 1 (6,5): (6,5)
     got = {(r.node_a, r.node_b): r.n_pairs for r in out.itertuples()}
     assert got == {(5, 6): 1, (6, 5): 2, (5, 5): 1}
+
+
+def test_walk_skipgrams_uses_true_step_distance(ray_session):
+    # a filtered walk table with a step gap: (0,5) -> (3,9) must NOT
+    # pair as distance 1 (review-pass regression)
+    from reffy_ray.ops.graph import walk_skipgrams
+
+    walks = rd.from_pandas(pd.DataFrame(
+        {"walk_id": [0, 0], "step": [0, 3], "node": [5, 9]}
+    ))
+    out = walk_skipgrams(walks, window=2).to_pandas()
+    assert len(out) == 0
