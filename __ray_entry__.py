@@ -548,9 +548,11 @@ def q_hits(sf_dir: str):
 def q_random_walks(sf_dir: str):
     """Deterministic hash-chosen random walks (ops/graph.random_walks,
     broadcast tier at test scale): one 3-step walk per doc over the
-    doc_id // j link graph; next hop = out-neighbor minimizing
-    md5('walk|{w}|{t}|{d}'), so the SQL oracle replays the exact same
-    'random' choices via row_number over the md5 ordering."""
+    doc_id // j link graph; next hop = out-neighbor minimizing the
+    32-bit integer mix hash over (salt32, w, t, d) — vectorized numpy
+    in the engine, and plain BIGINT arithmetic in the SQL oracle
+    (_walk_step_ctes), so both replay the exact same 'random'
+    choices."""
     import numpy as np
 
     from reffy_ray.ops.graph import random_walks
@@ -4072,45 +4074,60 @@ SELECT a, b, round(cosine, 6) AS cosine FROM cos WHERE cosine >= 0.3
 
 
 # Shared walk-replay CTE chain (ops/graph.random_walks choice rule:
-# next hop = argmin md5('walk|{w}|{t}|{d}'), min-d tie-break) — ONE
-# definition consumed by both the random_walks and walk_pairs oracles
-# so the two can never drift apart.
-_WALK_CTES = """
+# next hop = argmin of the 32-bit integer mix hash over
+# (salt32, walk, step, dst) — ops/graph._walk_choice_keys — with a
+# min-d tie-break). The rule is pure mod-2^32 integer arithmetic so
+# DuckDB replays the ENGINE-IDENTICAL key values in BIGINT (every
+# product < 2^63 at test scale: w,d < 2^32/2654435761 and the mix
+# multiplier 73244475 < 2^31). salt32 = 1190748949 =
+# int(md5('walk').hexdigest()[:8], 16). ONE definition consumed by
+# both the random_walks and walk_pairs oracles so the two can never
+# drift apart.
+
+
+def _walk_step_ctes(step: int, prev: str, cand: str, key: str,
+                    nxt: str) -> str:
+    """One walk step: candidates d = node//j for j in (2,4,8), choice
+    key = mix32((salt32 + w*2654435761 + t*2246822519 + d*3266489917)
+    mod 2^32), argmin (key, d) per walk."""
+    t_term = (step * 2246822519) % 4294967296
+    return f"""
+            {cand} AS MATERIALIZED (
+              SELECT s.w, s.node // j AS d,
+                     CAST((1190748949 + {t_term}
+                       + (s.w * 2654435761) % 4294967296
+                       + ((s.node // j) * 3266489917) % 4294967296
+                     ) % 4294967296 AS BIGINT) AS x
+              FROM {prev} s, (VALUES (2), (4), (8)) AS v(j)),
+            {key} AS MATERIALIZED (
+              SELECT w, d, xor(y2, y2 // 65536) AS h FROM (
+                SELECT w, d,
+                       (xor(y1, y1 // 65536) * 73244475)
+                         % 4294967296 AS y2
+                FROM (
+                  SELECT w, d,
+                         (xor(x, x // 65536) * 73244475)
+                           % 4294967296 AS y1
+                  FROM {cand}))),
+            {nxt} AS MATERIALIZED (
+              SELECT w, d AS node FROM (
+                SELECT w, d,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY h, d) AS rn
+                FROM {key}) WHERE rn = 1)"""
+
+
+_WALK_CTES = (
+    """
             WITH nodes AS (
               SELECT CAST(doc_id AS BIGINT) AS w FROM documents
             ),
-            s0 AS (SELECT w, w AS node FROM nodes),
-            c1 AS MATERIALIZED (
-              SELECT s.w, s.node // j AS d,
-                     md5('walk|' || s.w || '|0|' || (s.node // j)) AS h
-              FROM s0 s, (VALUES (2), (4), (8)) AS v(j)),
-            s1 AS MATERIALIZED (
-              SELECT w, d AS node FROM (
-                SELECT w, d,
-                       row_number() OVER (PARTITION BY w
-                                          ORDER BY h, d) AS rn
-                FROM c1) WHERE rn = 1),
-            c2 AS MATERIALIZED (
-              SELECT s.w, s.node // j AS d,
-                     md5('walk|' || s.w || '|1|' || (s.node // j)) AS h
-              FROM s1 s, (VALUES (2), (4), (8)) AS v(j)),
-            s2 AS MATERIALIZED (
-              SELECT w, d AS node FROM (
-                SELECT w, d,
-                       row_number() OVER (PARTITION BY w
-                                          ORDER BY h, d) AS rn
-                FROM c2) WHERE rn = 1),
-            c3 AS MATERIALIZED (
-              SELECT s.w, s.node // j AS d,
-                     md5('walk|' || s.w || '|2|' || (s.node // j)) AS h
-              FROM s2 s, (VALUES (2), (4), (8)) AS v(j)),
-            s3 AS MATERIALIZED (
-              SELECT w, d AS node FROM (
-                SELECT w, d,
-                       row_number() OVER (PARTITION BY w
-                                          ORDER BY h, d) AS rn
-                FROM c3) WHERE rn = 1)
-"""
+            s0 AS (SELECT w, w AS node FROM nodes),"""
+    + _walk_step_ctes(0, "s0", "c1", "k1", "s1") + ","
+    + _walk_step_ctes(1, "s1", "c2", "k2", "s2") + ","
+    + _walk_step_ctes(2, "s2", "c3", "k3", "s3")
+    + "\n"
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -133,16 +133,25 @@ def _load_fallback_spans(folder: str) -> tuple[dict, dict]:
         docs_dir = folder
     try:
         tbl = pq.read_table(
-            docs_dir, columns=["url", "spans", "last_modified"]
+            docs_dir, columns=["url", "spans", "last_modified", "error"]
         )
         lms = tbl.column("last_modified").to_pylist()
+        errs = tbl.column("error").to_pylist()
     except Exception:
         # pre-0.2.0 checkpoint without the validator column
         tbl = pq.read_table(docs_dir, columns=["url", "spans"])
         lms = [None] * tbl.num_rows
+        errs = [None] * tbl.num_rows
     urls = tbl.column("url").to_pylist()
     spans = dict(zip(urls, tbl.column("spans").to_pylist()))
-    cache = {u: lm for u, lm in zip(urls, lms) if lm}
+    # Validator harvest skips rows whose error column is set: the
+    # reference refuses cacheInfo reuse for errored cache entries
+    # (specs-crawler.js:89-98) — otherwise the next --fallback crawl
+    # gets a 304 and SpanAssembler would resurrect the tainted spans
+    # with error=None, silently clearing a persistent extraction error.
+    # Spans stay in the fallback map (content substitution keeps the
+    # error column, SpanAssembler path), but the doc is refetched.
+    cache = {u: lm for u, lm, e in zip(urls, lms, errs) if lm and not e}
     return spans, cache
 
 

@@ -146,15 +146,21 @@ class CrawlResult:
         crawl's ``cache_info`` to re-arm If-Modified-Since /
         If-None-Match. Streamed fold over the documents checkpoint —
         at production scale the cache IS the parquet column; this
-        driver dict is for the reference-sized reuse path."""
+        driver dict is for the reference-sized reuse path.
+
+        Rows with a non-null ``error`` are excluded: the reference
+        refuses crawl-cache reuse when the cached entry had an error
+        (specs-crawler.js:89-98), so errored docs must be refetched and
+        re-adjudicated rather than answered with a 304."""
         out: dict[str, str] = {}
-        ds = self.documents().select_columns(["url", "last_modified"])
+        ds = self.documents().select_columns(["url", "last_modified", "error"])
         for b in ds.iter_batches(batch_format="pyarrow"):
-            for u, lm in zip(
+            for u, lm, err in zip(
                 b.column("url").to_pylist(),
                 b.column("last_modified").to_pylist(),
+                b.column("error").to_pylist(),
             ):
-                if lm:
+                if lm and not err:
                     out[u] = lm
         return out
 

@@ -1525,28 +1525,35 @@ def respec_source_error(spans: list[dict]) -> str | None:
     kept, crawl continues — specs-crawler.js:166-171 semantics)."""
     gen = None
     saw_marker = False
+    first_title = None
+    checked_h1 = False
     for s in spans:
         k = s["kind"]
         if k in ("title", "heading"):
             # Draft-CSS-server hiccup: a directory listing served in
             # place of the spec ("Index of /css-foo/..."), detected on
-            # the first h1 exactly as the reference does
-            # (src/lib/util.js:600-604, after browser-specs). Title
-            # spans carry plain text; heading spans carry the heading
-            # JSON struct with the rendered title inside.
-            if not saw_marker:
-                txt = s["text"]
-                if k == "heading":
-                    try:
-                        h = json.loads(txt)
-                        txt = h.get("title", "") if h.get("level") == 1 else ""
-                    except (ValueError, AttributeError):
-                        txt = ""
-                if txt.lstrip().startswith("Index of "):
-                    return "CSS server issue detected"
+            # the FIRST level-1 heading exactly as the reference does
+            # (src/lib/util.js:600-604: document.querySelector('h1')
+            # textContent) — scanning past titles and lower-level
+            # headings until an h1 appears, falling back to the title
+            # span only when the document has no h1 at all.
+            if k == "title" and first_title is None:
+                first_title = s["text"]
+            elif k == "heading" and not checked_h1:
+                try:
+                    h = json.loads(s["text"])
+                except (ValueError, AttributeError):
+                    h = None
+                if isinstance(h, dict) and h.get("level") == 1:
+                    checked_h1 = True
+                    if (h.get("title") or "").lstrip().startswith("Index of "):
+                        return "CSS server issue detected"
             saw_marker = True
         elif k == "meta" and s["text"].startswith("generator="):
             gen = s["text"][len("generator="):]
+    if (not checked_h1 and first_title is not None
+            and first_title.lstrip().startswith("Index of ")):
+        return "CSS server issue detected"
     if gen and not saw_marker:
         return (
             f"Spec generator '{gen}' detected but no generated content "
