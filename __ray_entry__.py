@@ -577,6 +577,39 @@ def q_random_walks(sf_dir: str):
     return random_walks(edges, n_nodes=n, walk_len=3)
 
 
+def q_biased_walks(sf_dir: str):
+    """Second-order (p,q)-biased node2vec walks
+    (ops/graph.biased_walks, broadcast tier at test scale): one
+    3-step walk per doc over the doc_id // j link graph with p=2
+    (return-shy), q=0.5 (exploration-shy → in/out bias 1000 vs
+    2000/500 scaled integers). Step 0 draws uniformly; later steps
+    draw r = mix32(salt#r, w, t) mod Σwt and take the first neighbor
+    (ascending) whose integer cumulative weight exceeds r — the SQL
+    oracle replays the identical draw with a window cumsum."""
+    import numpy as np
+
+    from reffy_ray.ops.graph import biased_walks
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        src = np.repeat(ids, 3)
+        j = np.tile(np.array([2, 4, 8]), len(ids))
+        return pd.DataFrame(
+            {
+                "src": src.astype("int64"),
+                "dst": (src // j).astype("int64"),
+            }
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pandas")
+    return biased_walks(edges, n_nodes=n, walk_len=3, p=2.0, q=0.5)
+
+
 def q_walk_pairs(sf_dir: str):
     """Skip-gram pairs from the deterministic walks
     (ops/graph.walk_skipgrams over random_walks output) — the
@@ -3641,6 +3674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "random_walks": q_random_walks,
+        "biased_walks": q_biased_walks,
         "walk_pairs": q_walk_pairs,
         "cc_components": q_cc_components,
         "triangle_count": q_triangle_count,
@@ -4126,6 +4160,77 @@ _WALK_CTES = (
     + _walk_step_ctes(0, "s0", "c1", "k1", "s1") + ","
     + _walk_step_ctes(1, "s1", "c2", "k2", "s2") + ","
     + _walk_step_ctes(2, "s2", "c3", "k3", "s3")
+    + "\n"
+)
+
+
+def _biased_step_ctes(step: int, prev: str, nxt: str) -> str:
+    """One second-order biased walk step (ops/graph.biased_walks with
+    p=2, q=0.5, scale 1000 → integer weights 500/1000/2000; salt32 of
+    'walk#r' = 3924683320). Candidates d = node//j, DISTINCT per walk
+    (the engine's CSR dedupes parallel edges); weight 500 when d
+    returns to prev, 1000 when prev→d is an edge of the doc_id//j
+    graph (d IN (prev//2, prev//4, prev//8)), else 2000; step 0
+    uniform. Draw r = mix32(...) mod Σwt; chosen = first d ascending
+    whose window cumsum exceeds r."""
+    t_term = (step * 2246822519) % 4294967296
+    n = str(step + 1)
+    if step == 0:
+        cand = f"""
+            bc{n} AS MATERIALIZED (
+              SELECT DISTINCT s.w, s.node // j AS d
+              FROM {prev} s, (VALUES (2), (4), (8)) AS v(j)),
+            bw{n} AS (SELECT w, d, CAST(1 AS BIGINT) AS wt FROM bc{n}),"""
+    else:
+        cand = f"""
+            bc{n} AS MATERIALIZED (
+              SELECT DISTINCT s.w, s.prev, s.node // j AS d
+              FROM {prev} s, (VALUES (2), (4), (8)) AS v(j)),
+            bw{n} AS (
+              SELECT w, d,
+                     CAST(CASE WHEN d = prev THEN 500
+                          WHEN d IN (prev // 2, prev // 4, prev // 8)
+                            THEN 1000
+                          ELSE 2000 END AS BIGINT) AS wt
+              FROM bc{n}),"""
+    return cand + f"""
+            br{n} AS MATERIALIZED (
+              SELECT w, xor(y2, y2 // 65536) % tot AS r FROM (
+                SELECT w, tot,
+                       (xor(y1, y1 // 65536) * 73244475)
+                         % 4294967296 AS y2
+                FROM (
+                  SELECT w, tot,
+                         (xor(x, x // 65536) * 73244475)
+                           % 4294967296 AS y1
+                  FROM (
+                    SELECT w, SUM(wt) AS tot,
+                           CAST((3924683320 + {t_term}
+                             + (w * 2654435761) % 4294967296
+                           ) % 4294967296 AS BIGINT) AS x
+                    FROM bw{n} GROUP BY w)))),
+            bp{n} AS (
+              SELECT w, d,
+                     SUM(wt) OVER (PARTITION BY w ORDER BY d) AS cum
+              FROM bw{n}),
+            bch{n} AS (
+              SELECT p.w, MIN(p.d) AS node
+              FROM bp{n} p JOIN br{n} r ON p.w = r.w
+              WHERE p.cum > r.r GROUP BY p.w),
+            {nxt} AS MATERIALIZED (
+              SELECT ch.w, ch.node, s.node AS prev
+              FROM bch{n} ch JOIN {prev} s ON ch.w = s.w)"""
+
+
+_BIASED_WALK_CTES = (
+    """
+            WITH nodes AS (
+              SELECT CAST(doc_id AS BIGINT) AS w FROM documents
+            ),
+            b0 AS (SELECT w, w AS node, w AS prev FROM nodes),"""
+    + _biased_step_ctes(0, "b0", "b1") + ","
+    + _biased_step_ctes(1, "b1", "b2") + ","
+    + _biased_step_ctes(2, "b2", "b3")
     + "\n"
 )
 
@@ -5575,6 +5680,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT w, CAST(2 AS BIGINT), node FROM s2
             UNION ALL
             SELECT w, CAST(3 AS BIGINT), node FROM s3
+        """,
+        # ops/graph.biased_walks: the (p=2, q=0.5) node2vec draw
+        # replayed step by step via integer window cumsums
+        "biased_walks": _BIASED_WALK_CTES + """
+            SELECT w AS walk_id, CAST(0 AS BIGINT) AS step,
+                   CAST(node AS BIGINT) AS node FROM b0
+            UNION ALL
+            SELECT w, CAST(1 AS BIGINT), CAST(node AS BIGINT) FROM b1
+            UNION ALL
+            SELECT w, CAST(2 AS BIGINT), CAST(node AS BIGINT) FROM b2
+            UNION ALL
+            SELECT w, CAST(3 AS BIGINT), CAST(node AS BIGINT) FROM b3
         """,
         # ops/graph.walk_skipgrams over the same walks: every ordered
         # pair at step distance 1..2 within a walk (shared CTE chain —

@@ -359,9 +359,14 @@ def run_scaling() -> dict:
 
     mean = lambda xs: sum(xs) / len(xs)
     pairs_out = {}
-    # GRAFT_SCALE_PAIRS="8v32" runs only the mandated pair — used for
-    # fast follow-up campaigns inside a known-hot host window, where
-    # spending the window on the calibration pair would waste it.
+    # GRAFT_SCALE_PAIRS narrows the run to a subset of pairs — its
+    # use case is GRAFT_SCALE_PAIRS="8v32": skip the extra
+    # calibration pair (and the 8k compat block) inside a known-hot
+    # host window, where spending the window on calibration would
+    # waste it. The subset MUST still include 8v32: that pair is the
+    # north rule's mandated measurement, so a campaign without it
+    # can never be evidence — the guard below intentionally refuses
+    # such a value before any block burns the window.
     only = os.environ.get("GRAFT_SCALE_PAIRS")
     if only and "8v32" not in only.split(","):
         raise SystemExit(

@@ -1170,6 +1170,382 @@ def random_walks(
     return out
 
 
+def _biased_weights(p: float, q: float, scale: int) -> tuple[int, int, int]:
+    """(return, in, out) weights as scaled integers — the node2vec
+    search bias α (Grover & Leskovec 2016 §3.2.2: 1/p for returning
+    to the previous node, 1 for a candidate at distance 1 from it,
+    1/q otherwise) quantized to integers so the weighted draw is
+    exact modular arithmetic both engine tiers and the SQL oracle
+    replay bit-identically (no float cumsum anywhere)."""
+    w_ret = max(1, round(scale / p))
+    w_in = int(scale)
+    w_out = max(1, round(scale / q))
+    return w_ret, w_in, w_out
+
+
+def biased_walks(
+    edges: rd.Dataset,
+    n_nodes: int,
+    walk_len: int = 4,
+    p: float = 1.0,
+    q: float = 1.0,
+    salt: str = "walk",
+    weight_scale: int = 1000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    mode: str = "auto",
+    broadcast_max_edges: int = 50_000_000,
+    n_edges: int | None = None,
+) -> rd.Dataset:
+    """Second-order (p,q)-biased node2vec walks, deterministic.
+
+    One walk per node ``0..n_nodes-1``. From ``cur`` with previous
+    hop ``prev`` the walk picks among the sorted distinct
+    out-neighbors ``d`` with integer weight ``w_ret`` if ``d ==
+    prev``, ``w_in`` if edge ``prev→d`` exists, else ``w_out``
+    (``_biased_weights`` — the Grover & Leskovec α_pq(prev, d) bias,
+    return-weight precedence when both apply). The draw is ``r =
+    mix32(salt_r, walk, t, 0) mod Σweights`` and the chosen ``d`` is
+    the first (ascending) whose cumulative weight exceeds ``r`` —
+    pure integers, replayed exactly by a DuckDB window cumsum. Step 0
+    has no ``prev`` and draws uniformly (weight 1 each). A dead-end
+    walk stays in place and its ``prev`` becomes the node it sits on
+    (a self-move). Out-of-range edges are dropped up front, as in
+    :func:`random_walks`. Returns ``(walk_id, step, node)``.
+
+    - ``broadcast``: CSR adjacency + the sorted ``src*n+dst`` edge
+      key array shipped once via ``ray.put``; per step one ragged
+      gather, one vectorized ``searchsorted`` membership test against
+      ``prev``'s row, and a segmented integer cumsum pick — zero
+      shuffles, zero per-row Python.
+    - ``join``: per step (a) candidates via the tagged-union
+      frontier⋈edges groupby, (b) a second tagged-union groupby on
+      ``prev*n+dst`` marking prev-adjacency, (c) a ``groupby(walk)``
+      weighted pick — three shuffles/step (two at step 0), nothing
+      node-sized on the driver; the billion-edge path.
+    """
+    if n_nodes > 0 and n_nodes > (2**63 - 1) // max(n_nodes, 1):
+        raise ValueError(
+            f"n_nodes={n_nodes}: prev*n_nodes+dst membership keys "
+            "would overflow int64 — shard the node space first"
+        )
+    if mode == "auto":
+        if n_edges is None:
+            edges = edges.materialize()
+            n_edges = edges.count()
+        mode = "broadcast" if n_edges <= broadcast_max_edges else "join"
+
+    salt32 = _walk_salt32(salt + "#r")
+    w_ret, w_in, w_out = _biased_weights(p, q, weight_scale)
+
+    if mode == "broadcast":
+        srcs, dsts = [], []
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            srcs.append(b.column(src_col).to_numpy(zero_copy_only=False))
+            dsts.append(b.column(dst_col).to_numpy(zero_copy_only=False))
+        if srcs:
+            src_a = np.concatenate(srcs).astype(np.int64)
+            dst_a = np.concatenate(dsts).astype(np.int64)
+            in_range = (
+                (src_a >= 0) & (src_a < n_nodes)
+                & (dst_a >= 0) & (dst_a < n_nodes)
+            )
+            src_a, dst_a = src_a[in_range], dst_a[in_range]
+            order = np.lexsort((dst_a, src_a))
+            src_a, dst_a = src_a[order], dst_a[order]
+            keep = np.ones(len(src_a), dtype=bool)
+            keep[1:] = (np.diff(src_a) != 0) | (np.diff(dst_a) != 0)
+            src_a, dst_a = src_a[keep], dst_a[keep]
+        else:
+            src_a = np.empty(0, dtype=np.int64)
+            dst_a = np.empty(0, dtype=np.int64)
+        indptr = np.searchsorted(src_a, np.arange(n_nodes + 1))
+        combo = src_a * n_nodes + dst_a  # sorted: lexsort key order
+        adj_ref = ray.put((indptr, dst_a, combo))
+
+        def walk_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            indptr_, targets, combo_ = ray.get(adj_ref)
+            w = batch["id"].to_numpy().astype(np.int64)
+            n_w = len(w)
+            w_u = w.astype(np.uint64)
+            cur = w.copy()
+            prev = cur.copy()
+            nodes_out = [cur.copy()]
+            for t in range(walk_len):
+                starts = indptr_[cur]
+                counts = (indptr_[cur + 1] - starts).astype(np.int64)
+                has = counts > 0
+                new_prev = cur.copy()  # dead ends: a self-move
+                if has.any():
+                    c = counts[has]
+                    flat = np.repeat(starts[has], c) + _ragged_arange(c)
+                    cands = targets[flat]
+                    if t == 0:
+                        wt = np.ones(len(cands), dtype=np.int64)
+                    else:
+                        prev_rep = np.repeat(prev[has], c)
+                        keyq = prev_rep * n_nodes + cands
+                        pos = np.searchsorted(combo_, keyq)
+                        safe = pos.clip(max=max(len(combo_) - 1, 0))
+                        is_in = (
+                            (pos < len(combo_))
+                            & (combo_[safe] == keyq)
+                        ) if len(combo_) else np.zeros(len(cands), bool)
+                        wt = np.where(
+                            cands == prev_rep, w_ret,
+                            np.where(is_in, w_in, w_out),
+                        ).astype(np.int64)
+                    seg_starts = np.cumsum(c) - c
+                    total = np.add.reduceat(wt, seg_starts)
+                    r = (
+                        _walk_choice_keys(salt32, w_u[has], t, 0)
+                        % total.astype(np.uint64)
+                    ).astype(np.int64)
+                    cs = np.cumsum(wt)
+                    cs_local = cs - np.repeat(
+                        cs[seg_starts] - wt[seg_starts], c
+                    )
+                    le = (cs_local <= np.repeat(r, c)).astype(np.int64)
+                    offset = np.add.reduceat(le, seg_starts)
+                    chosen = cands[seg_starts + offset]
+                    nxt = cur.copy()
+                    nxt[has] = chosen
+                    cur = nxt
+                prev = new_prev
+                nodes_out.append(cur.copy())
+            return pd.DataFrame(
+                {
+                    "walk_id": np.tile(w, walk_len + 1),
+                    "step": np.repeat(
+                        np.arange(walk_len + 1, dtype=np.int64), n_w
+                    ),
+                    "node": np.concatenate(nodes_out),
+                }
+            )
+
+        return rd.range(n_nodes).map_batches(
+            walk_batch, batch_format="pandas"
+        )
+
+    # join tier --------------------------------------------------------
+    def tag_edges(b: pd.DataFrame, sc=src_col, dc=dst_col) -> pd.DataFrame:
+        s = b[sc].to_numpy().astype("int64")
+        d = b[dc].to_numpy().astype("int64")
+        ok = (s >= 0) & (s < n_nodes) & (d >= 0) & (d < n_nodes)
+        s, d = s[ok], d[ok]
+        return pd.DataFrame(
+            {
+                "key": s,
+                "side": np.ones(len(s), dtype="int8"),
+                "walk_id": np.full(len(s), -1, dtype="int64"),
+                "prev": np.full(len(s), -1, dtype="int64"),
+                "dst": d,
+            }
+        )
+
+    tagged_edges = edges.map_batches(
+        tag_edges, batch_format="pandas"
+    ).materialize()
+    # membership side: same edges keyed by src*n+dst (deduped per
+    # group later; duplicates are harmless for an any() flag)
+    member_edges = tagged_edges.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "mkey": b["key"].to_numpy() * n_nodes + b["dst"].to_numpy(),
+                "side": np.ones(len(b), dtype="int8"),
+                "walk_id": np.full(len(b), -1, dtype="int64"),
+                "cur": np.full(len(b), -1, dtype="int64"),
+                "dst": np.full(len(b), -1, dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    frontier = rd.range(n_nodes).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["id"].astype("int64"),
+                "side": np.zeros(len(b), dtype="int8"),
+                "walk_id": b["id"].astype("int64"),
+                "prev": b["id"].astype("int64"),
+                "dst": np.full(len(b), -1, dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    outputs = [
+        frontier.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "walk_id": b["walk_id"].astype("int64"),
+                    "step": np.zeros(len(b), dtype="int64"),
+                    "node": b["key"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    ]
+    for t in range(walk_len):
+        # (a) candidate expansion: all (walk, prev, cur, d) rows, plus
+        # a forced stay row for dead-end walks (weights decided later)
+        def cand_groups(g: pd.DataFrame) -> pd.DataFrame:
+            cur = int(g["key"].iloc[0])
+            fr = g[g["side"] == 0]
+            if fr.empty:
+                return pd.DataFrame(
+                    {"walk_id": [], "prev": [], "cur": [], "dst": [],
+                     "stay": []}
+                ).astype({"walk_id": "int64", "prev": "int64",
+                          "cur": "int64", "dst": "int64", "stay": "int8"})
+            walks = fr["walk_id"].to_numpy().astype("int64")
+            prevs = fr["prev"].to_numpy().astype("int64")
+            nbrs = np.unique(
+                g.loc[g["side"] == 1, "dst"].to_numpy().astype("int64")
+            )
+            if nbrs.size == 0:
+                return pd.DataFrame(
+                    {"walk_id": walks, "prev": prevs,
+                     "cur": np.full(len(walks), cur, dtype=np.int64),
+                     "dst": np.full(len(walks), cur, dtype=np.int64),
+                     "stay": np.ones(len(walks), dtype=np.int8)}
+                )
+            k = nbrs.size
+            return pd.DataFrame(
+                {
+                    "walk_id": np.repeat(walks, k),
+                    "prev": np.repeat(prevs, k),
+                    "cur": np.full(len(walks) * k, cur, dtype=np.int64),
+                    "dst": np.tile(nbrs, len(walks)),
+                    "stay": np.zeros(len(walks) * k, dtype=np.int8),
+                }
+            )
+
+        cands = (
+            frontier.union(tagged_edges)
+            .groupby("key")
+            .map_groups(cand_groups, batch_format="pandas")
+            .materialize()
+        )
+
+        if t == 0:
+            weighted = cands.map_batches(
+                lambda b: b.assign(
+                    wt=np.ones(len(b), dtype="int64")
+                )[["walk_id", "cur", "dst", "stay", "wt"]],
+                batch_format="pandas",
+            )
+        else:
+            # (b) prev-adjacency membership via a second tagged union
+            tagged_cands = cands.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "mkey": b["prev"].to_numpy() * n_nodes
+                                + b["dst"].to_numpy(),
+                        "side": np.zeros(len(b), dtype="int8"),
+                        "walk_id": b["walk_id"].astype("int64"),
+                        "cur": b["cur"].astype("int64"),
+                        # prev is re-derived from mkey in the group
+                        # body (mkey // n_nodes), so it isn't carried
+                        "dst": b["dst"].astype("int64"),
+                        "stay": b["stay"].astype("int8"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+
+            def member_groups(g: pd.DataFrame, t=t) -> pd.DataFrame:
+                cand_rows = g[g["side"] == 0]
+                if cand_rows.empty:
+                    return pd.DataFrame(
+                        {"walk_id": [], "cur": [], "dst": [],
+                         "stay": [], "wt": []}
+                    ).astype({"walk_id": "int64", "cur": "int64",
+                              "dst": "int64", "stay": "int8",
+                              "wt": "int64"})
+                is_in = bool((g["side"] == 1).any())
+                mkey = int(g["mkey"].iloc[0])
+                prev_node = mkey // n_nodes
+                d = cand_rows["dst"].to_numpy().astype("int64")
+                stay = cand_rows["stay"].to_numpy().astype("int8")
+                wt = np.where(
+                    d == prev_node, w_ret, w_in if is_in else w_out
+                ).astype("int64")
+                wt[stay == 1] = 1  # forced stay row: weight moot
+                return pd.DataFrame(
+                    {
+                        "walk_id": cand_rows["walk_id"].to_numpy(),
+                        "cur": cand_rows["cur"].to_numpy(),
+                        "dst": d, "stay": stay, "wt": wt,
+                    }
+                )
+
+            weighted = (
+                tagged_cands.union(member_edges)
+                .groupby("mkey")
+                .map_groups(member_groups, batch_format="pandas")
+            )
+
+        # (c) weighted pick per walk
+        def pick_groups(g: pd.DataFrame, t=t) -> pd.DataFrame:
+            wid = int(g["walk_id"].iloc[0])
+            cur = int(g["cur"].iloc[0])
+            if bool((g["stay"] == 1).any()):
+                # dead end: stay, prev becomes the node itself
+                return pd.DataFrame(
+                    {"walk_id": [wid], "node": [cur], "prev": [cur]}
+                ).astype({"walk_id": "int64", "node": "int64",
+                          "prev": "int64"})
+            g = g.sort_values("dst", kind="stable")
+            d = g["dst"].to_numpy().astype("int64")
+            wt = g["wt"].to_numpy().astype("int64")
+            total = int(wt.sum())
+            r = int(
+                _walk_choice_keys(salt32, np.uint64(wid), t, 0)
+                % np.uint64(total)
+            )
+            chosen = int(d[np.searchsorted(np.cumsum(wt), r, "right")])
+            return pd.DataFrame(
+                {"walk_id": [wid], "node": [chosen], "prev": [cur]}
+            ).astype({"walk_id": "int64", "node": "int64",
+                      "prev": "int64"})
+
+        stepped = (
+            weighted.groupby("walk_id")
+            .map_groups(pick_groups, batch_format="pandas")
+            .materialize()
+        )
+        outputs.append(
+            stepped.map_batches(
+                lambda b, t=t: pd.DataFrame(
+                    {
+                        "walk_id": b["walk_id"].astype("int64"),
+                        "step": np.full(len(b), t + 1, dtype="int64"),
+                        "node": b["node"].astype("int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        frontier = stepped.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["node"].astype("int64"),
+                    "side": np.zeros(len(b), dtype="int8"),
+                    "walk_id": b["walk_id"].astype("int64"),
+                    "prev": b["prev"].astype("int64"),
+                    "dst": np.full(len(b), -1, dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out
+
+
 def walk_skipgrams(
     walks: rd.Dataset, window: int = 2
 ) -> rd.Dataset:

@@ -371,3 +371,118 @@ def test_walk_skipgrams_uses_true_step_distance(ray_session):
     ))
     out = walk_skipgrams(walks, window=2).to_pandas()
     assert len(out) == 0
+
+
+# --- biased_walks (second-order node2vec) ---------------------------
+
+
+def _py_biased_walks(el, n, walk_len, p, q, salt="walk", scale=1000):
+    """Pure-Python replay of the documented rule, independent of the
+    engine code paths (only the shared key helper is reused)."""
+    from reffy_ray.ops.graph import (
+        _biased_weights, _walk_choice_keys, _walk_salt32,
+    )
+    import numpy as np
+
+    adj = {}
+    eset = set()
+    for s, d in el:
+        if 0 <= s < n and 0 <= d < n:
+            adj.setdefault(s, set()).add(d)
+            eset.add((s, d))
+    salt32 = _walk_salt32(salt + "#r")
+    w_ret, w_in, w_out = _biased_weights(p, q, scale)
+    rows = []
+    for w in range(n):
+        cur, prev = w, w
+        rows.append((w, 0, cur))
+        for t in range(walk_len):
+            nbrs = sorted(adj.get(cur, ()))
+            if not nbrs:
+                prev = cur
+                rows.append((w, t + 1, cur))
+                continue
+            if t == 0:
+                wts = [1] * len(nbrs)
+            else:
+                wts = [
+                    w_ret if d == prev
+                    else (w_in if (prev, d) in eset else w_out)
+                    for d in nbrs
+                ]
+            total = sum(wts)
+            r = int(_walk_choice_keys(salt32, np.uint64(w), t, 0)) % total
+            cum, chosen = 0, nbrs[-1]
+            for d, wt in zip(nbrs, wts):
+                cum += wt
+                if cum > r:
+                    chosen = d
+                    break
+            prev, cur = cur, chosen
+            rows.append((w, t + 1, cur))
+    return pd.DataFrame(rows, columns=["walk_id", "step", "node"])
+
+
+def test_biased_walks_tiers_match_python_replay(ray_session):
+    from reffy_ray.ops.graph import biased_walks
+
+    el = [(0, 1), (0, 2), (1, 0), (1, 2), (1, 3), (2, 0), (2, 3),
+          (3, 1), (3, 0), (2, 9), (7, 1)]  # two out-of-range-ish rows
+    want = (
+        _py_biased_walks(el, 4, 3, p=2.0, q=0.5)
+        .sort_values(["walk_id", "step"]).reset_index(drop=True)
+    )
+    for mode in ("broadcast", "join"):
+        edges = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+        got = (
+            biased_walks(edges, n_nodes=4, walk_len=3, p=2.0, q=0.5,
+                         mode=mode)
+            .to_pandas().sort_values(["walk_id", "step"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want), mode
+
+
+def test_biased_walks_p_q_bias_direction(ray_session):
+    """On a hub graph, tiny p (return-loving) walks bounce home;
+    huge p + tiny q (exploring) walks do not return immediately."""
+    from reffy_ray.ops.graph import biased_walks
+
+    # star: hub 0 <-> leaves 1..6; leaves only connect to the hub
+    el = [(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)]
+
+    def ret_rate(p, q):
+        edges = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+        walks = (
+            biased_walks(edges, n_nodes=7, walk_len=4, p=p, q=q,
+                         mode="broadcast")
+            .to_pandas().sort_values(["walk_id", "step"])
+        )
+        # fraction of 2-step windows that return to where they began
+        back = 0
+        tot = 0
+        for w, g in walks.groupby("walk_id"):
+            ns = g["node"].tolist()
+            for a, b, c in zip(ns, ns[1:], ns[2:]):
+                if a != b:
+                    tot += 1
+                    back += (a == c)
+        return back / max(tot, 1)
+
+    assert ret_rate(0.01, 1.0) > ret_rate(100.0, 1.0)
+
+
+def test_biased_walks_dead_end_stays(ray_session):
+    from reffy_ray.ops.graph import biased_walks
+
+    el = [(0, 1)]
+    for mode in ("broadcast", "join"):
+        edges = rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+        out = (
+            biased_walks(edges, n_nodes=3, walk_len=2, p=0.5, q=2.0,
+                         mode=mode)
+            .to_pandas().sort_values(["walk_id", "step"])
+            .reset_index(drop=True)
+        )
+        assert out[out.walk_id == 0]["node"].tolist() == [0, 1, 1], mode
+        assert out[out.walk_id == 2]["node"].tolist() == [2, 2, 2], mode

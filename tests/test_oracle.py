@@ -92,7 +92,8 @@ ORACLE_KEYS = [
     "ccnet_buckets", "dup_ngram_fraction", "ngram_novelty",
     "corpus_report", "c4_clean",
     "source_overlap", "attribution", "regression", "kmeans", "pagerank",
-    "hits", "random_walks", "walk_pairs", "cc_components",
+    "hits", "random_walks", "biased_walks", "walk_pairs",
+    "cc_components",
     "triangle_count", "bm25", "weighted_sample", "event_gaps",
     "late_events", "event_pattern", "kcore", "watermark_window",
     "semi_join", "anti_join", "skew_join", "nation_revenue",
