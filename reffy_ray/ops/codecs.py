@@ -1,14 +1,14 @@
-"""Pure-numpy media codecs for uncompressed formats.
+"""Pure-numpy media codecs (no image/audio libraries in container).
 
-Real decoders (no image/audio libraries needed, none available in this
-container): binary PNM images (P5 grayscale / P6 RGB, 8-bit) and RIFF
-WAVE PCM audio (8/16-bit). These back ``MediaDecoder(fake=False)`` for
-``image/x-portable-*`` and ``audio/wav`` payloads — the one place the
-multimodal stage does genuine byte→array decoding; compressed formats
-(PNG/JPEG/MP4) remain stubbed behind NotImplementedError as mandated
-for this environment (reference analog: media requests are aborted,
-never decoded — src/lib/util.js:333; decode here is the engine's
-*extension* surface for training-data pipelines).
+Real decoders: binary PNM images (P5 grayscale / P6 RGB, 8-bit), RIFF
+WAVE PCM audio (8/16-bit), and — as of round 5 — PNG (stdlib ``zlib``
+inflate + vectorized scanline unfiltering; 8-bit depth, color types
+0/2/3/4/6, filters 0–4, CRC-checked, no Adam7). These back
+``MediaDecoder(fake=False)``; the remaining compressed formats
+(JPEG/MP4) stay stubbed behind NotImplementedError as mandated for
+this environment (reference analog: media requests are aborted, never
+decoded — src/lib/util.js:333; decode here is the engine's *extension*
+surface for training-data pipelines).
 
 Everything is deterministic and byte-exact: encoders and decoders
 round-trip (tests/test_multimodal.py), and the synthetic payload
@@ -19,6 +19,7 @@ a SQL oracle can verify decoded values analytically.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -99,6 +100,164 @@ def encode_pnm(arr: np.ndarray) -> bytes:
     else:
         raise ValueError("expected (h, w) or (h, w, 3) uint8 array")
     return magic + f"\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + numpy unfiltering — the first compressed format
+# with a REAL decode path; zero new dependencies)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, verifying every CRC."""
+    pos, n = 8, len(payload)
+    while pos + 12 <= n:
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters (PNG spec §9: None/Sub/Up/
+    Average/Paeth). Row loop in Python, byte work vectorized where the
+    data dependence allows: Sub is a per-lane cumsum (recon[i] =
+    Σ raw[..i] mod 256), Up is one uint8 add; Average/Paeth carry a
+    left-pixel dependence so they walk the row — fine, since our own
+    encoder emits filter 0 and foreign files rarely exceed a few MB
+    per actor batch."""
+    rr = np.frombuffer(raw, np.uint8)
+    if len(rr) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG raster size mismatch: {len(rr)} != {(stride + 1) * h}"
+        )
+    rr = rr.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    zero_row = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = int(rr[y, 0])
+        row = rr[y, 1:]
+        prior = out[y - 1] if y else zero_row
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            for lane in range(bpp):
+                out[y, lane::bpp] = np.cumsum(
+                    row[lane::bpp], dtype=np.uint64
+                ).astype(np.uint8)
+        elif f == 2:  # Up
+            out[y] = row + prior  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            cur = out[y]
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + ((left + int(prior[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                pp = a + b - c
+                pa_, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (
+                    b if pb <= pc else c
+                )
+                cur[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array: (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3)
+    RGB (palette expanded), (h, w, 4) RGBA. 8-bit only, no Adam7."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG IHDR missing or malformed")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    if not idat:
+        raise ValueError("PNG IDAT missing")
+    raw = zlib.decompress(b"".join(idat))
+    arr = _png_unfilter(raw, h, w * channels, channels)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG without a valid PLTE")
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = arr.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx]
+    return arr.reshape((h, w) if channels == 1 else (h, w, channels))
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """uint8 array → PNG bytes (filter 0 scanlines, one IDAT). Shapes
+    (h, w) → gray, (h, w, 2) → gray+alpha, (h, w, 3) → RGB,
+    (h, w, 4) → RGBA. Round-trips with :func:`decode_png`."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, channels = 0, 1
+        h, w = a.shape
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        channels = a.shape[2]
+        color = {2: 4, 3: 2, 4: 6}[channels]
+        h, w = a.shape[:2]
+    else:
+        raise ValueError(
+            "expected (h, w), (h, w, 2), (h, w, 3) or (h, w, 4) uint8"
+        )
+    scan = np.zeros((h, w * channels + 1), np.uint8)
+    scan[:, 1:] = a.reshape(h, w * channels)
+    body = zlib.compress(scan.tobytes(), level)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
 
 
 # ---------------------------------------------------------------------------

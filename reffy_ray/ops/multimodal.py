@@ -62,19 +62,23 @@ def synth_media_batch(n: int, seed: int = 0) -> pa.Table:
 
 def synth_media_batch_real(n: int, seed: int = 0) -> pa.Table:
     """Deterministic media rows with REAL decodable payloads: binary
-    PPM (P6) images and RIFF WAVE PCM16 audio built by ops/codecs'
-    encoders; video rows carry an opaque payload (compressed codecs
+    PPM (P6) and PNG (RGB, filter-0 + zlib) images alternating by
+    image index, and RIFF WAVE PCM16 audio, all built by ops/codecs'
+    encoders; video rows carry an opaque payload (JPEG/MP4 codecs
     stay stubbed in this container).
 
     Pixel / sample rules are closed-form so a SQL oracle can verify
-    the decoded values analytically (q_media_features):
+    the decoded values analytically (q_media_features) — the PNM/PNG
+    alternation is invisible to the oracle because both formats
+    decode to the same pixel rule:
 
     - image i: w = 16 + (i%8)·4, h = 12 + (i%5)·4,
-      pix(y, x, c) = (i + y + x + c) mod 256
+      pix(y, x, c) = (i + y + x + c) mod 256; PNG when (i//3) is odd,
+      PPM when even
     - audio i: rate 8000 Hz mono, n_samples = 160 + i,
       sample(k) = ((i + k) mod 256 − 128) · 256
     """
-    from .codecs import encode_pnm, encode_wav
+    from .codecs import encode_png, encode_pnm, encode_wav
 
     rows = []
     for i in range(n):
@@ -82,8 +86,13 @@ def synth_media_batch_real(n: int, seed: int = 0) -> pa.Table:
         if kind == "image":
             w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
             y, x, c = np.ogrid[0:h, 0:w, 0:3]
-            payload = encode_pnm(((i + y + x + c) % 256).astype(np.uint8))
-            mime, dur = "image/x-portable-pixmap", 0
+            pix = ((i + y + x + c) % 256).astype(np.uint8)
+            if (i // 3) % 2:
+                payload = encode_png(pix)
+                mime, dur = "image/png", 0
+            else:
+                payload = encode_pnm(pix)
+                mime, dur = "image/x-portable-pixmap", 0
         elif kind == "audio":
             k = np.arange(160 + i, dtype=np.int64)
             payload = encode_wav((((i + k) % 256 - 128) * 256).astype(np.int16))
@@ -241,15 +250,15 @@ class MediaDecoder:
 
     ``fake=True`` → deterministic 8-dim feature from the payload hash
     (pipeline plumbing testable without codecs). ``fake=False`` →
-    REAL decode for uncompressed formats via the pure-numpy codecs in
-    ops/codecs.py — binary PNM images (P5/P6) and RIFF WAVE PCM audio
-    — emitting the 8-dim feature
+    REAL decode via the pure-numpy codecs in ops/codecs.py — binary
+    PNM images (P5/P6), PNG (stdlib zlib inflate + numpy unfilter)
+    and RIFF WAVE PCM audio — emitting the 8-dim feature
     ``[dim_a, dim_b, channels, units, v_first, v_last, v_min, v_max]``
     (image: dim_a/b = width/height, units = pixels; audio: dim_a =
     sample rate, dim_b = 0, units = samples; all values exactly
-    representable in float32). Compressed formats (PNG/JPEG/MP4)
-    raise NotImplementedError → ``decode_status='stubbed'`` — no
-    compression libraries exist in this container; a real deployment
+    representable in float32). The remaining compressed formats
+    (JPEG/MP4) raise NotImplementedError → ``decode_status='stubbed'``
+    — no codec libraries exist in this container; a real deployment
     extends ``_decode`` with PIL/torchaudio/pyav calls loaded once
     per actor here in ``__init__``.
     """
@@ -259,15 +268,23 @@ class MediaDecoder:
         self.dim = feature_dim
         if not fake:
             # codec entry points bound once per actor
-            from .codecs import decode_pnm, decode_wav
+            from .codecs import PNG_SIG, decode_png, decode_pnm, decode_wav
 
             self._decode_pnm = decode_pnm
+            self._decode_png = decode_png
             self._decode_wav = decode_wav
+            self._png_sig = PNG_SIG
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if not self.fake:
-            if kind == "image" and payload[:1] == b"P":
-                arr = self._decode_pnm(payload)
+            if kind == "image" and (
+                payload[:1] == b"P" or payload[:8] == self._png_sig
+            ):
+                arr = (
+                    self._decode_png(payload)
+                    if payload[:8] == self._png_sig
+                    else self._decode_pnm(payload)
+                )
                 channels = 1 if arr.ndim == 2 else arr.shape[2]
                 flat = arr.reshape(-1).astype(np.int64)
                 h, w = arr.shape[:2]
@@ -286,8 +303,8 @@ class MediaDecoder:
                     dtype=np.float32,
                 )
             raise NotImplementedError(
-                f"no codec for kind={kind!r} payload (compressed formats "
-                "are stubbed in this container)"
+                f"no codec for kind={kind!r} payload (JPEG/MP4 remain "
+                "stubbed in this container; PNM/PNG/WAV decode for real)"
             )
         h = hashlib.sha256(payload).digest()
         return (
@@ -369,22 +386,26 @@ class MediaResizer:
 
     def _resample(self, payload: bytes, w: int, h: int) -> bytes:
         if not self.fake:
-            # real path for uncompressed PNM: nearest-neighbor index
-            # sampling in pure numpy (ops/codecs.py round-trip);
-            # compressed formats remain stubbed (no libs here)
-            if payload[:1] == b"P":
-                from .codecs import decode_pnm, encode_pnm
+            # real path for PNM and PNG: nearest-neighbor index
+            # sampling in pure numpy (ops/codecs.py round-trips);
+            # JPEG/MP4 remain stubbed (no libs here)
+            from .codecs import (
+                PNG_SIG, decode_png, decode_pnm, encode_png, encode_pnm,
+            )
 
-                arr = decode_pnm(payload)
+            is_png = payload[:8] == PNG_SIG
+            if payload[:1] == b"P" or is_png:
+                arr = decode_png(payload) if is_png else decode_pnm(payload)
                 src_h, src_w = arr.shape[:2]
                 if w <= 0 or h <= 0:
                     raise ValueError("resample target must be positive")
                 ys = (np.arange(h) * src_h) // h
                 xs = (np.arange(w) * src_w) // w
-                return encode_pnm(arr[ys][:, xs])
+                out = arr[ys][:, xs]
+                return encode_png(out) if is_png else encode_pnm(out)
             raise NotImplementedError(
-                "no codec for this payload (compressed formats are "
-                "stubbed in this container); run with fake=True"
+                "no codec for this payload (JPEG/MP4 are stubbed in "
+                "this container); run with fake=True"
             )
         return hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
 

@@ -271,3 +271,154 @@ def test_media_dedup_groups_identical_payloads(ray_session):
     assert out.loc["b", "group_size"] == 2
     assert out.loc["c", "canonical_id"] == "c"
     assert out.loc["c", "group_size"] == 1
+
+
+# --- PNG codec (round 5: first compressed format with a real path) --------
+
+
+def _forward_filter(arr: np.ndarray, ftype: int) -> bytes:
+    """Reference forward PNG filtering (spec §9) to craft test streams
+    exercising every unfilter branch."""
+    a = arr.reshape(arr.shape[0], -1).astype(np.int64)
+    h, stride = a.shape
+    bpp = arr.shape[2] if arr.ndim == 3 else 1
+    out = bytearray()
+    for y in range(h):
+        out.append(ftype)
+        for i in range(stride):
+            x = a[y, i]
+            left = a[y, i - bpp] if i >= bpp else 0
+            up = a[y - 1, i] if y else 0
+            ul = a[y - 1, i - bpp] if (y and i >= bpp) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:  # Paeth
+                p = left + up - ul
+                pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc) else (
+                    up if pb <= pc else ul
+                )
+            out.append((x - pred) & 0xFF)
+    return bytes(out)
+
+
+def _png_from_raw(raw: bytes, w: int, h: int, color: int,
+                  plte: bytes | None = None) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += chunk(b"PLTE", plte)
+    return body + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_all_shapes():
+    from reffy_ray.ops.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9), (6, 4, 2), (7, 3, 3), (4, 8, 4)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(arr)), arr), shape
+
+
+def test_png_every_filter_type_decodes():
+    from reffy_ray.ops.codecs import decode_png
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for ftype in range(5):
+        png = _png_from_raw(_forward_filter(arr, ftype), 7, 9, color=2)
+        assert np.array_equal(decode_png(png), arr), f"filter {ftype}"
+
+
+def test_png_palette_expansion():
+    from reffy_ray.ops.codecs import decode_png
+
+    plte = bytes([10, 20, 30, 200, 100, 0])  # two entries
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    png = _png_from_raw(_forward_filter(idx, 0), 2, 2, color=3, plte=plte)
+    got = decode_png(png)
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [10, 20, 30]
+    assert got[0, 1].tolist() == [200, 100, 0]
+
+
+def test_png_rejects_bad_crc_truncation_and_16bit():
+    import struct
+    import zlib
+
+    from reffy_ray.ops.codecs import decode_png, encode_png
+
+    good = encode_png(np.zeros((3, 3), np.uint8))
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError):
+        decode_png(good[:20])
+    # 16-bit depth rejected
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    p16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(p16)
+
+
+def test_media_decoder_real_png_features():
+    from reffy_ray.ops.codecs import encode_png
+    from reffy_ray.ops.multimodal import MediaDecoder
+
+    i = 3  # synth rule: pix = (i + y + x + c) % 256, w=28, h=24
+    w, h = 16 + (i % 8) * 4, 12 + (i % 5) * 4
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    png = encode_png(((i + y + x + c) % 256).astype(np.uint8))
+    batch = pa.table({
+        "media_id": ["p0"], "kind": ["image"],
+        "payload": pa.array([png], pa.binary()),
+    })
+    out = MediaDecoder(fake=False)(batch)
+    assert out.column("decode_status").to_pylist() == ["ok"]
+    feat = out.column("feature").to_pylist()[0]
+    assert feat[:4] == [w, h, 3, w * h]
+    assert feat[4] == i  # v_first = pix(0,0,0)
+    assert feat[7] == min(255, i + (h - 1) + (w - 1) + 2)  # v_max
+
+
+def test_media_resizer_real_png_nearest_neighbor():
+    from reffy_ray.ops.codecs import decode_png, encode_png
+
+    arr = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    out = MediaResizer(fake=False)._resample(encode_png(arr), 4, 3)
+    got = decode_png(out)
+    assert np.array_equal(got, arr[[0, 2, 4]][:, [0, 2, 4, 6]])
+
+
+def test_synth_media_batch_real_mixes_png_and_pnm(ray_session):
+    from reffy_ray.ops.multimodal import MediaDecoder, synth_media_batch_real
+
+    tbl = synth_media_batch_real(24)
+    mimes = {r["mime"] for r in tbl.to_pylist() if r["kind"] == "image"}
+    assert mimes == {"image/png", "image/x-portable-pixmap"}
+    out = MediaDecoder(fake=False)(tbl)
+    by_kind = {}
+    for r in out.to_pylist():
+        by_kind.setdefault(r["kind"], set()).add(r["decode_status"])
+    assert by_kind["image"] == {"ok"}  # both formats decode for real
+    assert by_kind["audio"] == {"ok"}
+    assert by_kind["video"] == {"stubbed"}
