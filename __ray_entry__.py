@@ -610,6 +610,79 @@ def q_biased_walks(sf_dir: str):
     return biased_walks(edges, n_nodes=n, walk_len=3, p=2.0, q=0.5)
 
 
+def _walk_graph_edges(sf_dir: str):
+    """The shared deterministic doc link graph (doc_id → doc_id // j
+    for j in {2,4,8}) plus its node count."""
+    import numpy as np
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy()
+        src = np.repeat(ids, 3)
+        j = np.tile(np.array([2, 4, 8]), len(ids))
+        return pd.DataFrame(
+            {
+                "src": src.astype("int64"),
+                "dst": (src // j).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(mk_edges, batch_format="pandas"), n
+
+
+def _build_doc_adjacency(sf_dir: str):
+    import tempfile
+
+    from reffy_ray.ops.graphstore import BucketedAdjacency
+
+    edges, n = _walk_graph_edges(sf_dir)
+    d = tempfile.mkdtemp(prefix="graft_adj_", dir="/tmp")
+    return BucketedAdjacency.build(edges, d, n_nodes=n, n_buckets=16), n
+
+
+def q_bucketed_walks(sf_dir: str):
+    """Walks over the PERSISTED hash-bucketed adjacency
+    (ops/graphstore.BucketedAdjacency + bucketed_walks): the edge
+    table is written once to bucket=<src%16>/ Parquet, then each step
+    reads only the buckets the frontier touches (path-level pruning,
+    the IVFIndex pattern) — per-step cost tracks frontier size, not
+    edge count. Identical choice rule to random_walks; started from
+    the doc_id % 7 == 0 subset so the pruning actually prunes."""
+    import pandas as pd
+
+    from reffy_ray.ops.graphstore import bucketed_walks
+
+    adj, n = _build_doc_adjacency(sf_dir)
+    starts = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"id": b["doc_id"][b["doc_id"] % 7 == 0].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
+    return bucketed_walks(adj, starts, walk_len=3)
+
+
+def q_bucketed_pagerank(sf_dir: str):
+    """3-iteration PageRank over the persisted bucketed adjacency
+    (ops/graphstore.bucketed_pagerank): per iteration the node-sized
+    rank table shuffles once by bucket; each bucket group reads ITS
+    edge partition straight from Parquet inside the task and emits
+    in-group pre-aggregated per-dst partials — the edge table is
+    never reshuffled. Same math and snap as ops/graph.pagerank, so
+    the oracle is pagerank's."""
+    from reffy_ray.ops.graphstore import bucketed_pagerank
+
+    adj, _n = _build_doc_adjacency(sf_dir)
+    return bucketed_pagerank(adj, iters=3)
+
+
 def q_walk_pairs(sf_dir: str):
     """Skip-gram pairs from the deterministic walks
     (ops/graph.walk_skipgrams over random_walks output) — the
@@ -3675,6 +3748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "random_walks": q_random_walks,
         "biased_walks": q_biased_walks,
+        "bucketed_walks": q_bucketed_walks,
+        "bucketed_pagerank": q_bucketed_pagerank,
         "walk_pairs": q_walk_pairs,
         "cc_components": q_cc_components,
         "triangle_count": q_triangle_count,
@@ -4164,6 +4239,23 @@ _WALK_CTES = (
 )
 
 
+# ops/graphstore.bucketed_walks shares random_walks' choice rule;
+# only the start set differs (doc_id % 7 == 0) — reuse the step
+# generator so the two replays can never drift apart.
+_BUCKETED_START_CTES = (
+    """
+            WITH nodes AS (
+              SELECT CAST(doc_id AS BIGINT) AS w FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            s0 AS (SELECT w, w AS node FROM nodes),"""
+    + _walk_step_ctes(0, "s0", "c1", "k1", "s1") + ","
+    + _walk_step_ctes(1, "s1", "c2", "k2", "s2") + ","
+    + _walk_step_ctes(2, "s2", "c3", "k3", "s3")
+    + "\n"
+)
+
+
 def _biased_step_ctes(step: int, prev: str, nxt: str) -> str:
     """One second-order biased walk step (ops/graph.biased_walks with
     p=2, q=0.5, scale 1000 → integer weights 500/1000/2000; salt32 of
@@ -4236,7 +4328,7 @@ _BIASED_WALK_CTES = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "headings_from_text": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    'sec' || CAST(doc_id % 5 AS VARCHAR) AS id,
@@ -7478,6 +7570,23 @@ def oracle_sql() -> dict[str, str]:
         # intentionally omitted — stateful-distributed semantics
         # (crawl rounds); driver records rows-only.
     }
+    # ops/graphstore.bucketed_pagerank: same math, same graph, same
+    # per-iteration snap as the in-memory tiers — the bucketed store
+    # only changes WHERE the edges live, so the oracle is pagerank's
+    out["bucketed_pagerank"] = out["pagerank"]
+    # ops/graphstore.bucketed_walks: identical choice rule to
+    # random_walks, walks started from the doc_id % 7 == 0 subset —
+    # the shared step CTE chain with a filtered s0
+    out["bucketed_walks"] = _BUCKETED_START_CTES + """
+            SELECT w AS walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
+            UNION ALL
+            SELECT w, CAST(1 AS BIGINT), node FROM s1
+            UNION ALL
+            SELECT w, CAST(2 AS BIGINT), node FROM s2
+            UNION ALL
+            SELECT w, CAST(3 AS BIGINT), node FROM s3
+    """
+    return out
 
 
 def _ccnet_buckets_sql(buckets: int = 3) -> str:

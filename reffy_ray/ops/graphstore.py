@@ -1,0 +1,366 @@
+"""Persistent hash-bucketed adjacency for iterative graph ops.
+
+The round-4 verdict's remaining scale gap: the join tiers of
+``random_walks`` / ``biased_walks`` / ``pagerank`` re-shuffle the full
+edge table once per step because Ray Data has no persistent
+co-partitioning. At billion-edge scale the right shape is the
+``IVFIndex`` pattern (ops/similarity.py:209): pay ONE partitioning
+pass that writes edges to hash-bucketed Parquet
+(``bucket=<src % n_buckets>/`` directories — also the resumable-output
+layout), then have every iteration read only the buckets its frontier
+touches via explicit path-level pruning. Per-step cost then tracks
+FRONTIER size, not edge count: a walk job seeded from 1% of nodes
+touches ~1% of buckets per step (plus hash collisions), while the
+edge table never moves again.
+
+Partitioning assumptions (documented per the SURVEY §2 custom-operator
+contract): edges are bucketed by ``src % n_buckets``; a frontier row at
+node ``u`` needs exactly bucket ``u % n_buckets``; the bucket list per
+step is ≤ ``n_buckets`` ints and therefore driver-safe. Skewed
+out-degree concentrates work in a bucket's TASK, not the driver —
+``read_buckets`` keeps one Ray Data block per bucket file, so Ray's
+scheduler spreads hot buckets across the pool.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .graph import _walk_choice_keys, _walk_salt32
+
+
+class BucketedAdjacency:
+    """Edge table persisted as ``bucket=<b>/`` Parquet directories.
+
+    ``build`` filters out-of-range endpoints (the same graph contract
+    as :func:`reffy_ray.ops.graph.random_walks`), assigns ``bucket =
+    src % n_buckets`` in one ``map_batches`` pass and writes
+    hive-partitioned Parquet — no shuffle: each input block fans its
+    rows into per-bucket files independently, and a failed build can
+    re-run only missing partitions. Parallel edges are KEPT (pagerank
+    counts them; the walk group bodies dedup via ``np.unique``, same
+    as the CSR tier).
+    """
+
+    def __init__(self, index_dir: str, n_buckets: int, n_nodes: int):
+        self.index_dir = index_dir
+        self.n_buckets = int(n_buckets)
+        self.n_nodes = int(n_nodes)
+
+    # -- build ------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        edges: rd.Dataset,
+        index_dir: str,
+        n_nodes: int,
+        n_buckets: int = 64,
+        src_col: str = "src",
+        dst_col: str = "dst",
+    ) -> "BucketedAdjacency":
+        nb = int(n_buckets)
+
+        def assign(b: pd.DataFrame) -> pd.DataFrame:
+            s = b[src_col].to_numpy().astype("int64")
+            d = b[dst_col].to_numpy().astype("int64")
+            ok = (s >= 0) & (s < n_nodes) & (d >= 0) & (d < n_nodes)
+            s, d = s[ok], d[ok]
+            return pd.DataFrame(
+                {"src": s, "dst": d, "bucket": s % nb}
+            )
+
+        os.makedirs(index_dir, exist_ok=True)
+        edges.map_batches(assign, batch_format="pandas").write_parquet(
+            index_dir, partition_cols=["bucket"]
+        )
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump({"n_buckets": nb, "n_nodes": int(n_nodes)}, f)
+        return cls(index_dir, nb, n_nodes)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "BucketedAdjacency":
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(index_dir, meta["n_buckets"], meta["n_nodes"])
+
+    # -- pruned read ------------------------------------------------------
+
+    def bucket_files(self, buckets) -> list[str]:
+        return [
+            f
+            for b in sorted(set(int(x) for x in buckets))
+            for f in sorted(
+                glob.glob(
+                    os.path.join(self.index_dir, f"bucket={b}", "*.parquet")
+                )
+            )
+        ]
+
+    def read_buckets(self, buckets) -> rd.Dataset:
+        """Only the named buckets' files are handed to
+        ``read_parquet`` — every other partition is never opened
+        (explicit path-level pruning, the IVFIndex mechanics)."""
+        files = self.bucket_files(buckets)
+        if not files:
+            return rd.from_items([])
+        return rd.read_parquet(files, columns=["src", "dst"])
+
+
+def bucketed_walks(
+    adj: BucketedAdjacency,
+    start_nodes: rd.Dataset,
+    walk_len: int = 4,
+    salt: str = "walk",
+    id_col: str = "id",
+) -> rd.Dataset:
+    """Deterministic walks over a persisted :class:`BucketedAdjacency`
+    — identical choice rule and output contract to
+    :func:`reffy_ray.ops.graph.random_walks` (same
+    ``_walk_choice_keys`` hash, min-d tie-break, dead ends stay), but
+    the per-step edge side is a PRUNED READ of only the buckets the
+    current frontier touches instead of a full-table shuffle. With a
+    frontier of f nodes each step moves O(f·deg) candidate rows and
+    reads ≤ min(f, n_buckets) bucket partitions; the edge table is
+    written once and never reshuffled. ``start_nodes`` is any Dataset
+    with an ``id_col`` of node ids (walk_id = start node id).
+    """
+    salt32 = _walk_salt32(salt)
+    nb = adj.n_buckets
+
+    frontier = start_nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b[id_col].astype("int64"),
+                "side": np.zeros(len(b), dtype="int8"),
+                "walk_id": b[id_col].astype("int64"),
+                "dst": np.full(len(b), -1, dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    outputs = [
+        frontier.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "walk_id": b["walk_id"].astype("int64"),
+                    "step": np.zeros(len(b), dtype="int64"),
+                    "node": b["key"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    ]
+    for t in range(walk_len):
+        # the frontier's bucket set: per-block dedup happens in the
+        # tasks, the driver collects ≤ blocks × n_buckets ints (NOT
+        # node-sized)
+        bsets = frontier.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "bucket": np.unique(
+                        b["key"].to_numpy().astype("int64") % nb
+                    )
+                }
+            ),
+            batch_format="pandas",
+        )
+        touched = {int(r["bucket"]) for r in bsets.take_all()}
+        step_edges = adj.read_buckets(touched).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["src"].astype("int64"),
+                    "side": np.ones(len(b), dtype="int8"),
+                    "walk_id": np.full(len(b), -1, dtype="int64"),
+                    "dst": b["dst"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def step_groups(g: pd.DataFrame, t=t) -> pd.DataFrame:
+            cur = int(g["key"].iloc[0])
+            walks = g.loc[g["side"] == 0, "walk_id"].to_numpy().astype(
+                "int64"
+            )
+            if len(walks) == 0:
+                return pd.DataFrame({"walk_id": [], "node": []}).astype(
+                    {"walk_id": "int64", "node": "int64"}
+                )
+            nbrs = np.unique(
+                g.loc[g["side"] == 1, "dst"].to_numpy().astype("int64")
+            )
+            if nbrs.size == 0:
+                nxt = np.full(len(walks), cur, dtype=np.int64)
+            else:
+                keys = _walk_choice_keys(
+                    salt32,
+                    walks.astype(np.uint64)[:, None],
+                    t,
+                    nbrs.astype(np.uint64)[None, :],
+                )
+                nxt = nbrs[np.argmin(keys, axis=1)]
+            return pd.DataFrame({"walk_id": walks, "node": nxt})
+
+        stepped = (
+            frontier.union(step_edges)
+            .groupby("key")
+            .map_groups(step_groups, batch_format="pandas")
+            .materialize()
+        )
+        outputs.append(
+            stepped.map_batches(
+                lambda b, t=t: pd.DataFrame(
+                    {
+                        "walk_id": b["walk_id"].astype("int64"),
+                        "step": np.full(len(b), t + 1, dtype="int64"),
+                        "node": b["node"].astype("int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        frontier = stepped.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["node"].astype("int64"),
+                    "side": np.zeros(len(b), dtype="int8"),
+                    "walk_id": b["walk_id"].astype("int64"),
+                    "dst": np.full(len(b), -1, dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out
+
+
+def bucketed_pagerank(
+    adj: BucketedAdjacency,
+    iters: int = 3,
+    damping: float = 0.85,
+    snap: int = 12,
+) -> rd.Dataset:
+    """PageRank over a persisted :class:`BucketedAdjacency`: per
+    iteration the NODE-sized rank table takes one ``groupby(bucket)``
+    shuffle; each bucket group then reads ITS edge partition straight
+    from Parquet inside the task (no edge shuffle, ever) and emits
+    per-dst partial contributions pre-aggregated in-group (the
+    combiner pattern), so the closing ``groupby(node).sum`` moves at
+    most distinct-dst-per-bucket rows rather than one row per edge.
+    Same per-iteration snap as :func:`reffy_ray.ops.graph.pagerank`
+    (summation order never leaks), same output contract
+    ``(node, rank_e9)``.
+    """
+    from ray.data.aggregate import Sum
+
+    n_nodes = adj.n_nodes
+    nb = adj.n_buckets
+    base = (1.0 - damping) / n_nodes
+    index_dir = adj.index_dir
+
+    # per-src out-degree, computed once from the bucketed store
+    nodes = rd.range(n_nodes)
+    ranks = nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["id"].astype("int64"),
+                "r": np.full(len(b), 1.0 / n_nodes),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    zeros = nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["id"].astype("int64"),
+                "c": np.zeros(len(b), dtype=np.float64),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def with_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["bucket"] = out["node"].to_numpy() % nb
+        return out
+
+    for _ in range(iters):
+        def bucket_contribs(g: pd.DataFrame) -> pd.DataFrame:
+            bkt = int(g["bucket"].iloc[0])
+            files = sorted(
+                glob.glob(
+                    os.path.join(index_dir, f"bucket={bkt}", "*.parquet")
+                )
+            )
+            if not files:
+                return pd.DataFrame({"node": [], "c": []}).astype(
+                    {"node": "int64", "c": "float64"}
+                )
+            import pyarrow.parquet as pq
+
+            et = pa.concat_tables(
+                [pq.read_table(f, columns=["src", "dst"]) for f in files]
+            )
+            e = pd.DataFrame(
+                {
+                    "src": et.column("src").to_numpy(),
+                    "dst": et.column("dst").to_numpy(),
+                }
+            )
+            outdeg = e.groupby("src", sort=False)["dst"].transform("size")
+            e["w"] = 1.0 / outdeg.to_numpy()
+            merged = e.merge(
+                g[["node", "r"]], left_on="src", right_on="node",
+                how="inner", sort=False,
+            )
+            part = (
+                merged.assign(c=merged["r"].to_numpy() * merged["w"].to_numpy())
+                .groupby("dst", as_index=False)["c"].sum()
+                .rename(columns={"dst": "node"})
+            )
+            return part.astype({"node": "int64", "c": "float64"})
+
+        summed = (
+            ranks.map_batches(with_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(bucket_contribs, batch_format="pandas")
+            .union(zeros)
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        ranks = summed.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"].astype("int64"),
+                    "r": np.round(
+                        base + damping * b["c"].to_numpy(), snap
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].astype("int64"),
+                "rank_e9": np.floor(
+                    b["r"].to_numpy() * 1e9 + 0.5
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

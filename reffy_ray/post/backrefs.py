@@ -7,9 +7,11 @@ single-page form (backrefs.js:160-212).
 
 Ray mapping (J3, SURVEY.md §2.4 — "the genuinely wide shuffle"):
 both sides can be huge at crawl scale, so this is an explicit
-bucketed hash join — add ``bucket = mix64(href) % B`` to both sides,
-``groupby('bucket')`` each bucket's rows together, pandas-merge inside
-``map_groups``, then a second groupby to collect referrers per term.
+bucketed hash join — add ``bucket = hash(href) % B`` to both sides
+(one vectorized siphash pass), ``groupby('bucket')`` each bucket's
+rows together, pandas-merge inside ``map_groups``, then a
+``groupby(defining_doc)`` (spec-sized groups, not per-dfn) whose body
+collects referrers per term with one in-group pandas groupby.
 """
 
 from __future__ import annotations
@@ -19,8 +21,6 @@ import re
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-
-from ..urlnorm import fnv1a64, mix64
 
 _RE_MULTIPAGE = re.compile(r"/multipage/[^#]+#")
 
@@ -37,10 +37,6 @@ def single_page_form(href: str) -> str | None:
     return None
 
 
-def _bucket_of(href: str, num_buckets: int) -> int:
-    return mix64(fnv1a64(href)) % num_buckets
-
-
 def backrefs(
     links: rd.Dataset, dfns: rd.Dataset, num_buckets: int = 32
 ) -> rd.Dataset:
@@ -50,58 +46,87 @@ def backrefs(
     ``dfns``: extracts_dfns shape (doc_id, id, href, type, access, ...).
     """
 
-    def explode_links(batch: pa.Table) -> pa.Table:
-        out_doc, out_href, out_bucket = [], [], []
-        for doc_id, page, anchors in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("page_url").to_pylist(),
-            batch.column("anchors").to_pylist(),
-        ):
-            for frag in anchors or []:
-                href = f"{page}#{frag}"
-                # normalize the link to the single-page alias form so it
-                # matches however the dfn side indexed it
-                alias = single_page_form(href)
-                for form in ([href] if alias is None else [href, alias]):
-                    out_doc.append(doc_id)
-                    out_href.append(form)
-                    out_bucket.append(_bucket_of(form, num_buckets))
+    import pyarrow.compute as pc
+
+    def _is_multipage(hrefs: pa.Array) -> pa.Array:
+        m = pc.starts_with(hrefs, _MULTIPAGE_PREFIXES[0])
+        for pref in _MULTIPAGE_PREFIXES[1:]:
+            m = pc.or_(m, pc.starts_with(hrefs, pref))
+        return m
+
+    def _alias_of(hrefs: pa.Array) -> pa.Array:
+        # vectorized single_page_form: same regex, Arrow RE2 kernel
+        return pc.replace_substring_regex(
+            hrefs, _RE_MULTIPAGE.pattern, "/#"
+        )
+
+    def _bucket_arr(hrefs: pa.Array) -> pa.Array:
+        # internal-only bucketing: any deterministic hash works as
+        # long as both sides agree — pandas' siphash (fixed default
+        # key) is one vectorized pass vs the old per-row fnv1a64
+        h = pd.util.hash_array(
+            hrefs.to_numpy(zero_copy_only=False), categorize=False
+        )
+        return pa.array((h % num_buckets).astype("int64"), pa.int64())
+
+    def _rows(referrer, href, side, ids, types, access, canon) -> pa.Table:
+        n = len(href)
         return pa.table(
             {
-                "referrer": pa.array(out_doc, pa.string()),
-                "href": pa.array(out_href, pa.string()),
-                "bucket": pa.array(out_bucket, pa.int64()),
-                "side": pa.array(["link"] * len(out_doc), pa.string()),
-                "id": pa.array([None] * len(out_doc), pa.string()),
-                "type": pa.array([None] * len(out_doc), pa.string()),
-                "access": pa.array([None] * len(out_doc), pa.string()),
-                "canon_href": pa.array(out_href, pa.string()),
+                "referrer": referrer.cast(pa.string()),
+                "href": href,
+                "bucket": _bucket_arr(href),
+                "side": pa.array([side] * n, pa.string()),
+                "id": ids if ids is not None
+                else pa.nulls(n, pa.string()),
+                "type": types if types is not None
+                else pa.nulls(n, pa.string()),
+                "access": access if access is not None
+                else pa.nulls(n, pa.string()),
+                "canon_href": canon,
             }
         )
 
+    def explode_links(batch: pa.Table) -> pa.Table:
+        # anchors flatten + page#frag join + multipage aliasing, all
+        # Arrow kernels — no per-row Python (round-4 verdict #7)
+        anchors = pc.list_flatten(batch.column("anchors"))
+        parents = pc.list_parent_indices(batch.column("anchors"))
+        pages = pc.take(batch.column("page_url"), parents)
+        docs = pc.take(batch.column("doc_id"), parents)
+        hrefs = pc.binary_join_element_wise(
+            pages.cast(pa.string()), anchors.cast(pa.string()), "#"
+        )
+        base = _rows(docs, hrefs, "link", None, None, None, hrefs)
+        is_mp = _is_multipage(hrefs)
+        if pc.any(is_mp).as_py():
+            mp_docs = pc.filter(docs, is_mp)
+            mp_alias = _alias_of(pc.filter(hrefs, is_mp))
+            base = pa.concat_tables(
+                [base,
+                 _rows(mp_docs, mp_alias, "link", None, None, None,
+                       mp_alias)]
+            )
+        return base
+
     def explode_dfns(batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in ("referrer", "href", "bucket", "side", "id",
-                               "type", "access", "canon_href")}
-        for doc_id, dfn_id, href, typ, access in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("id").to_pylist(),
-            batch.column("href").to_pylist(),
-            batch.column("type").to_pylist(),
-            batch.column("access").to_pylist(),
-        ):
-            alias = single_page_form(href or "")
-            # index dfn under both forms (indexDfnHref, backrefs.js:163-171)
-            for form in ([href] if alias is None else [href, alias]):
-                out["referrer"].append(doc_id)
-                out["href"].append(form)
-                out["bucket"].append(_bucket_of(form, num_buckets))
-                out["side"].append("dfn")
-                out["id"].append(dfn_id)
-                out["type"].append(typ)
-                out["access"].append(access)
-                out["canon_href"].append(href)  # canonical dfn href
-        return pa.table({k: pa.array(v, pa.int64() if k == "bucket" else pa.string())
-                         for k, v in out.items()})
+        hrefs = pc.fill_null(batch.column("href").cast(pa.string()), "")
+        docs = batch.column("doc_id")
+        ids = batch.column("id").cast(pa.string())
+        types = batch.column("type").cast(pa.string())
+        access = batch.column("access").cast(pa.string())
+        # index dfn under both forms (indexDfnHref, backrefs.js:163-171);
+        # canon_href stays the original href on alias rows
+        base = _rows(docs, hrefs, "dfn", ids, types, access, hrefs)
+        is_mp = _is_multipage(hrefs)
+        if pc.any(is_mp).as_py():
+            f = lambda a: pc.filter(a, is_mp)  # noqa: E731
+            base = pa.concat_tables(
+                [base,
+                 _rows(f(docs), _alias_of(f(hrefs)), "dfn", f(ids),
+                       f(types), f(access), f(hrefs))]
+            )
+        return base
 
     both = links.map_batches(explode_links, batch_format="pyarrow").union(
         dfns.map_batches(explode_dfns, batch_format="pyarrow")
@@ -130,18 +155,22 @@ def backrefs(
     joined = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
 
     def collect(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.iloc[0]
-        return pd.DataFrame(
-            {
-                "defining_doc": [g["defining_doc"]],
-                "href": [g["href"]],
-                "id": [g["id"]],
-                "type": [g["type"]],
-                "access": [g["access"]],
-                "referenced_by": [sorted(set(group["referrer"]))],
-            }
+        # one Ray group per SPEC (not per dfn — thousands of tiny
+        # groups cost more in task boundaries than the work inside);
+        # the per-href collect is a single in-group pandas groupby
+        g = group.sort_values("referrer", kind="stable").drop_duplicates(
+            ["href", "referrer"]
         )
+        out = g.groupby("href", as_index=False, sort=False).agg(
+            id=("id", "first"),
+            type=("type", "first"),
+            access=("access", "first"),
+            referenced_by=("referrer", list),
+        )
+        out.insert(0, "defining_doc", group["defining_doc"].iloc[0])
+        return out[["defining_doc", "href", "id", "type", "access",
+                    "referenced_by"]]
 
-    return joined.groupby(["defining_doc", "href"]).map_groups(
+    return joined.groupby("defining_doc").map_groups(
         collect, batch_format="pandas"
     )
