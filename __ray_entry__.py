@@ -694,6 +694,15 @@ def q_walk_pairs(sf_dir: str):
     return walk_skipgrams(walks, window=2)
 
 
+def q_biased_walk_pairs(sf_dir: str):
+    """Skip-gram pairs over the second-order biased walks
+    (ops/graph.walk_skipgrams ∘ biased_walks) — the actual node2vec
+    training-pair generator: p,q-biased corpus, window-2 pairs."""
+    from reffy_ray.ops.graph import walk_skipgrams
+
+    return walk_skipgrams(q_biased_walks(sf_dir), window=2)
+
+
 def _custkey_big_orders(sf_dir: str):
     """Customer dim side + the key column of orders over 300k total
     price (threshold keeps BOTH the semi and anti results non-empty at
@@ -3748,6 +3757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "random_walks": q_random_walks,
         "biased_walks": q_biased_walks,
+        "biased_walk_pairs": q_biased_walk_pairs,
         "bucketed_walks": q_bucketed_walks,
         "bucketed_pagerank": q_bucketed_pagerank,
         "walk_pairs": q_walk_pairs,
@@ -5796,6 +5806,22 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT w, CAST(3 AS BIGINT), node FROM s3
             )
             SELECT a.node AS node_a, b.node AS node_b,
+                   count(*) AS n_pairs
+            FROM allsteps a JOIN allsteps b
+              ON a.w = b.w AND b.step - a.step BETWEEN 1 AND 2
+            GROUP BY a.node, b.node
+        """,
+        # walk_skipgrams over the biased walks (shared biased CTE
+        # chain — pair logic identical to walk_pairs)
+        "biased_walk_pairs": _BIASED_WALK_CTES + """,
+            allsteps AS MATERIALIZED (
+              SELECT w, CAST(0 AS BIGINT) AS step, node FROM b0
+              UNION ALL SELECT w, CAST(1 AS BIGINT), node FROM b1
+              UNION ALL SELECT w, CAST(2 AS BIGINT), node FROM b2
+              UNION ALL SELECT w, CAST(3 AS BIGINT), node FROM b3
+            )
+            SELECT CAST(a.node AS BIGINT) AS node_a,
+                   CAST(b.node AS BIGINT) AS node_b,
                    count(*) AS n_pairs
             FROM allsteps a JOIN allsteps b
               ON a.w = b.w AND b.step - a.step BETWEEN 1 AND 2

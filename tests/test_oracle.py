@@ -92,8 +92,8 @@ ORACLE_KEYS = [
     "ccnet_buckets", "dup_ngram_fraction", "ngram_novelty",
     "corpus_report", "c4_clean",
     "source_overlap", "attribution", "regression", "kmeans", "pagerank",
-    "hits", "random_walks", "biased_walks", "bucketed_walks",
-    "bucketed_pagerank", "walk_pairs",
+    "hits", "random_walks", "biased_walks", "biased_walk_pairs",
+    "bucketed_walks", "bucketed_pagerank", "walk_pairs",
     "cc_components",
     "triangle_count", "bm25", "weighted_sample", "event_gaps",
     "late_events", "event_pattern", "kcore", "watermark_window",
