@@ -694,6 +694,23 @@ def q_walk_pairs(sf_dir: str):
     return walk_skipgrams(walks, window=2)
 
 
+def q_node2vec_embeddings(sf_dir: str):
+    """Node embeddings from the biased-walk pair corpus: PPMI +
+    randomized subspace SVD (ops/embeddings.ppmi_svd_embeddings — the
+    Levy & Goldberg 2014 SGNS-equivalent factorization; hash-defined
+    test matrix, TSQR orthonormalization, Rayleigh-Ritz). Iterative
+    float linear algebra → no SQL oracle; the driver records
+    rows-only, and tests/test_embeddings.py asserts the geometric
+    invariants (cluster structure, determinism up to eigenvector
+    sign)."""
+    from reffy_ray.ops.embeddings import ppmi_svd_embeddings
+    from reffy_ray.ops.graph import walk_skipgrams
+
+    _edges, n = _walk_graph_edges(sf_dir)
+    pairs = walk_skipgrams(q_biased_walks(sf_dir), window=2)
+    return ppmi_svd_embeddings(pairs, n_nodes=n, dim=8, iters=2)
+
+
 def q_biased_walk_pairs(sf_dir: str):
     """Skip-gram pairs over the second-order biased walks
     (ops/graph.walk_skipgrams ∘ biased_walks) — the actual node2vec
@@ -3758,6 +3775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "biased_walks": q_biased_walks,
         "biased_walk_pairs": q_biased_walk_pairs,
+        "node2vec_embeddings": q_node2vec_embeddings,
         "bucketed_walks": q_bucketed_walks,
         "bucketed_pagerank": q_bucketed_pagerank,
         "walk_pairs": q_walk_pairs,

@@ -422,3 +422,51 @@ def test_synth_media_batch_real_mixes_png_and_pnm(ray_session):
     assert by_kind["image"] == {"ok"}  # both formats decode for real
     assert by_kind["audio"] == {"ok"}
     assert by_kind["video"] == {"stubbed"}
+
+
+def test_png_adam7_interlace_decodes():
+    import struct
+    import zlib
+
+    from reffy_ray.ops.codecs import decode_png
+
+    rng = np.random.default_rng(13)
+    # deliberately awkward dims (not multiples of 8)
+    arr = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    h, w = arr.shape[:2]
+    # forward Adam7: concat each pass's filter-0 scanlines
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw.extend(row.tobytes())
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), arr)
+    # gray variant exercises bpp=1 scatter
+    g = rng.integers(0, 256, size=(9, 5), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = g[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw.extend(row.tobytes())
+    ihdr = struct.pack(">IIBBBBB", 5, 9, 8, 0, 0, 0, 1)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), g)

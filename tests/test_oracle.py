@@ -137,7 +137,7 @@ def test_query_matches_oracle(contract, name):
 
 
 ROWS_ONLY_KEYS = [
-    "crawl_fixture", "annotate_links",
+    "crawl_fixture", "annotate_links", "node2vec_embeddings",
 ]
 
 
