@@ -3,10 +3,13 @@
 Real decoders: binary PNM images (P5 grayscale / P6 RGB, 8-bit), RIFF
 WAVE PCM audio (8/16-bit), and — as of round 5 — PNG (stdlib ``zlib``
 inflate + vectorized scanline unfiltering; 8-bit depth, color types
-0/2/3/4/6, filters 0–4, Adam7 interlace, CRC-checked). These back
-``MediaDecoder(fake=False)``; the remaining compressed formats
-(JPEG/MP4) stay stubbed behind NotImplementedError as mandated for
-this environment (reference analog: media requests are aborted, never
+0/2/3/4/6, filters 0–4, Adam7 interlace, CRC-checked) and baseline
+JPEG (sequential DCT: canonical-Huffman entropy walk + batched
+einsum IDCT + BT.601; encoder at 4:4:4 with self-defined embedded
+Huffman tables — lossy, round-trips within tested error bounds).
+These back ``MediaDecoder(fake=False)``; only VIDEO codecs (MP4)
+stay stubbed behind NotImplementedError as mandated for this
+environment (reference analog: media requests are aborted, never
 decoded — src/lib/util.js:333; decode here is the engine's *extension*
 surface for training-data pipelines).
 
@@ -358,3 +361,471 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
         + struct.pack("<I", len(data))
     )
     return hdr + data
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, Huffman — the second compressed
+# format with a REAL decode path; still zero new dependencies)
+# ---------------------------------------------------------------------------
+#
+# Decoder: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS walk, canonical-Huffman
+# entropy decode (works with ANY embedded table incl. libjpeg's
+# Annex-K ones), batched orthonormal IDCT via one einsum over every
+# block of a component, sampling-factor chroma upsample, BT.601
+# YCbCr→RGB. Baseline 8-bit only: SOF2 (progressive) and 12-bit
+# raise. Entropy decoding is a sequential bit walk in Python by
+# nature (each coefficient's length depends on the previous bits) —
+# the IDCT/color math, where the FLOPs are, is fully vectorized.
+#
+# Encoder: 4:4:4, quality-scaled Annex-K quant tables, and
+# SELF-DEFINED fixed-length canonical Huffman tables (12 DC symbols
+# at 4 bits, the full 162-symbol AC alphabet at 8 bits — valid
+# canonical tables that never produce the reserved all-ones code, at
+# some compression cost vs optimized tables; they are embedded in
+# DHT, so any decoder reads them). Lossy: round-trip is
+# close-not-exact (tests assert error bounds, unlike PNG/PNM).
+
+JPEG_SOI = b"\xff\xd8"
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.float64)
+
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.float64)
+
+
+def _dct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    c = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    c[0, :] /= np.sqrt(2.0)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any real marker (caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(bytes([0xFF, nxt]), self.pos)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: bytes, pos: int):
+        self.marker = marker
+        self.pos = pos
+
+
+def _extend(v: int, size: int) -> int:
+    """DC/AC magnitude decode (spec F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+class _Huff:
+    """Canonical Huffman decode table from DHT BITS/HUFFVAL."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lut[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = self.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 (h, w) gray or (h, w, 3) RGB."""
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    comps = None
+    w = h = 0
+    restart_interval = 0
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p:p + 64], np.uint8).astype(
+                        np.float64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p:p + 128], ">u2").astype(
+                        np.float64)
+                    p += 128
+                q = np.zeros(64, np.float64)
+                q[_ZIGZAG] = tbl
+                qt[tq] = q.reshape(8, 8)
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tqi = seg[6 + 3 * i:9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tqi}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG SOF marker 0xFF{marker:02X} "
+                "(only baseline sequential SOF0 is implemented)"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17:p + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i:3 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 15))
+            data_pos = pos + seglen
+            return _jpeg_scan(
+                payload, data_pos, w, h, comps, scan, qt,
+                huff_dc, huff_ac, restart_interval,
+            )
+        pos += seglen
+    raise ValueError("JPEG SOS marker missing")
+
+
+def _jpeg_scan(payload, pos, w, h, comps, scan, qt, huff_dc, huff_ac,
+               ri) -> np.ndarray:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient stores + plane geometry
+    for c, _td, _ta in scan:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.float64)
+        c["pred"] = 0
+    br = _BitReader(payload, pos)
+    mcu = 0
+    total = mcux * mcuy
+    while mcu < total:
+        if ri and mcu and mcu % ri == 0:
+            # expect RSTn: byte-align, swallow marker, reset preds
+            br.align()
+            while payload[br.pos] == 0xFF and payload[br.pos + 1] == 0xFF:
+                br.pos += 1
+            if payload[br.pos] == 0xFF and 0xD0 <= payload[br.pos + 1] <= 0xD7:
+                br.pos += 2
+            for c, _td, _ta in scan:
+                c["pred"] = 0
+        my, mx = divmod(mcu, mcux)
+        try:
+            for c, td, ta in scan:
+                hd, ha = huff_dc[td], huff_ac[ta]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        blk = c["coef"][row * c["bw"] + col]
+                        t = hd.decode(br)
+                        diff = _extend(br.receive(t), t) if t else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            sym = ha.decode(br)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 15
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            blk[k] = _extend(br.receive(size), size)
+                            k += 1
+        except _MarkerHit:
+            raise ValueError("JPEG entropy data truncated mid-MCU")
+        mcu += 1
+    planes = []
+    for c, _td, _ta in scan:
+        q = qt[c["tq"]].reshape(64)
+        deq = (c["coef"] * q[None, :])
+        zz = np.zeros_like(deq)
+        zz[:, _ZIGZAG] = deq
+        blocks = zz.reshape(-1, 8, 8)
+        spatial = np.einsum("ij,bjk,kl->bil", _DCT_C.T, blocks, _DCT_C)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255)
+        bh, bw = c["bh"], c["bw"]
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full resolution by sampling-factor replication
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+# -- encoder ---------------------------------------------------------------
+
+def _enc_tables():
+    """Self-defined canonical Huffman tables: every DC category at 4
+    bits, the full AC alphabet at 8 bits (see header comment)."""
+    dc_vals = bytes(range(12))
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # 12 codes of length 4
+    ac_syms = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    ac_syms = sorted(set(ac_syms))
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)  # all codes length 8
+    return (dc_bits, dc_vals), (ac_bits, bytes(ac_syms))
+
+
+def _enc_codes(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, length: int, code: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put(pad, (1 << pad) - 1)
+
+
+def _csize(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JFIF bytes
+    (4:4:4, quality-scaled Annex-K quant tables, self-defined Huffman
+    tables embedded in DHT). Lossy — round-trips within error bounds,
+    not byte-exact."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        planes = [a.astype(np.float64)]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+        ]
+    else:
+        raise ValueError("expected (h, w) or (h, w, 3) uint8 array")
+    h, w = a.shape[:2]
+    q = max(1, min(100, int(quality)))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    qts = []
+    for base in (_QT_LUMA, _QT_CHROMA)[: 2 if len(planes) == 3 else 1]:
+        qts.append(
+            np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+            .reshape(8, 8)
+        )
+
+    (dcb, dcv), (acb, acv) = _enc_tables()
+    dc_codes = _enc_codes(dcb, dcv)
+    ac_codes = _enc_codes(acb, acv)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    bh8 = (h + 7) // 8
+    bw8 = (w + 7) // 8
+    # per-plane blockify + batched DCT + quantize, then the entropy
+    # walk (sequential by nature) over integer coefficient rows
+    coefs = []
+    for pi, plane in enumerate(planes):
+        padded = np.pad(plane, ((0, bh8 * 8 - h), (0, bw8 * 8 - w)),
+                        mode="edge") - 128.0
+        blocks = (
+            padded.reshape(bh8, 8, bw8, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        fdct = np.einsum("ij,bjk,kl->bil", _DCT_C, blocks, _DCT_C.T)
+        qtab = qts[min(pi, len(qts) - 1)]
+        qz = np.round(fdct / qtab[None, :, :]).astype(np.int64)
+        coefs.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+    for mcu in range(bh8 * bw8):  # 4:4:4 → MCU = one block per comp
+        for pi in range(len(planes)):
+            zz = coefs[pi][mcu]
+            diff = int(zz[0]) - preds[pi]
+            preds[pi] = int(zz[0])
+            size = _csize(diff)
+            bw.put(*dc_codes[size])
+            if size:
+                bw.put(size, diff if diff >= 0 else diff + (1 << size) - 1)
+            run = 0
+            last_nz = np.nonzero(zz[1:])[0]
+            last = last_nz[-1] + 1 if len(last_nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_codes[0xF0])
+                    run -= 16
+                size = _csize(v)
+                bw.put(*ac_codes[(run << 4) | size])
+                bw.put(size, v if v >= 0 else v + (1 << size) - 1)
+                run = 0
+            if last < 63:
+                bw.put(*ac_codes[0x00])  # EOB
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(JPEG_SOI)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qtab in enumerate(qts):
+        zzq = np.zeros(64, np.uint8)
+        zzq[:] = qtab.reshape(64)[_ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([ti]) + zzq.tobytes())
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, min(i, len(qts) - 1)])
+    out += seg(0xC0, sof)
+    for tc_th, (bits, vals) in ((0x00, (dcb, dcv)), (0x10, (acb, acv))):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + vals)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

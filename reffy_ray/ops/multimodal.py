@@ -268,23 +268,30 @@ class MediaDecoder:
         self.dim = feature_dim
         if not fake:
             # codec entry points bound once per actor
-            from .codecs import PNG_SIG, decode_png, decode_pnm, decode_wav
+            from .codecs import (
+                JPEG_SOI, PNG_SIG, decode_jpeg, decode_png, decode_pnm,
+                decode_wav,
+            )
 
             self._decode_pnm = decode_pnm
             self._decode_png = decode_png
+            self._decode_jpeg = decode_jpeg
             self._decode_wav = decode_wav
             self._png_sig = PNG_SIG
+            self._jpeg_soi = JPEG_SOI
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if not self.fake:
             if kind == "image" and (
                 payload[:1] == b"P" or payload[:8] == self._png_sig
+                or payload[:2] == self._jpeg_soi
             ):
-                arr = (
-                    self._decode_png(payload)
-                    if payload[:8] == self._png_sig
-                    else self._decode_pnm(payload)
-                )
+                if payload[:8] == self._png_sig:
+                    arr = self._decode_png(payload)
+                elif payload[:2] == self._jpeg_soi:
+                    arr = self._decode_jpeg(payload)
+                else:
+                    arr = self._decode_pnm(payload)
                 channels = 1 if arr.ndim == 2 else arr.shape[2]
                 flat = arr.reshape(-1).astype(np.int64)
                 h, w = arr.shape[:2]
@@ -303,8 +310,9 @@ class MediaDecoder:
                     dtype=np.float32,
                 )
             raise NotImplementedError(
-                f"no codec for kind={kind!r} payload (JPEG/MP4 remain "
-                "stubbed in this container; PNM/PNG/WAV decode for real)"
+                f"no codec for kind={kind!r} payload (video codecs "
+                "remain stubbed in this container; PNM/PNG/JPEG/WAV "
+                "decode for real)"
             )
         h = hashlib.sha256(payload).digest()
         return (
@@ -386,26 +394,36 @@ class MediaResizer:
 
     def _resample(self, payload: bytes, w: int, h: int) -> bytes:
         if not self.fake:
-            # real path for PNM and PNG: nearest-neighbor index
-            # sampling in pure numpy (ops/codecs.py round-trips);
-            # JPEG/MP4 remain stubbed (no libs here)
+            # real path for PNM/PNG/JPEG: nearest-neighbor index
+            # sampling in pure numpy (ops/codecs.py); video codecs
+            # remain stubbed (no libs here)
             from .codecs import (
-                PNG_SIG, decode_png, decode_pnm, encode_png, encode_pnm,
+                JPEG_SOI, PNG_SIG, decode_jpeg, decode_png, decode_pnm,
+                encode_jpeg, encode_png, encode_pnm,
             )
 
             is_png = payload[:8] == PNG_SIG
-            if payload[:1] == b"P" or is_png:
-                arr = decode_png(payload) if is_png else decode_pnm(payload)
+            is_jpeg = payload[:2] == JPEG_SOI
+            if payload[:1] == b"P" or is_png or is_jpeg:
+                arr = (
+                    decode_png(payload) if is_png
+                    else decode_jpeg(payload) if is_jpeg
+                    else decode_pnm(payload)
+                )
                 src_h, src_w = arr.shape[:2]
                 if w <= 0 or h <= 0:
                     raise ValueError("resample target must be positive")
                 ys = (np.arange(h) * src_h) // h
                 xs = (np.arange(w) * src_w) // w
                 out = arr[ys][:, xs]
-                return encode_png(out) if is_png else encode_pnm(out)
+                if is_png:
+                    return encode_png(out)
+                if is_jpeg:
+                    return encode_jpeg(out)
+                return encode_pnm(out)
             raise NotImplementedError(
-                "no codec for this payload (JPEG/MP4 are stubbed in "
-                "this container); run with fake=True"
+                "no codec for this payload (video codecs are stubbed "
+                "in this container); run with fake=True"
             )
         return hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
 

@@ -470,3 +470,166 @@ def test_png_adam7_interlace_decodes():
            + chunk(b"IDAT", zlib.compress(bytes(raw)))
            + chunk(b"IEND", b""))
     assert np.array_equal(decode_png(png), g)
+
+
+# --- JPEG codec (round 5: baseline sequential DCT) ------------------------
+
+
+def test_jpeg_roundtrip_error_bounds():
+    from reffy_ray.ops.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    # smooth gradient + mild noise (JPEG-friendly content)
+    y, x = np.mgrid[0:24, 0:33]
+    base = (y * 3 + x * 2) % 200 + 20
+    for shape_mod in ("gray", "rgb"):
+        if shape_mod == "gray":
+            arr = (base + rng.integers(-5, 6, base.shape)).clip(
+                0, 255).astype(np.uint8)
+        else:
+            arr = np.stack(
+                [(base + 10 * c + rng.integers(-5, 6, base.shape))
+                 .clip(0, 255) for c in range(3)], axis=-1
+            ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(arr, quality=95))
+        assert out.shape == arr.shape
+        err = np.abs(out.astype(np.int64) - arr.astype(np.int64))
+        assert err.mean() < 4.0, (shape_mod, err.mean())
+        assert err.max() <= 32, (shape_mod, err.max())
+
+
+def test_jpeg_quality_monotonic_and_deterministic():
+    from reffy_ray.ops.codecs import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:16, 0:16]
+    arr = ((y * 7 + x * 5) % 256).astype(np.uint8)
+    lo = encode_jpeg(arr, quality=30)
+    hi = encode_jpeg(arr, quality=95)
+    err_lo = np.abs(decode_jpeg(lo).astype(int) - arr).mean()
+    err_hi = np.abs(decode_jpeg(hi).astype(int) - arr).mean()
+    assert err_hi <= err_lo
+    assert encode_jpeg(arr, quality=95) == hi  # bit-deterministic
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from reffy_ray.ops.codecs import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01")
+    good = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    # flip SOF0 (0xC0) to SOF2 (0xC2 progressive) → loud reject
+    idx = good.find(b"\xff\xc0")
+    good[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(good))
+
+
+def test_media_decoder_and_resizer_real_jpeg():
+    from reffy_ray.ops.codecs import decode_jpeg, encode_jpeg
+    from reffy_ray.ops.multimodal import MediaDecoder
+
+    y, x = np.mgrid[0:24, 0:32]
+    arr = np.stack([(y * 4 + x * 3 + 40 * c) % 256 for c in range(3)],
+                   axis=-1).astype(np.uint8)
+    jpg = encode_jpeg(arr, quality=95)
+    batch = pa.table({
+        "media_id": ["j0"], "kind": ["image"],
+        "payload": pa.array([jpg], pa.binary()),
+    })
+    out = MediaDecoder(fake=False)(batch)
+    assert out.column("decode_status").to_pylist() == ["ok"]
+    feat = out.column("feature").to_pylist()[0]
+    assert feat[:4] == [32, 24, 3, 32 * 24]
+    # resizer: decode→nearest-neighbor→re-encode stays a valid JPEG
+    res = MediaResizer(max_w=16, max_h=16, fake=False)
+    small = res._resample(jpg, 16, 12)
+    got = decode_jpeg(small)
+    assert got.shape == (12, 16, 3)
+
+
+def test_jpeg_420_subsampled_stream_decodes():
+    """Hand-rolled 4:2:0 interleaved stream (2x2 Y blocks + 1 Cb + 1
+    Cr per MCU) exercises the sampling-factor upsample path the
+    4:4:4 encoder never emits."""
+    import struct
+
+    from reffy_ray.ops.codecs import (
+        _DCT_C, _ZIGZAG, _BitWriter, _csize, _enc_codes, _enc_tables,
+        decode_jpeg,
+    )
+
+    h = w = 16
+    y_img = np.full((16, 16), 100.0)
+    y_img[:8, :8] = 60.0  # quadrant structure survives round-trip
+    cb = np.full((8, 8), 90.0)   # downsampled planes (constant)
+    cr = np.full((8, 8), 160.0)
+
+    qt = np.ones((8, 8))  # flat quant: near-lossless
+
+    def blocks_of(plane, nby, nbx):
+        return (plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+                .reshape(-1, 8, 8))
+
+    def qcoef(block):
+        f = _DCT_C @ (block - 128.0) @ _DCT_C.T
+        return np.round(f / qt).astype(np.int64).reshape(64)[_ZIGZAG]
+
+    (dcb, dcv), (acb, acv) = _enc_tables()
+    dc_codes, ac_codes = _enc_codes(dcb, dcv), _enc_codes(acb, acv)
+    bw = _BitWriter()
+    preds = {"y": 0, "cb": 0, "cr": 0}
+
+    def put_block(zz, key):
+        diff = int(zz[0]) - preds[key]
+        preds[key] = int(zz[0])
+        size = _csize(diff)
+        bw.put(*dc_codes[size])
+        if size:
+            bw.put(size, diff if diff >= 0 else diff + (1 << size) - 1)
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        run = 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(*ac_codes[0xF0]); run -= 16
+            s = _csize(v)
+            bw.put(*ac_codes[(run << 4) | s])
+            bw.put(s, v if v >= 0 else v + (1 << s) - 1)
+            run = 0
+        if last < 63:
+            bw.put(*ac_codes[0x00])
+
+    # ONE MCU: Y blocks in raster order then Cb, Cr
+    for blk in blocks_of(y_img, 2, 2):
+        put_block(qcoef(blk), "y")
+    put_block(qcoef(cb), "cb")
+    put_block(qcoef(cr), "cr")
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zzq = np.ones(64, np.uint8)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + zzq.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    sof += bytes([2, 0x11, 0])
+    sof += bytes([3, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dcb) + dcv)
+    out += seg(0xC4, bytes([0x10]) + bytes(acb) + acv)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
+               + b"\x00\x3f\x00")
+    out += bw.out + b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    assert got.shape == (16, 16, 3)
+    # quadrant luma structure survives (dark top-left)
+    assert got[:8, :8].mean() < got[8:, 8:].mean() - 20
+    # constant chroma ⇒ low spatial variance in color channels
+    assert got[..., 0].std() > 5  # luma structure present
