@@ -557,23 +557,7 @@ def q_random_walks(sf_dir: str):
 
     from reffy_ray.ops.graph import random_walks
 
-    docs = _docs(sf_dir, columns=("doc_id",))
-    n = docs.count()
-
-    def mk_edges(batch: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        ids = batch["doc_id"].to_numpy()
-        src = np.repeat(ids, 3)
-        j = np.tile(np.array([2, 4, 8]), len(ids))
-        return pd.DataFrame(
-            {
-                "src": src.astype("int64"),
-                "dst": (src // j).astype("int64"),
-            }
-        )
-
-    edges = docs.map_batches(mk_edges, batch_format="pandas")
+    edges, n = _walk_graph_edges(sf_dir)
     return random_walks(edges, n_nodes=n, walk_len=3)
 
 
@@ -590,23 +574,7 @@ def q_biased_walks(sf_dir: str):
 
     from reffy_ray.ops.graph import biased_walks
 
-    docs = _docs(sf_dir, columns=("doc_id",))
-    n = docs.count()
-
-    def mk_edges(batch: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        ids = batch["doc_id"].to_numpy()
-        src = np.repeat(ids, 3)
-        j = np.tile(np.array([2, 4, 8]), len(ids))
-        return pd.DataFrame(
-            {
-                "src": src.astype("int64"),
-                "dst": (src // j).astype("int64"),
-            }
-        )
-
-    edges = docs.map_batches(mk_edges, batch_format="pandas")
+    edges, n = _walk_graph_edges(sf_dir)
     return biased_walks(edges, n_nodes=n, walk_len=3, p=2.0, q=0.5)
 
 
@@ -635,12 +603,18 @@ def _walk_graph_edges(sf_dir: str):
 
 
 def _build_doc_adjacency(sf_dir: str):
-    import tempfile
+    import hashlib
+    import shutil
 
     from reffy_ray.ops.graphstore import BucketedAdjacency
 
     edges, n = _walk_graph_edges(sf_dir)
-    d = tempfile.mkdtemp(prefix="graft_adj_", dir="/tmp")
+    # deterministic per-sf scratch path, wiped before rebuild: repeat
+    # contract runs reuse ONE directory instead of leaking a fresh
+    # mkdtemp per invocation (review finding)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/graft_adj_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
     return BucketedAdjacency.build(edges, d, n_nodes=n, n_buckets=16), n
 
 

@@ -571,6 +571,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF0")
+            if ns != len(comps):
+                # legal baseline files MAY code each component in its
+                # own sequential scan (T.81 B.2 scan scripts); this
+                # decoder only implements the single fully-interleaved
+                # scan — reject loudly rather than return a partial /
+                # garbled image (review finding)
+                raise ValueError(
+                    f"multi-scan baseline JPEG not supported (scan has "
+                    f"{ns} of {len(comps)} components)"
+                )
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i:3 + 2 * i]
@@ -642,7 +654,11 @@ def _jpeg_scan(payload, pos, w, h, comps, scan, qt, huff_dc, huff_ac,
         mcu += 1
     planes = []
     for c, _td, _ta in scan:
-        q = qt[c["tq"]].reshape(64)
+        # coef rows are in ZIGZAG order; the quant table is stored in
+        # natural order — permute the table, not the data (review
+        # finding: multiplying zigzag coefficients by natural-order
+        # quant values garbles every non-flat-table file)
+        q = qt[c["tq"]].reshape(64)[_ZIGZAG]
         deq = (c["coef"] * q[None, :])
         zz = np.zeros_like(deq)
         zz[:, _ZIGZAG] = deq

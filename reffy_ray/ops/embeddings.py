@@ -85,6 +85,13 @@ def ppmi_svd_embeddings(
 
     pairs = pairs.materialize()
 
+    def _in_range(a: np.ndarray, bb: np.ndarray) -> np.ndarray:
+        # same input contract as the walk/pagerank ops: out-of-range
+        # node ids are dropped up front, never wrapped (np.add.at with
+        # a negative id would silently corrupt the tail of the count
+        # vector — review finding)
+        return (a >= 0) & (a < n_nodes) & (bb >= 0) & (bb < n_nodes)
+
     # --- pass 0: marginal counts, broadcast once -------------------------
     row_cnt = np.zeros(n_nodes, np.float64)
     total = 0.0
@@ -92,6 +99,8 @@ def ppmi_svd_embeddings(
         a = b[a_col].to_numpy().astype(np.int64)
         bb = b[b_col].to_numpy().astype(np.int64)
         w = b[w_col].to_numpy().astype(np.float64)
+        ok = _in_range(a, bb)
+        a, bb, w = a[ok], bb[ok], w[ok]
         # symmetrized marginals (row == col marginal by symmetry)
         np.add.at(row_cnt, a, w)
         np.add.at(row_cnt, bb, w)
@@ -103,6 +112,8 @@ def ppmi_svd_embeddings(
         a = b[a_col].to_numpy().astype(np.int64)
         bb = b[b_col].to_numpy().astype(np.int64)
         w = b[w_col].to_numpy().astype(np.float64)
+        ok = _in_range(a, bb)
+        a, bb, w = a[ok], bb[ok], w[ok]
         with np.errstate(divide="ignore"):
             val = np.log((w * total) / (cnt[a] * cnt[bb])) - np.log(shift)
         val = np.maximum(val, 0.0)

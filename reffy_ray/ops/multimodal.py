@@ -4,16 +4,17 @@ Media columns are ``binary`` payloads + typed metadata, exactly as the
 span table treats figures/images (``media_ref`` spans are never
 fetched — the analog of the reference's image-request abort at
 src/lib/util.js:333). Decode/resize/frame-sample run as actor-pool
-``map_batches`` stages whose Ray-side plumbing (schema, batch size,
-actor signature, output layout) is real and tested; the codec call
-itself is STUBBED (no image/audio libs in this container): decode
-raises ``NotImplementedError`` unless ``fake=True``, which produces a
+``map_batches`` stages. PNM, PNG, JPEG and WAV payloads decode for
+REAL via the pure-numpy codecs in ops/codecs.py; only video (MP4)
+remains stubbed in this container — those raise
+``NotImplementedError`` unless ``fake=True``, which produces a
 deterministic fake decode for pipeline tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -64,8 +65,11 @@ def synth_media_batch_real(n: int, seed: int = 0) -> pa.Table:
     """Deterministic media rows with REAL decodable payloads: binary
     PPM (P6) and PNG (RGB, filter-0 + zlib) images alternating by
     image index, and RIFF WAVE PCM16 audio, all built by ops/codecs'
-    encoders; video rows carry an opaque payload (JPEG/MP4 codecs
-    stay stubbed in this container).
+    encoders; video rows carry an opaque payload (video codecs stay
+    stubbed in this container). JPEG decodes for real too, but being
+    LOSSY it is kept out of this generator: the media_features oracle
+    value-checks decoded pixels analytically, which only byte-exact
+    formats (PNM/PNG) can satisfy.
 
     Pixel / sample rules are closed-form so a SQL oracle can verify
     the decoded values analytically (q_media_features) — the PNM/PNG
@@ -251,16 +255,17 @@ class MediaDecoder:
     ``fake=True`` → deterministic 8-dim feature from the payload hash
     (pipeline plumbing testable without codecs). ``fake=False`` →
     REAL decode via the pure-numpy codecs in ops/codecs.py — binary
-    PNM images (P5/P6), PNG (stdlib zlib inflate + numpy unfilter)
-    and RIFF WAVE PCM audio — emitting the 8-dim feature
+    PNM images (P5/P6), PNG (stdlib zlib inflate + numpy unfilter),
+    baseline JPEG and RIFF WAVE PCM audio — emitting the 8-dim feature
     ``[dim_a, dim_b, channels, units, v_first, v_last, v_min, v_max]``
     (image: dim_a/b = width/height, units = pixels; audio: dim_a =
     sample rate, dim_b = 0, units = samples; all values exactly
-    representable in float32). The remaining compressed formats
-    (JPEG/MP4) raise NotImplementedError → ``decode_status='stubbed'``
-    — no codec libraries exist in this container; a real deployment
-    extends ``_decode`` with PIL/torchaudio/pyav calls loaded once
-    per actor here in ``__init__``.
+    representable in float32). Video payloads (MP4) raise
+    NotImplementedError → ``decode_status='stubbed'`` — no video
+    libraries exist in this container; a real deployment extends
+    ``_decode`` with a pyav call loaded once per actor in
+    ``__init__``. Corrupt/truncated payloads yield
+    ``decode_status='error'`` rows rather than failing the task.
     """
 
     def __init__(self, fake: bool = True, feature_dim: int = 8):
@@ -331,6 +336,13 @@ class MediaDecoder:
             except NotImplementedError:
                 feats.append(None)
                 status.append("stubbed")
+            except (ValueError, IndexError, struct.error):
+                # corrupt/truncated payload (CRC mismatch, bad Huffman
+                # code, short entropy data) — routine in real crawls:
+                # one bad image must yield an error ROW, not fail the
+                # whole map_batches task (review finding)
+                feats.append(None)
+                status.append("error")
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -438,12 +450,17 @@ class MediaResizer:
         out_h2 = np.minimum(out_h, self.max_h)
         out_w = np.where(too_tall, w * out_h2 // np.maximum(h, 1), out_w)
         out_h = out_h2
-        payloads = [
-            self._resample(p, int(ow), int(oh))
-            for p, ow, oh in zip(
-                batch.column("payload").to_pylist(), out_w, out_h
-            )
-        ]
+        payloads = []
+        for p, ow, oh in zip(
+            batch.column("payload").to_pylist(), out_w, out_h
+        ):
+            try:
+                payloads.append(self._resample(p, int(ow), int(oh)))
+            except (ValueError, IndexError, struct.error):
+                # corrupt/truncated payload: pass it through unchanged
+                # rather than failing the task (the decode stage is
+                # where such rows get their error status)
+                payloads.append(p)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),

@@ -633,3 +633,157 @@ def test_jpeg_420_subsampled_stream_decodes():
     assert got[:8, :8].mean() < got[8:, 8:].mean() - 20
     # constant chroma ⇒ low spatial variance in color channels
     assert got[..., 0].std() > 5  # luma structure present
+
+
+def test_jpeg_restart_markers_decode():
+    """DRI/RSTn path: 4 MCUs with a restart interval of 2 — DC
+    predictors must reset at each RST boundary."""
+    import struct
+
+    from reffy_ray.ops.codecs import (
+        _DCT_C, _ZIGZAG, _BitWriter, _csize, _enc_codes, _enc_tables,
+        decode_jpeg,
+    )
+
+    # 8x32 grayscale: 4 blocks with distinct flat levels
+    levels = [40, 90, 150, 210]
+    arr = np.concatenate(
+        [np.full((8, 8), v, np.uint8) for v in levels], axis=1
+    )
+    qt = np.ones((8, 8))
+    (dcb, dcv), (acb, acv) = _enc_tables()
+    dc_codes, ac_codes = _enc_codes(dcb, dcv), _enc_codes(acb, acv)
+
+    def block_bits(bw, blk, pred):
+        f = _DCT_C @ (blk.astype(np.float64) - 128.0) @ _DCT_C.T
+        zz = np.round(f / qt).astype(np.int64).reshape(64)[_ZIGZAG]
+        diff = int(zz[0]) - pred
+        size = _csize(diff)
+        bw.put(*dc_codes[size])
+        if size:
+            bw.put(size, diff if diff >= 0 else diff + (1 << size) - 1)
+        bw.put(*ac_codes[0x00])  # flat block: EOB immediately
+        return int(zz[0])
+
+    # entropy data: 2 MCUs, RST0, 2 MCUs — predictors reset after RST
+    chunks = []
+    pred = 0
+    bw = _BitWriter()
+    for i in range(4):
+        if i == 2:
+            bw.flush()
+            chunks.append(bytes(bw.out))
+            bw = _BitWriter()
+            pred = 0  # predictor reset at restart
+        pred = block_bits(bw, arr[:, 8 * i:8 * i + 8], pred)
+    bw.flush()
+    chunks.append(bytes(bw.out))
+    entropy = chunks[0] + b"\xff\xd0" + chunks[1]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + np.ones(64, np.uint8).tobytes())
+    out += seg(0xC0, struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dcb) + dcv)
+    out += seg(0xC4, bytes([0x10]) + bytes(acb) + acv)
+    out += seg(0xDD, struct.pack(">H", 2))  # restart interval 2
+    out += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    out += entropy + b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    assert got.shape == (8, 32)
+    for i, v in enumerate(levels):
+        assert abs(int(got[:, 8 * i:8 * i + 8].mean()) - v) <= 2, (i, v)
+
+
+def test_jpeg_nonflat_quant_table_dequantizes_correctly():
+    """Review regression: zigzag-order coefficients must be multiplied
+    by the ZIGZAG-permuted quant table. A single known coefficient at
+    zigzag position 2 (natural index 8, i.e. q=9 under q[n]=n+1) must
+    reconstruct v*q[8], not v*q[2]."""
+    import struct
+
+    from reffy_ray.ops.codecs import (
+        _DCT_C, _ZIGZAG, _BitWriter, _csize, _enc_codes, _enc_tables,
+        decode_jpeg,
+    )
+
+    qnat = (np.arange(64, dtype=np.float64) + 1).reshape(8, 8)
+    coef_zz = np.zeros(64, np.int64)
+    coef_zz[0] = 0
+    coef_zz[2] = 10  # natural index _ZIGZAG[2] = 8 → quant 9
+    (dcb, dcv), (acb, acv) = _enc_tables()
+    dc_codes, ac_codes = _enc_codes(dcb, dcv), _enc_codes(acb, acv)
+    bw = _BitWriter()
+    bw.put(*dc_codes[0])
+    bw.put(*ac_codes[(1 << 4) | _csize(10)])  # run 1, then value 10
+    bw.put(_csize(10), 10)
+    bw.put(*ac_codes[0x00])
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zzq = qnat.reshape(64)[_ZIGZAG].astype(np.uint8)
+    png = bytearray(b"\xff\xd8")
+    png += seg(0xDB, bytes([0]) + zzq.tobytes())
+    png += seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    png += seg(0xC4, bytes([0x00]) + bytes(dcb) + dcv)
+    png += seg(0xC4, bytes([0x10]) + bytes(acb) + acv)
+    png += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    png += bw.out + b"\xff\xd9"
+    got = decode_jpeg(bytes(png)).astype(np.float64)
+
+    # reference reconstruction with the CORRECT dequant (natural-order
+    # block, coefficient 10*9=90 at natural index 8)
+    blk = np.zeros(64, np.float64)
+    blk[8] = 10 * 9
+    want = np.clip(
+        np.round(_DCT_C.T @ blk.reshape(8, 8) @ _DCT_C) + 128, 0, 255
+    )
+    assert np.array_equal(got, want.astype(np.uint8))
+
+
+def test_media_decoder_corrupt_payload_yields_error_row():
+    from reffy_ray.ops.codecs import encode_jpeg, encode_png
+    from reffy_ray.ops.multimodal import MediaDecoder, MediaResizer
+
+    good_png = encode_png(np.zeros((4, 4), np.uint8))
+    bad_png = good_png[:-7] + b"\x00" * 7          # CRC mismatch
+    bad_jpeg = encode_jpeg(np.zeros((8, 8), np.uint8))[:20]  # truncated
+    batch = pa.table({
+        "media_id": ["a", "b", "c"],
+        "kind": ["image", "image", "image"],
+        "payload": pa.array([good_png, bad_png, bad_jpeg], pa.binary()),
+    })
+    out = MediaDecoder(fake=False)(batch)
+    assert out.column("decode_status").to_pylist() == ["ok", "error",
+                                                      "error"]
+    # resizer: corrupt payloads pass through unchanged, task survives
+    batch2 = pa.table({
+        "media_id": ["a", "b"], "kind": ["image", "image"],
+        "payload": pa.array([good_png, bad_png], pa.binary()),
+        "width": pa.array([4, 4], pa.int32()),
+        "height": pa.array([4, 4], pa.int32()),
+    })
+    res = MediaResizer(max_w=2, max_h=2, fake=False)(batch2)
+    assert res.column("payload").to_pylist()[1] == bad_png
+
+
+def test_jpeg_multiscan_rejected():
+    import struct
+
+    from reffy_ray.ops.codecs import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    # rewrite the SOS header to claim a single-component scan of a
+    # 3-component file (a per-component scan script)
+    idx = good.find(b"\xff\xda")
+    (slen,) = struct.unpack(">H", good[idx + 2:idx + 4])
+    new_sos = (b"\xff\xda" + struct.pack(">H", 8)
+               + bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    hacked = good[:idx] + new_sos + good[idx + 2 + slen:]
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(hacked)
