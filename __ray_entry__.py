@@ -2957,10 +2957,10 @@ def q_media_text_pairs(sf_dir: str):
 def q_media_dedup(sf_dir: str):
     """Cross-document exact media dedup by payload content hash
     (ops/multimodal.media_dedup): two synth_media_batch_real batches
-    with different seeds share every image/audio payload byte-for-byte
-    (the pixel/sample rules are seed-independent) while video payloads
-    are seed-keyed — so each image/audio row has exactly one cross-seed
-    duplicate and the canonical (min media_id) is the seed-0 row. The
+    with different seeds share EVERY payload byte-for-byte (pixel/
+    sample/box rules are all seed-independent as of the MP4-skeleton
+    change) — so every row has exactly one cross-seed duplicate and
+    the canonical (min media_id) is the seed-0 row. The
     engine hashes REAL payload bytes; the oracle predicts the groups
     from the closed-form generation rules, so a codec or generator
     drift breaks the match."""
@@ -3293,12 +3293,14 @@ def q_frame_sample(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """REAL multimodal decode: binary PPM images and RIFF WAVE PCM16
-    audio decoded by the pure-numpy codecs (ops/codecs.py) inside the
-    MediaDecoder actor pool; video payloads (compressed) stay stubbed.
-    The synthetic payloads follow closed-form pixel/sample rules
-    (synth_media_batch_real docstring), so the oracle verifies the
-    decoded values analytically."""
+    """REAL multimodal decode inside the MediaDecoder actor pool
+    (pure-numpy codecs, ops/codecs.py): PPM and PNG images decoded to
+    pixels, RIFF WAVE PCM16 audio to samples, and MP4 video probed
+    via a real ISO-BMFF box walk (width/height/duration/sample count
+    — the frame decode itself is the one stub left). The synthetic
+    payloads follow closed-form rules (synth_media_batch_real
+    docstring), so the oracle verifies every decoded/probed value
+    analytically."""
     from reffy_ray.ops.multimodal import MediaDecoder, synth_media_batch_real
 
     media = rd.from_arrow(synth_media_batch_real(256))
@@ -7532,9 +7534,7 @@ def oracle_sql() -> dict[str, str]:
             keyed AS (
               SELECT kind,
                      'mr' || seed || '-' || i AS media_id,
-                     CASE WHEN kind = 'video'
-                          THEN 'video-' || seed || '-' || i
-                          ELSE kind || '-' || i END AS dup_key
+                     kind || '-' || i AS dup_key
               FROM rows
             )
             SELECT k.media_id, k.kind,
@@ -7544,10 +7544,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY k.media_id, k.kind
         """,
         # ops/multimodal.MediaDecoder(fake=False) + ops/codecs: real
-        # PPM/WAV decode; the synthetic payloads follow closed-form
-        # pixel/sample rules (synth_media_batch_real), so the oracle
-        # reproduces the decoded values analytically. Video rows are
-        # stubbed (compressed codec) → NULL features.
+        # PPM/PNG/WAV decode plus the MP4 metadata probe; the
+        # synthetic payloads follow closed-form rules
+        # (synth_media_batch_real), so the oracle reproduces every
+        # decoded/probed value analytically.
         "media_features": """
             WITH m AS (
               SELECT i, i % 3 AS r,
@@ -7559,21 +7559,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'mr0-' || CAST(i AS VARCHAR) AS media_id,
               CASE r WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                      ELSE 'video' END AS kind,
-              CASE r WHEN 2 THEN 'stubbed' ELSE 'ok' END AS decode_status,
-              CASE r WHEN 0 THEN w WHEN 1 THEN 8000 END AS dim_a,
-              CASE r WHEN 0 THEN h WHEN 1 THEN 0 END AS dim_b,
-              CASE r WHEN 0 THEN 3 WHEN 1 THEN 1 END AS channels,
-              CASE r WHEN 0 THEN w * h WHEN 1 THEN ns END AS units,
+              'ok' AS decode_status,
+              CASE r WHEN 0 THEN w WHEN 1 THEN 8000
+                     ELSE 64 END AS dim_a,
+              CASE r WHEN 0 THEN h WHEN 1 THEN 0
+                     ELSE 48 END AS dim_b,
+              CASE r WHEN 0 THEN 3 WHEN 1 THEN 1
+                     ELSE 0 END AS channels,
+              CASE r WHEN 0 THEN w * h WHEN 1 THEN ns
+                     ELSE 24 + (i % 8) END AS units,
               CASE r WHEN 0 THEN i
-                     WHEN 1 THEN (i - 128) * 256 END AS v_first,
+                     WHEN 1 THEN (i - 128) * 256
+                     ELSE 1000 + i END AS v_first,
               CASE r WHEN 0 THEN (i + h + w) % 256
                      WHEN 1 THEN (((2 * i + 159) % 256) - 128) * 256
+                     ELSE 1000
                      END AS v_last,
               CASE r WHEN 0 THEN
                        CASE WHEN i + h + w > 255 THEN 0 ELSE i END
                      WHEN 1 THEN
                        CASE WHEN 2 * i + 159 > 255 THEN -32768
                             ELSE (i - 128) * 256 END
+                     ELSE 0
                      END AS v_min,
               CASE r WHEN 0 THEN
                        CASE WHEN i + h + w > 255 THEN 255
@@ -7581,6 +7588,7 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN
                        CASE WHEN 2 * i + 159 > 255 THEN 32512
                             ELSE (2 * i + 31) * 256 END
+                     ELSE 0
                      END AS v_max
             FROM m
         """,

@@ -845,3 +845,107 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF box walk — metadata PROBE, not a codec: the sample
+# data stays opaque, but duration/dimensions/sample-count parse for
+# real; the frame DECODE is the one remaining stub in this container)
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        btype = data[pos + 4:pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed MP4 box {btype!r} at {pos}")
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO-BMFF metadata probe → {width, height, duration_ms,
+    timescale, n_samples}. Walks ftyp/moov/mvhd/tkhd/stts; raises
+    ValueError on malformed/truncated structure."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) payload")
+    out = {"width": 0, "height": 0, "duration_ms": 0,
+           "timescale": 0, "n_samples": 0}
+    found_moov = False
+
+    def walk(start: int, end: int) -> None:
+        nonlocal found_moov
+        for btype, b0, b1 in _mp4_boxes(payload, start, end):
+            if btype in _MP4_CONTAINERS:
+                if btype == b"moov":
+                    found_moov = True
+                walk(b0, b1)
+            elif btype == b"mvhd":
+                ver = payload[b0]
+                if ver == 0:
+                    ts, dur = struct.unpack(">II", payload[b0 + 12:b0 + 20])
+                else:
+                    (ts,) = struct.unpack(">I", payload[b0 + 20:b0 + 24])
+                    (dur,) = struct.unpack(">Q", payload[b0 + 24:b0 + 32])
+                out["timescale"] = ts
+                out["duration_ms"] = int(dur * 1000 // max(ts, 1))
+            elif btype == b"tkhd":
+                ver = payload[b0]
+                off = b1 - 8  # width/height are the LAST two 16.16s
+                wfx, hfx = struct.unpack(">II", payload[off:off + 8])
+                out["width"] = wfx >> 16
+                out["height"] = hfx >> 16
+            elif btype == b"stts":
+                (n_entries,) = struct.unpack(">I", payload[b0 + 4:b0 + 8])
+                p = b0 + 8
+                total = 0
+                for _ in range(n_entries):
+                    cnt, _delta = struct.unpack(">II", payload[p:p + 8])
+                    total += cnt
+                    p += 8
+                out["n_samples"] += total
+
+    walk(0, len(payload))
+    if not found_moov:
+        raise ValueError("MP4 moov box missing")
+    return out
+
+
+def encode_mp4_skeleton(
+    width: int, height: int, duration_ms: int, n_samples: int,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal deterministic ISO-BMFF skeleton (ftyp + moov[mvhd +
+    trak[tkhd + mdia[mdhd + minf[stbl[stts]]]]] + empty mdat) that
+    :func:`probe_mp4` round-trips exactly. No sample data — the test/
+    synth stand-in for a real video payload."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    dur = duration_ms * timescale // 1000
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, dur)
+               + struct.pack(">IHH", 0x10000, 0x100, 0) + b"\x00" * 8
+               + matrix + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", struct.pack(">IIIII", 0x7, 0, 0, 1, 0)
+               + struct.pack(">I", dur) + b"\x00" * 8
+               + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+               + struct.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, dur)
+               + struct.pack(">HH", 0x55C4, 0))
+    stts = box(b"stts", struct.pack(">II", 0, 1)
+               + struct.pack(">II", n_samples,
+                             max(dur // max(n_samples, 1), 1)))
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+    return ftyp + moov + box(b"mdat", b"")

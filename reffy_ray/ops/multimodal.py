@@ -103,9 +103,15 @@ def synth_media_batch_real(n: int, seed: int = 0) -> pa.Table:
             w = h = 0
             mime, dur = "audio/wav", (160 + i) * 1000 // 8000
         else:
-            payload = hashlib.md5(f"video-{seed}-{i}".encode()).digest() * 8
+            # deterministic ISO-BMFF skeleton: the metadata probe reads
+            # these values back exactly (closed-form for the oracle);
+            # frame decode remains the one stub
+            from .codecs import encode_mp4_skeleton
+
             w, h = 64, 48
-            mime, dur = "video/mp4", 1000 + i
+            dur = 1000 + i
+            payload = encode_mp4_skeleton(w, h, dur, 24 + (i % 8))
+            mime = "video/mp4"
         rows.append(
             {
                 "media_id": f"mr{seed}-{i}",
@@ -284,6 +290,9 @@ class MediaDecoder:
             self._decode_wav = decode_wav
             self._png_sig = PNG_SIG
             self._jpeg_soi = JPEG_SOI
+            from .codecs import probe_mp4
+
+            self._probe_mp4 = probe_mp4
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if not self.fake:
@@ -303,6 +312,17 @@ class MediaDecoder:
                 return np.array(
                     [w, h, channels, w * h, flat[0], flat[-1],
                      flat.min(), flat.max()],
+                    dtype=np.float32,
+                )
+            if kind == "video" and payload[4:8] == b"ftyp":
+                # ISO-BMFF metadata PROBE (real box walk; the frame
+                # decode itself stays stubbed — no video libs here):
+                # [w, h, 0, n_samples, duration_ms, timescale, 0, 0]
+                info = self._probe_mp4(payload)
+                return np.array(
+                    [info["width"], info["height"], 0,
+                     info["n_samples"], info["duration_ms"],
+                     info["timescale"], 0, 0],
                     dtype=np.float32,
                 )
             if kind == "audio" and payload[:4] == b"RIFF":

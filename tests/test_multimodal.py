@@ -421,7 +421,7 @@ def test_synth_media_batch_real_mixes_png_and_pnm(ray_session):
         by_kind.setdefault(r["kind"], set()).add(r["decode_status"])
     assert by_kind["image"] == {"ok"}  # both formats decode for real
     assert by_kind["audio"] == {"ok"}
-    assert by_kind["video"] == {"stubbed"}
+    assert by_kind["video"] == {"ok"}  # ISO-BMFF metadata probe
 
 
 def test_png_adam7_interlace_decodes():
@@ -787,3 +787,44 @@ def test_jpeg_multiscan_rejected():
     hacked = good[:idx] + new_sos + good[idx + 2 + slen:]
     with pytest.raises(ValueError, match="multi-scan"):
         decode_jpeg(hacked)
+
+
+# --- MP4 probe (round 5: real ISO-BMFF box walk; frame decode stub) -------
+
+
+def test_mp4_probe_roundtrip_and_rejects():
+    from reffy_ray.ops.codecs import encode_mp4_skeleton, probe_mp4
+
+    p = encode_mp4_skeleton(1920, 1080, 5500, 132, timescale=90000)
+    info = probe_mp4(p)
+    assert info == {"width": 1920, "height": 1080, "duration_ms": 5500,
+                    "timescale": 90000, "n_samples": 132}
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        probe_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError):
+        probe_mp4(p[:40])  # truncated inside moov
+    # a stream with ftyp but no moov is rejected, not silently empty
+    with pytest.raises(ValueError, match="moov"):
+        probe_mp4(p[:16] + b"\x00\x00\x00\x08mdat")
+
+
+def test_media_decoder_probes_video():
+    from reffy_ray.ops.codecs import encode_mp4_skeleton
+    from reffy_ray.ops.multimodal import MediaDecoder
+
+    payload = encode_mp4_skeleton(64, 48, 1007, 31)
+    batch = pa.table({
+        "media_id": ["v0"], "kind": ["video"],
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = MediaDecoder(fake=False)(batch)
+    assert out.column("decode_status").to_pylist() == ["ok"]
+    assert out.column("feature").to_pylist()[0] == [
+        64, 48, 0, 31, 1007, 1000, 0, 0]
+    # a non-BMFF video payload still reports stubbed (no video codec)
+    batch2 = pa.table({
+        "media_id": ["v1"], "kind": ["video"],
+        "payload": pa.array([b"\x00" * 64], pa.binary()),
+    })
+    out2 = MediaDecoder(fake=False)(batch2)
+    assert out2.column("decode_status").to_pylist() == ["stubbed"]
