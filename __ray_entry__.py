@@ -553,8 +553,6 @@ def q_random_walks(sf_dir: str):
     in the engine, and plain BIGINT arithmetic in the SQL oracle
     (_walk_step_ctes), so both replay the exact same 'random'
     choices."""
-    import numpy as np
-
     from reffy_ray.ops.graph import random_walks
 
     edges, n = _walk_graph_edges(sf_dir)
@@ -570,8 +568,6 @@ def q_biased_walks(sf_dir: str):
     draw r = mix32(salt#r, w, t) mod Σwt and take the first neighbor
     (ascending) whose integer cumulative weight exceeds r — the SQL
     oracle replays the identical draw with a window cumsum."""
-    import numpy as np
-
     from reffy_ray.ops.graph import biased_walks
 
     edges, n = _walk_graph_edges(sf_dir)
@@ -612,8 +608,14 @@ def _build_doc_adjacency(sf_dir: str):
     # deterministic per-sf scratch path, wiped before rebuild: repeat
     # contract runs reuse ONE directory instead of leaking a fresh
     # mkdtemp per invocation (review finding)
+    import os
+
+    # per-(sf, pid) path: deterministic WITHIN a process (repeat calls
+    # reuse + wipe one directory) but collision-free ACROSS concurrent
+    # processes — a shared fixed name would let process B's rmtree
+    # delete process A's buckets mid-read (review finding)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = f"/tmp/graft_adj_{tag}"
+    d = f"/tmp/graft_adj_{tag}_{os.getpid()}"
     shutil.rmtree(d, ignore_errors=True)
     return BucketedAdjacency.build(edges, d, n_nodes=n, n_buckets=16), n
 

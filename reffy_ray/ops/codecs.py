@@ -861,29 +861,49 @@ def _mp4_boxes(data: bytes, start: int, end: int):
     while pos + 8 <= end:
         (size,) = struct.unpack(">I", data[pos:pos + 4])
         btype = data[pos + 4:pos + 8]
-        if size < 8 or pos + size > end:
+        body = pos + 8
+        if size == 0:
+            # spec-legal: box extends to end of file (streaming muxers)
+            size = end - pos
+        elif size == 1:
+            # spec-legal: 64-bit largesize follows the type (>4GB mdat)
+            if pos + 16 > end:
+                raise ValueError(f"truncated MP4 largesize at {pos}")
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            body = pos + 16
+        if size < body - pos or pos + size > end:
             raise ValueError(f"malformed MP4 box {btype!r} at {pos}")
-        yield btype, pos + 8, pos + size
+        yield btype, body, pos + size
         pos += size
 
 
 def probe_mp4(payload: bytes) -> dict:
     """ISO-BMFF metadata probe → {width, height, duration_ms,
-    timescale, n_samples}. Walks ftyp/moov/mvhd/tkhd/stts; raises
+    timescale, n_samples}. Walks ftyp/moov/mvhd and each trak's
+    tkhd/stts; per-track stats are TRACK-SCOPED and the reported
+    dims/sample count come from the first track with nonzero
+    dimensions (the video track — an audio trak's 0×0 tkhd must not
+    overwrite it, nor its samples inflate the count), falling back to
+    the first track for audio-only files. Handles size==0
+    (to-end-of-file) and size==1 (64-bit largesize) boxes; raises
     ValueError on malformed/truncated structure."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF (MP4) payload")
     out = {"width": 0, "height": 0, "duration_ms": 0,
            "timescale": 0, "n_samples": 0}
+    tracks: list[dict] = []
     found_moov = False
 
-    def walk(start: int, end: int) -> None:
+    def walk(start: int, end: int, track: dict | None) -> None:
         nonlocal found_moov
         for btype, b0, b1 in _mp4_boxes(payload, start, end):
             if btype in _MP4_CONTAINERS:
                 if btype == b"moov":
                     found_moov = True
-                walk(b0, b1)
+                if btype == b"trak":
+                    track = {"width": 0, "height": 0, "n_samples": 0}
+                    tracks.append(track)
+                walk(b0, b1, track)
             elif btype == b"mvhd":
                 ver = payload[b0]
                 if ver == 0:
@@ -893,13 +913,12 @@ def probe_mp4(payload: bytes) -> dict:
                     (dur,) = struct.unpack(">Q", payload[b0 + 24:b0 + 32])
                 out["timescale"] = ts
                 out["duration_ms"] = int(dur * 1000 // max(ts, 1))
-            elif btype == b"tkhd":
-                ver = payload[b0]
+            elif btype == b"tkhd" and track is not None:
                 off = b1 - 8  # width/height are the LAST two 16.16s
                 wfx, hfx = struct.unpack(">II", payload[off:off + 8])
-                out["width"] = wfx >> 16
-                out["height"] = hfx >> 16
-            elif btype == b"stts":
+                track["width"] = wfx >> 16
+                track["height"] = hfx >> 16
+            elif btype == b"stts" and track is not None:
                 (n_entries,) = struct.unpack(">I", payload[b0 + 4:b0 + 8])
                 p = b0 + 8
                 total = 0
@@ -907,11 +926,19 @@ def probe_mp4(payload: bytes) -> dict:
                     cnt, _delta = struct.unpack(">II", payload[p:p + 8])
                     total += cnt
                     p += 8
-                out["n_samples"] += total
+                track["n_samples"] += total
 
-    walk(0, len(payload))
+    walk(0, len(payload), None)
     if not found_moov:
         raise ValueError("MP4 moov box missing")
+    chosen = next(
+        (t for t in tracks if t["width"] > 0 and t["height"] > 0),
+        tracks[0] if tracks else None,
+    )
+    if chosen is not None:
+        out["width"] = chosen["width"]
+        out["height"] = chosen["height"]
+        out["n_samples"] = chosen["n_samples"]
     return out
 
 

@@ -5,16 +5,19 @@ span table treats figures/images (``media_ref`` spans are never
 fetched — the analog of the reference's image-request abort at
 src/lib/util.js:333). Decode/resize/frame-sample run as actor-pool
 ``map_batches`` stages. PNM, PNG, JPEG and WAV payloads decode for
-REAL via the pure-numpy codecs in ops/codecs.py; only video (MP4)
-remains stubbed in this container — those raise
-``NotImplementedError`` unless ``fake=True``, which produces a
-deterministic fake decode for pipeline tests.
+REAL via the pure-numpy codecs in ops/codecs.py, and MP4 video gets
+a REAL metadata probe (ISO-BMFF box walk — dims/duration/samples);
+only the video FRAME decode remains stubbed in this container —
+unrecognized payloads raise ``NotImplementedError`` unless
+``fake=True``, which produces a deterministic fake decode for
+pipeline tests.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -65,11 +68,13 @@ def synth_media_batch_real(n: int, seed: int = 0) -> pa.Table:
     """Deterministic media rows with REAL decodable payloads: binary
     PPM (P6) and PNG (RGB, filter-0 + zlib) images alternating by
     image index, and RIFF WAVE PCM16 audio, all built by ops/codecs'
-    encoders; video rows carry an opaque payload (video codecs stay
-    stubbed in this container). JPEG decodes for real too, but being
-    LOSSY it is kept out of this generator: the media_features oracle
-    value-checks decoded pixels analytically, which only byte-exact
-    formats (PNM/PNG) can satisfy.
+    encoders; video rows carry a deterministic ISO-BMFF skeleton
+    (64×48, duration 1000+i ms, 24+(i%8) samples) whose metadata the
+    MP4 probe reads back exactly — the frame decode itself stays
+    stubbed. JPEG decodes for real too, but being LOSSY it is kept
+    out of this generator: the media_features oracle value-checks
+    decoded/probed values analytically, which only byte-exact
+    formats can satisfy.
 
     Pixel / sample rules are closed-form so a SQL oracle can verify
     the decoded values analytically (q_media_features) — the PNM/PNG
@@ -266,11 +271,13 @@ class MediaDecoder:
     ``[dim_a, dim_b, channels, units, v_first, v_last, v_min, v_max]``
     (image: dim_a/b = width/height, units = pixels; audio: dim_a =
     sample rate, dim_b = 0, units = samples; all values exactly
-    representable in float32). Video payloads (MP4) raise
-    NotImplementedError → ``decode_status='stubbed'`` — no video
-    libraries exist in this container; a real deployment extends
-    ``_decode`` with a pyav call loaded once per actor in
-    ``__init__``. Corrupt/truncated payloads yield
+    representable in float32). ISO-BMFF video payloads get a REAL
+    metadata probe (ops/codecs.probe_mp4: ``[w, h, 0, n_samples,
+    duration_ms, timescale, 0, 0]``, status ``'ok'``); only the video
+    FRAME decode is stubbed — non-BMFF video raises
+    NotImplementedError → ``decode_status='stubbed'`` (a real
+    deployment extends ``_decode`` with a pyav call loaded once per
+    actor in ``__init__``). Corrupt/truncated payloads yield
     ``decode_status='error'`` rows rather than failing the task.
     """
 
@@ -356,11 +363,11 @@ class MediaDecoder:
             except NotImplementedError:
                 feats.append(None)
                 status.append("stubbed")
-            except (ValueError, IndexError, struct.error):
+            except (ValueError, IndexError, struct.error, zlib.error):
                 # corrupt/truncated payload (CRC mismatch, bad Huffman
-                # code, short entropy data) — routine in real crawls:
-                # one bad image must yield an error ROW, not fail the
-                # whole map_batches task (review finding)
+                # code, short entropy data, truncated deflate stream)
+                # — routine in real crawls: one bad image must yield
+                # an error ROW, not fail the whole map_batches task
                 feats.append(None)
                 status.append("error")
         return pa.table(
@@ -471,16 +478,22 @@ class MediaResizer:
         out_w = np.where(too_tall, w * out_h2 // np.maximum(h, 1), out_w)
         out_h = out_h2
         payloads = []
-        for p, ow, oh in zip(
+        out_w = out_w.copy()
+        out_h = out_h.copy()
+        for i, (p, ow, oh) in enumerate(zip(
             batch.column("payload").to_pylist(), out_w, out_h
-        ):
+        )):
             try:
                 payloads.append(self._resample(p, int(ow), int(oh)))
-            except (ValueError, IndexError, struct.error):
+            except (ValueError, IndexError, struct.error, zlib.error):
                 # corrupt/truncated payload: pass it through unchanged
                 # rather than failing the task (the decode stage is
-                # where such rows get their error status)
+                # where such rows get their error status), and report
+                # the INPUT dims so the row metadata never claims a
+                # resize that did not happen
                 payloads.append(p)
+                out_w[i] = w[i]
+                out_h[i] = h[i]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),

@@ -828,3 +828,68 @@ def test_media_decoder_probes_video():
     })
     out2 = MediaDecoder(fake=False)(batch2)
     assert out2.column("decode_status").to_pylist() == ["stubbed"]
+
+
+def test_mp4_probe_multitrack_and_largesize():
+    """Review regression: a video trak followed by an audio trak (the
+    common mux order) must report the VIDEO track's dims and sample
+    count; size==1 largesize and size==0 to-EOF boxes are spec-legal."""
+    import struct
+
+    from reffy_ray.ops.codecs import encode_mp4_skeleton, probe_mp4
+
+    base = encode_mp4_skeleton(640, 360, 2000, 48, timescale=1000)
+    # splice a second (audio: 0x0 dims, 90000 samples) trak into moov
+    audio = encode_mp4_skeleton(0, 0, 2000, 90000, timescale=1000)
+    a0 = audio.find(b"trak") - 4
+    (alen,) = struct.unpack(">I", audio[a0:a0 + 4])
+    audio_trak = audio[a0:a0 + alen]
+    m0 = base.find(b"moov") - 4
+    (mlen,) = struct.unpack(">I", base[m0:m0 + 4])
+    new_moov_body = base[m0 + 8:m0 + mlen] + audio_trak
+    rebuilt = (base[:m0]
+               + struct.pack(">I", len(new_moov_body) + 8) + b"moov"
+               + new_moov_body + base[m0 + mlen:])
+    info = probe_mp4(rebuilt)
+    assert (info["width"], info["height"]) == (640, 360)
+    assert info["n_samples"] == 48  # audio samples NOT summed in
+    # audio-only file falls back to the first track
+    assert probe_mp4(audio)["n_samples"] == 90000
+
+    # largesize mdat (size==1 + 64-bit length) and size==0 tail box
+    mdat_body = b"\x00" * 16
+    large = (base[:-8]  # strip the original empty mdat
+             + struct.pack(">I", 1) + b"mdat"
+             + struct.pack(">Q", 16 + len(mdat_body)) + mdat_body)
+    assert probe_mp4(large)["width"] == 640
+    eof_box = base[:-8] + struct.pack(">I", 0) + b"free" + b"\x00" * 32
+    assert probe_mp4(eof_box)["width"] == 640
+
+
+def test_media_decoder_truncated_deflate_yields_error_row():
+    """Review regression: a PNG whose IDAT chunks are CRC-valid but
+    whose deflate stream is truncated raises zlib.error — must become
+    an error ROW, not a task failure."""
+    import struct
+    import zlib as _zlib
+
+    from reffy_ray.ops.codecs import encode_png
+    from reffy_ray.ops.multimodal import MediaDecoder
+
+    good = encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    # rebuild the IDAT chunk with HALF the compressed bytes and a
+    # fresh (valid!) CRC
+    idx = good.find(b"IDAT") - 4
+    (dlen,) = struct.unpack(">I", good[idx:idx + 4])
+    comp = good[idx + 8:idx + 8 + dlen]
+    half = comp[: dlen // 2]
+    bad_idat = (struct.pack(">I", len(half)) + b"IDAT" + half
+                + struct.pack(">I", _zlib.crc32(b"IDAT" + half)
+                              & 0xFFFFFFFF))
+    bad = good[:idx] + bad_idat + good[idx + 8 + dlen + 4:]
+    batch = pa.table({
+        "media_id": ["t0"], "kind": ["image"],
+        "payload": pa.array([bad], pa.binary()),
+    })
+    out = MediaDecoder(fake=False)(batch)
+    assert out.column("decode_status").to_pylist() == ["error"]
