@@ -616,6 +616,19 @@ def _build_doc_adjacency(sf_dir: str):
     # delete process A's buckets mid-read (review finding)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = f"/tmp/graft_adj_{tag}_{os.getpid()}"
+    # bound the per-pid leak: sweep stale siblings (same sf, other
+    # pids) older than an hour — old enough that their owning process
+    # is done, so the cross-process race stays closed
+    import glob
+    import time
+
+    for old_dir in glob.glob(f"/tmp/graft_adj_{tag}_*"):
+        if old_dir != d:
+            try:
+                if time.time() - os.path.getmtime(old_dir) > 3600:
+                    shutil.rmtree(old_dir, ignore_errors=True)
+            except OSError:
+                pass
     shutil.rmtree(d, ignore_errors=True)
     return BucketedAdjacency.build(edges, d, n_nodes=n, n_buckets=16), n
 

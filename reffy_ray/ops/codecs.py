@@ -914,12 +914,22 @@ def probe_mp4(payload: bytes) -> dict:
                 out["timescale"] = ts
                 out["duration_ms"] = int(dur * 1000 // max(ts, 1))
             elif btype == b"tkhd" and track is not None:
+                if b1 - b0 < 84:  # v0 body is 84 bytes (v1: 96)
+                    raise ValueError("undersized MP4 tkhd box")
                 off = b1 - 8  # width/height are the LAST two 16.16s
                 wfx, hfx = struct.unpack(">II", payload[off:off + 8])
                 track["width"] = wfx >> 16
                 track["height"] = hfx >> 16
             elif btype == b"stts" and track is not None:
+                if b1 - b0 < 8:
+                    raise ValueError("undersized MP4 stts box")
                 (n_entries,) = struct.unpack(">I", payload[b0 + 4:b0 + 8])
+                if n_entries > (b1 - b0 - 8) // 8:
+                    # a corrupt count must not read neighboring boxes'
+                    # bytes as sample entries (review finding)
+                    raise ValueError(
+                        "MP4 stts entry count exceeds its box"
+                    )
                 p = b0 + 8
                 total = 0
                 for _ in range(n_entries):

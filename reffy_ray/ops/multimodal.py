@@ -326,10 +326,16 @@ class MediaDecoder:
                 # decode itself stays stubbed — no video libs here):
                 # [w, h, 0, n_samples, duration_ms, timescale, 0, 0]
                 info = self._probe_mp4(payload)
+                # feature values must stay exactly representable in
+                # float32 (the class contract): saturate the unbounded
+                # fields at 2^24 rather than silently rounding a
+                # >4.7-hour duration or >16M-sample track
+                cap = 1 << 24
                 return np.array(
                     [info["width"], info["height"], 0,
-                     info["n_samples"], info["duration_ms"],
-                     info["timescale"], 0, 0],
+                     min(info["n_samples"], cap),
+                     min(info["duration_ms"], cap),
+                     min(info["timescale"], cap), 0, 0],
                     dtype=np.float32,
                 )
             if kind == "audio" and payload[:4] == b"RIFF":
@@ -478,8 +484,6 @@ class MediaResizer:
         out_w = np.where(too_tall, w * out_h2 // np.maximum(h, 1), out_w)
         out_h = out_h2
         payloads = []
-        out_w = out_w.copy()
-        out_h = out_h.copy()
         for i, (p, ow, oh) in enumerate(zip(
             batch.column("payload").to_pylist(), out_w, out_h
         )):

@@ -893,3 +893,34 @@ def test_media_decoder_truncated_deflate_yields_error_row():
     })
     out = MediaDecoder(fake=False)(batch)
     assert out.column("decode_status").to_pylist() == ["error"]
+
+
+def test_mp4_probe_bounds_checks():
+    """Review regression: corrupt stts entry counts and undersized
+    tkhd boxes must raise, not read neighboring boxes' bytes."""
+    import struct
+
+    from reffy_ray.ops.codecs import encode_mp4_skeleton, probe_mp4
+
+    base = encode_mp4_skeleton(64, 48, 1000, 24)
+    # inflate the stts entry_count from 1 to 2 (box size unchanged)
+    i = base.find(b"stts") + 4
+    bad = base[:i + 4] + struct.pack(">I", 2) + base[i + 8:]
+    with pytest.raises(ValueError, match="stts entry count"):
+        probe_mp4(bad)
+    # shrink tkhd to an empty body: wrap it as an 8-byte box
+    t = base.find(b"tkhd") - 4
+    (tlen,) = struct.unpack(">I", base[t:t + 4])
+    trak0 = base.find(b"trak") - 4
+    (traklen,) = struct.unpack(">I", base[trak0:trak0 + 4])
+    moov0 = base.find(b"moov") - 4
+    (moovlen,) = struct.unpack(">I", base[moov0:moov0 + 4])
+    shrunk = (base[:t] + struct.pack(">I", 8) + b"tkhd"
+              + base[t + tlen:])
+    delta = tlen - 8
+    shrunk = (shrunk[:trak0] + struct.pack(">I", traklen - delta)
+              + shrunk[trak0 + 4:])
+    shrunk = (shrunk[:moov0] + struct.pack(">I", moovlen - delta)
+              + shrunk[moov0 + 4:])
+    with pytest.raises(ValueError, match="tkhd"):
+        probe_mp4(shrunk)
