@@ -218,9 +218,9 @@ def _png_deinterlace(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG → uint8 array: (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3)
-    RGB (palette expanded), (h, w, 4) RGBA. 8-bit only; Adam7
-    interlace supported."""
+    """PNG → (h, w[, channels]) array: uint8 for depth 8 (palette
+    expanded to RGB), uint16 for depth 16 (big-endian samples
+    decoded). Adam7 interlace supported for both depths."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     ihdr = None
@@ -238,8 +238,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if depth not in (8, 16):
+        raise ValueError(f"only 8/16-bit PNG supported (depth={depth})")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace not in (0, 1):
@@ -250,10 +250,25 @@ def decode_png(payload: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG IDAT missing")
     raw = zlib.decompress(b"".join(idat))
+    # filters operate on BYTES with bpp = channels * bytes-per-sample,
+    # so 16-bit images reuse the same unfilter with a doubled stride
+    bps = depth // 8
+    bpp = channels * bps
     if interlace == 1:
-        arr = _png_deinterlace(raw, w, h, channels)
+        arr = _png_deinterlace(raw, w, h, bpp)
     else:
-        arr = _png_unfilter(raw, h, w * channels, channels)
+        arr = _png_unfilter(raw, h, w * bpp, bpp)
+    if depth == 16:
+        if color == 3:
+            raise ValueError("16-bit paletted PNG is not legal")
+        a16 = (
+            np.frombuffer(
+                np.ascontiguousarray(arr).tobytes(), dtype=">u2"
+            )
+            .astype(np.uint16)
+            .reshape((h, w) if channels == 1 else (h, w, channels))
+        )
+        return a16
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("paletted PNG without a valid PLTE")

@@ -6,8 +6,9 @@ edge table once per step because Ray Data has no persistent
 co-partitioning. At billion-edge scale the right shape is the
 ``IVFIndex`` pattern (ops/similarity.py:209): pay ONE partitioning
 pass that writes edges to hash-bucketed Parquet
-(``bucket=<src % n_buckets>/`` directories — also the resumable-output
-layout), then have every iteration read only the buckets its frontier
+(``bucket=<src % n_buckets>/`` directories, committed atomically via
+a trailing ``meta.json`` marker), then have every iteration read only
+the buckets its frontier
 touches via explicit path-level pruning. Per-step cost then tracks
 FRONTIER size, not edge count: a walk job seeded from 1% of nodes
 touches ~1% of buckets per step (plus hash collisions), while the
@@ -44,10 +45,13 @@ class BucketedAdjacency:
     as :func:`reffy_ray.ops.graph.random_walks`), assigns ``bucket =
     src % n_buckets`` in one ``map_batches`` pass and writes
     hive-partitioned Parquet — no shuffle: each input block fans its
-    rows into per-bucket files independently, and a failed build can
-    re-run only missing partitions. Parallel edges are KEPT (pagerank
-    counts them; the walk group bodies dedup via ``np.unique``, same
-    as the CSR tier).
+    rows into per-bucket files independently. Builds are atomic at
+    the directory level: ``meta.json`` is written last and ``load``
+    refuses a directory without it, so a crashed build is invisible
+    and a re-``build`` starts clean (appending into a half-built dir
+    would duplicate edges). Parallel edges are KEPT (pagerank counts
+    them; the walk group bodies dedup via ``np.unique``, same as the
+    CSR tier).
     """
 
     def __init__(self, index_dir: str, n_buckets: int, n_nodes: int):
@@ -78,6 +82,13 @@ class BucketedAdjacency:
                 {"src": s, "dst": d, "bucket": s % nb}
             )
 
+        # builds are ALL-OR-NOTHING: meta.json is the commit marker
+        # (load() refuses a dir without it), and any partial previous
+        # attempt is wiped first — re-running write_parquet into a
+        # half-built dir would APPEND duplicate edges, not complete it
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
         os.makedirs(index_dir, exist_ok=True)
         edges.map_batches(assign, batch_format="pandas").write_parquet(
             index_dir, partition_cols=["bucket"]

@@ -368,7 +368,7 @@ def test_png_rejects_bad_crc_truncation_and_16bit():
         decode_png(bytes(bad_crc))
     with pytest.raises(ValueError):
         decode_png(good[:20])
-    # 16-bit depth rejected
+    # 16-bit now DECODES (round-5 extension); sub-byte depths reject
     def chunk(ctype, data):
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
@@ -376,8 +376,13 @@ def test_png_rejects_bad_crc_truncation_and_16bit():
     p16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
            + chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="8-bit"):
-        decode_png(p16)
+    assert decode_png(p16).dtype == np.uint16
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    p4 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4)
+          + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+          + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8/16-bit"):
+        decode_png(p4)
 
 
 def test_media_decoder_real_png_features():
@@ -924,3 +929,33 @@ def test_mp4_probe_bounds_checks():
               + shrunk[moov0 + 4:])
     with pytest.raises(ValueError, match="tkhd"):
         probe_mp4(shrunk)
+
+
+def test_png_16bit_decode():
+    """16-bit PNG: same byte-level filters, doubled stride, big-endian
+    sample decode to uint16 (gray and RGB, incl. a Sub-filtered row)."""
+    import struct
+    import zlib
+
+    from reffy_ray.ops.codecs import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    rng = np.random.default_rng(23)
+    for shape, color, ch in (((5, 4), 0, 1), ((3, 6, 3), 2, 3)):
+        arr = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        h, w = arr.shape[:2]
+        scan = bytearray()
+        be = arr.astype(">u2")
+        for row in be.reshape(h, -1):
+            scan.append(0)
+            scan.extend(row.tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(scan)))
+               + chunk(b"IEND", b""))
+        got = decode_png(png)
+        assert got.dtype == np.uint16
+        assert np.array_equal(got, arr), (shape, color)
