@@ -629,7 +629,7 @@ def _build_doc_adjacency(sf_dir: str):
                     shutil.rmtree(old_dir, ignore_errors=True)
             except OSError:
                 pass
-    shutil.rmtree(d, ignore_errors=True)
+    # build() owns the wipe-and-replace contract for d itself
     return BucketedAdjacency.build(edges, d, n_nodes=n, n_buckets=16), n
 
 

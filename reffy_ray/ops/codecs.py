@@ -240,6 +240,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     )
     if depth not in (8, 16):
         raise ValueError(f"only 8/16-bit PNG supported (depth={depth})")
+    if depth == 16 and color == 3:
+        # IHDR-only check — reject before paying the decompress
+        raise ValueError("16-bit paletted PNG is not legal")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace not in (0, 1):
@@ -259,13 +262,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     else:
         arr = _png_unfilter(raw, h, w * bpp, bpp)
     if depth == 16:
-        if color == 3:
-            raise ValueError("16-bit paletted PNG is not legal")
+        # arr is a fresh C-contiguous uint8 raster; view-as->u2 then
+        # byteswap — no extra full-image copy on the decode hot path
         a16 = (
-            np.frombuffer(
-                np.ascontiguousarray(arr).tobytes(), dtype=">u2"
-            )
-            .astype(np.uint16)
+            arr.reshape(-1).view(">u2").astype(np.uint16)
             .reshape((h, w) if channels == 1 else (h, w, channels))
         )
         return a16

@@ -45,11 +45,11 @@ class BucketedAdjacency:
     as :func:`reffy_ray.ops.graph.random_walks`), assigns ``bucket =
     src % n_buckets`` in one ``map_batches`` pass and writes
     hive-partitioned Parquet — no shuffle: each input block fans its
-    rows into per-bucket files independently. Builds are atomic at
-    the directory level: ``meta.json`` is written last and ``load``
-    refuses a directory without it, so a crashed build is invisible
-    and a re-``build`` starts clean (appending into a half-built dir
-    would duplicate edges). Parallel edges are KEPT (pagerank counts
+    rows into per-bucket files independently. Builds are atomic
+    REPLACEMENTS: the new index is written into a ``.tmp`` sibling
+    (with ``meta.json`` as its commit marker — ``load`` refuses a
+    directory without one) and ``os.replace``d over the target, so a
+    crashed build leaves any previously committed index untouched. Parallel edges are KEPT (pagerank counts
     them; the walk group bodies dedup via ``np.unique``, same as the
     CSR tier).
     """
@@ -82,19 +82,24 @@ class BucketedAdjacency:
                 {"src": s, "dst": d, "bucket": s % nb}
             )
 
-        # builds are ALL-OR-NOTHING: meta.json is the commit marker
-        # (load() refuses a dir without it), and any partial previous
-        # attempt is wiped first — re-running write_parquet into a
-        # half-built dir would APPEND duplicate edges, not complete it
+        # builds are ATOMIC REPLACEMENTS: write into a sibling .tmp
+        # dir, commit meta.json there, then os.replace over the target
+        # — a crash mid-build leaves any previously committed index
+        # untouched (appending into a half-built dir would duplicate
+        # edges, and wiping the target first would destroy the old
+        # good index on a failed rebuild)
         import shutil
 
-        shutil.rmtree(index_dir, ignore_errors=True)
-        os.makedirs(index_dir, exist_ok=True)
+        tmp_dir = index_dir.rstrip("/") + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
         edges.map_batches(assign, batch_format="pandas").write_parquet(
-            index_dir, partition_cols=["bucket"]
+            tmp_dir, partition_cols=["bucket"]
         )
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
             json.dump({"n_buckets": nb, "n_nodes": int(n_nodes)}, f)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.replace(tmp_dir, index_dir)
         return cls(index_dir, nb, n_nodes)
 
     @classmethod

@@ -461,6 +461,11 @@ class MediaResizer:
                 ys = (np.arange(h) * src_h) // h
                 xs = (np.arange(w) * src_w) // w
                 out = arr[ys][:, xs]
+                if out.dtype == np.uint16:
+                    # 16-bit PNG: downconvert high bytes — encode_png
+                    # emits 8-bit, and a silent mod-256 cast would
+                    # corrupt near-white to black (review finding)
+                    out = (out >> 8).astype(np.uint8)
                 if is_png:
                     return encode_png(out)
                 if is_jpeg:

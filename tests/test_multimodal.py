@@ -933,7 +933,8 @@ def test_mp4_probe_bounds_checks():
 
 def test_png_16bit_decode():
     """16-bit PNG: same byte-level filters, doubled stride, big-endian
-    sample decode to uint16 (gray and RGB, incl. a Sub-filtered row)."""
+    sample decode to uint16 (gray and RGB; rows alternate filter 0 and
+    Sub to pin the doubled-bpp stride in the unfilter)."""
     import struct
     import zlib
 
@@ -949,9 +950,17 @@ def test_png_16bit_decode():
         h, w = arr.shape[:2]
         scan = bytearray()
         be = arr.astype(">u2")
-        for row in be.reshape(h, -1):
-            scan.append(0)
-            scan.extend(row.tobytes())
+        bpp = 2 * (arr.shape[2] if arr.ndim == 3 else 1)
+        for ri, row in enumerate(be.reshape(h, -1)):
+            rb = bytearray(row.tobytes())
+            if ri % 2:  # Sub-filter odd rows: raw[i] = x[i] - x[i-bpp]
+                scan.append(1)
+                for i in range(len(rb) - 1, bpp - 1, -1):
+                    rb[i] = (rb[i] - rb[i - bpp]) & 0xFF
+                scan.extend(rb)
+            else:
+                scan.append(0)
+                scan.extend(rb)
         ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
         png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IDAT", zlib.compress(bytes(scan)))
